@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** CASE-chain dimension mappings.
+  *
+  * The reference ships these as persistent BigQuery SQL UDFs
+  * (reference udf/map_markets.sql, udf/map_channels.sql,
+  * udf/map_verticals.sql, udf/match_target_countries.sql). Here they
+  * are `Column -> Column` functions built from `when/otherwise`
+  * chains, so they stay inside whole-stage codegen and are constant-
+  * foldable by Catalyst.
+  */
+object Mappings {
+
+  /** Market grouping for a nation/country dimension.
+    * Mirrors udf/map_markets.sql's shape (named groups, Unknown for
+    * null, Others fallback) over the synthetic nation names.
+    */
+  def market(nation: Column): Column =
+    when(nation.isNull, "Unknown")
+      .when(nation.isin("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"), "APAC")
+      .when(nation.isin("NATION_6", "NATION_7", "NATION_8", "NATION_9", "NATION_10"), "EMEA")
+      .when(nation.isin("NATION_11", "NATION_12", "NATION_13", "NATION_14", "NATION_15"), "AMER")
+      .when(nation.isin("NATION_16", "NATION_17", "NATION_18", "NATION_19", "NATION_20"), "AFRICA")
+      .otherwise("Others")
+
+  /** Channel grouping for an acquisition/event channel.
+    * Mirrors udf/map_channels.sql's Earned/Owned/Paid grouping shape.
+    */
+  def channel(name: Column): Column =
+    when(name.isNull, "Unknown")
+      .when(name.isin("signup", "view"), "Organic")
+      .when(name.isin("click", "purchase"), "Paid")
+      .when(name.isin("error"), "Diagnostic")
+      .otherwise("Others")
+
+  /** Target-market membership test (udf/match_target_countries.sql). */
+  def isTargetMarket(nation: Column): Column =
+    nation.isin("CHINA", "INDIA", "INDONESIA", "JAPAN", "VIETNAM", "FRANCE", "GERMANY")
+}

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the synthetic star schema.
+  *
+  * The reference extracts sources per task config
+  * (reference tasks/base.py:609-630 `EtlTask.extract`); here every
+  * source is a parquet directory and Catalyst handles column pruning
+  * and predicate pushdown into the scan.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS): read as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong) and convert to a
+    * microsecond TimestampType column. Oracles use
+    * CAST(ts AS TIMESTAMP) for the same ns→µs truncation.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    // integer division — a double roundtrip would lose ns precision
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}

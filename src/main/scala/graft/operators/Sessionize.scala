@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LEAD-based sessionization with an idle-gap cap.
+  *
+  * Re-expresses the reference's vertical session-time computation
+  * (reference sql/mango_user_rfe_daily_session.sql
+  * vertical_session_event / vertical_session_time CTEs): each event's
+  * dwell is the gap to the next event in the same partition, gaps
+  * above the cap (default 30 min) are discarded as idle.
+  *
+  * All time arithmetic is in integer microseconds (unix_micros) so
+  * results are exactly reproducible across engines. One shuffle,
+  * partitioned by the session keys; no global sort.
+  */
+object Sessionize {
+
+  /** Per-event gap to the next event (µs), null for the last event. */
+  def withGaps(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      order: Seq[Column]): DataFrame = {
+    val w  = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val us = unix_micros(col(tsCol))
+    events
+      .withColumn("__us", us)
+      .withColumn("gap_us", lead(col("__us"), 1).over(w) - col("__us"))
+      .drop("__us")
+  }
+
+  /** Daily session time per key: sum of capped gaps
+    * (gap > capUs counts 0, mirroring the reference's
+    * `CASE WHEN diff > 30*60*1000 THEN 0 ELSE diff END`). */
+  def dailySessionTime(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      order: Seq[Column],
+      capUs: Long = 30L * 60 * 1000 * 1000): DataFrame =
+    withGaps(events, keys, tsCol, order)
+      .withColumn("day", to_date(col(tsCol)))
+      .groupBy((keys :+ "day").map(col): _*)
+      .agg(
+        sum(when(col("gap_us") > capUs, 0L).otherwise(col("gap_us"))).as("session_time_us"),
+        count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,91 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Document deduplication: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard.
+  *
+  * Scale design: signatures (MinHash, SimHash) are computed ROW-LOCALLY
+  * with higher-order array functions — they never shuffle; only the
+  * tiny (doc_id, signature) frame moves. Candidate generation is
+  * bucket-local (LSH bands / shared-shingle inverted index), never an
+  * all-pairs cross join.
+  */
+object TextDedup {
+
+  /** Exact dedup via content hash: one group per distinct text
+    * (hash-groupBy — the baseline dedup at any scale). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("canonical_id"))
+
+  /** MinHash signature matrix: k salted-md5 min-hashes over word
+    * 3-gram shingles. md5 with a per-permutation salt is a public,
+    * engine-portable stand-in for a universal hash family.
+    */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val sh = TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)))
+    val sigs = (0 until k).map { h =>
+      array_min(transform(sh, s => md5(concat(lit(s"$h:"), s)))).as(s"sig_$h")
+    }
+    docs.select((col(idCol) +: sigs): _*)
+  }
+
+  /** LSH candidate pairs: band the signature matrix, bucket by band
+    * value, self-join bucket-locally. With k=8, bands of rows=2 →
+    * 4 bands. Returns distinct (a, b) candidate pairs, a < b. */
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val key = concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
+      sigs.select(col(idCol), lit(b).as("band"), key.as("bucket"))
+    }.reduce(_ unionByName _)
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r,
+        col(s"l.band") === col(s"r.band") && col(s"l.bucket") === col(s"r.bucket") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash from md5-nibble bit votes over tokens (term
+    * frequency weighting falls out of voting per occurrence).
+    * Row-local. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit(_))
+    val bitCols = (1 to bits).map { i =>
+      val vote = aggregate(
+        toks,
+        lit(0),
+        (acc, t) => acc + when(substring(md5(t), i, 1).isin(hi: _*), 1).otherwise(-1))
+      when(vote > 0, "1").otherwise("0")
+    }
+    docs.select(col(idCol), concat(bitCols: _*).as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs that share at least
+    * one shingle (inverted-index join — pair generation is
+    * shingle-local, not all-pairs). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.dedup.TextDedup
+import graft.similarity.Embeddings
+import graft.multimodal.BinaryDocs
+import graft.functions.TextAnalysis
+
+/** LLM-training-data operators (SURVEY §2 #35-47): dedup, similarity
+  * search, text analysis, multimodal plumbing. */
+object LlmData {
+
+  /** #35 exact dedup via content-hash groupBy. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+
+  /** #36 MinHash signature matrix (k=8 salted-md5 permutations over
+    * word 3-gram shingles). LSH banding/bucketing over this matrix is
+    * [[TextDedup.lshCandidates]], spec-tested on planted near-dups. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+
+  /** #37 32-bit SimHash per document. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+
+  /** #38 n-gram Jaccard near-dup pairs: top-20 most similar candidate
+    * pairs from the shared-shingle inverted index. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** #39 embedding-cosine near-dup report: top-30 most similar pairs
+    * over a bounded probe set (vec_id < 50). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("a_id"), Embeddings.asDouble(col("embedding")).as("va"))
+    val b = e.select(col("vec_id").as("b_id"), Embeddings.asDouble(col("embedding")).as("vb"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(Embeddings.cosine(col("va"), col("vb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+      .limit(30)
+  }
+
+  /** #40 brute-force cosine top-k ANN baseline (5 query vectors,
+    * k=5). */
+  def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), Embeddings.asDouble(col("embedding")).as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), Embeddings.asDouble(col("embedding")).as("nv"))
+    Embeddings.bruteForceTopK(q, c, 5)
+  }
+
+  /** #41 LSH-bucketed ANN scale path: axis-sign buckets with stats
+    * (bucket-local search bounds candidates at scale). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+    e.select(Embeddings.signBucket(col("v"), 8).as("bucket"), col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(Embeddings.norm(col("v"))), 6).as("avg_norm"))
+  }
+
+  /** #42 text quality scoring: length / stopword ratios + gate. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      TextAnalysis.countIn(toks, TextAnalysis.Stopwords).as("stop_cnt"),
+      round(TextAnalysis.countIn(toks, TextAnalysis.Stopwords) / size(toks), 6).as("stop_ratio"),
+      when(size(toks) >= 20 &&
+        (TextAnalysis.countIn(toks, TextAnalysis.Stopwords) / size(toks)) > 0.02, 1L)
+        .otherwise(0L).as("quality_pass"))
+  }
+
+  /** #43 language ID via marker-word scores (n-gram heuristic). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val en = TextAnalysis.countIn(toks, Seq("the", "is", "and", "of", "to"))
+    val es = TextAnalysis.countIn(toks, Seq("el", "la", "de", "que", "los"))
+    val de = TextAnalysis.countIn(toks, Seq("der", "die", "das", "und", "ist"))
+    val fr = TextAnalysis.countIn(toks, Seq("le", "les", "des", "est", "une"))
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** #44 token counting: whitespace + BPE-ish regex runs. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+
+  /** #45 document fingerprint: content hash + min-shingle-hash. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextAnalysis.shingles(TextAnalysis.tokens(col("text")))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("content_hash"),
+      array_min(transform(sh, x => md5(x))).as("minhash_fp"))
+  }
+
+  /** #46 vector stats via aggregate/zip_with higher-order fns. */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame = {
+    val v = Embeddings.asDouble(col("embedding"))
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      round(Embeddings.norm(v), 6).as("norm"),
+      round(aggregate(v, lit(0.0), _ + _) / size(col("embedding")), 6).as("mean"),
+      round(array_min(v), 6).as("vmin"),
+      round(array_max(v), 6).as("vmax"))
+  }
+
+  /** #47 multimodal metadata extraction over binary media columns
+    * (decode stubbed; plumbing real — see [[BinaryDocs]]). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    BinaryDocs.extractMeta(
+      BinaryDocs.toBinary(Tables.documents(s, dir), "doc_id", "text"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"         -> dedupExact _,
+    "q_dedup_minhash"       -> dedupMinhash _,
+    "q_dedup_simhash"       -> dedupSimhash _,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "q_dedup_embedding"     -> dedupEmbedding _,
+    "q_ann_topk"            -> annTopk _,
+    "q_ann_lsh"             -> annLsh _,
+    "q_text_stats"          -> textStats _,
+    "q_lang_id"             -> langId _,
+    "q_token_count"         -> tokenCount _,
+    "q_fingerprint"         -> fingerprint _,
+    "q_embedding_stats"     -> embeddingStats _,
+    "q_multimodal_meta"     -> multimodalMeta _
+  )
+
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, text, toks,
+      |  CASE WHEN len(toks) >= 3
+      |    THEN list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE CAST([] AS VARCHAR[]) END AS sh
+      |  FROM t)
+      |""".stripMargin
+
+  private def simhashOracle: String = {
+    val bits = (1 to 32).map { i =>
+      s"""CASE WHEN list_sum(list_transform(toks, tk ->
+         |  CASE WHEN substr(md5(tk), $i, 1) IN ('8','9','a','b','c','d','e','f')
+         |  THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" || ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id, $bits AS simhash FROM t""".stripMargin
+  }
+
+  private val cosSql =
+    """list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |  / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+      |     * sqrt(list_sum(list_transform(b.v, x -> x*x))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS dup_count,
+        |  MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_minhash" ->
+      (shingleCte +
+        "SELECT doc_id, " +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        " FROM s"),
+    "q_dedup_simhash" -> simhashOracle,
+    "q_dedup_ngram_jaccard" ->
+      (shingleCte +
+        """, ex AS (SELECT DISTINCT doc_id, unnest(sh) AS sh FROM s),
+          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY 1),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, inter,
+          |  ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.doc_id = doc_a
+          |JOIN sizes sb ON sb.doc_id = doc_b
+          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin),
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROUND($cosSql, 6) AS cos
+         |FROM e a, e b
+         |WHERE a.vec_id < 50 AND a.vec_id < b.vec_id
+         |ORDER BY cos DESC, a_id, b_id LIMIT 30""".stripMargin,
+    "q_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, ROUND($cosSql, 6) AS cos
+         |  FROM e a, e b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+         |SELECT q_id,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank,
+         |  n_id, cos
+         |FROM scored
+         |QUALIFY rank <= 5""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT v,
+        |  (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[5] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[6] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[7] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN v[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |FROM e)
+        |SELECT bucket, COUNT(*) AS n_vecs,
+        |  ROUND(AVG(sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS avg_norm
+        |FROM b GROUP BY 1""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, text, toks,
+        |  len(list_filter(toks, tk -> tk IN ('the','a','of','to','and','in','is','it','on','for'))) AS stop_cnt
+        |  FROM t)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  LENGTH(text) AS n_chars_measured, stop_cnt,
+        |  ROUND(stop_cnt / len(toks), 6) AS stop_ratio,
+        |  CASE WHEN len(toks) >= 20 AND stop_cnt / len(toks) > 0.02
+        |    THEN 1 ELSE 0 END AS quality_pass
+        |FROM c""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (SELECT lang,
+        |  len(list_filter(toks, tk -> tk IN ('the','is','and','of','to'))) AS s_en,
+        |  len(list_filter(toks, tk -> tk IN ('el','la','de','que','los'))) AS s_es,
+        |  len(list_filter(toks, tk -> tk IN ('der','die','das','und','ist'))) AS s_de,
+        |  len(list_filter(toks, tk -> tk IN ('le','les','des','est','une'))) AS s_fr
+        |  FROM t)
+        |SELECT lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END AS predicted,
+        |  COUNT(*) AS n
+        |FROM sc GROUP BY 1, 2""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      (shingleCte +
+        """SELECT doc_id, md5(text) AS content_hash,
+          |  list_min(list_transform(sh, x -> md5(x))) AS minhash_fp
+          |FROM s""".stripMargin),
+    "q_embedding_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id, len(v) AS dim,
+        |  ROUND(sqrt(list_sum(list_transform(v, x -> x*x))), 6) AS norm,
+        |  ROUND(list_sum(v) / len(v), 6) AS mean,
+        |  ROUND(list_min(v), 6) AS vmin,
+        |  ROUND(list_max(v), 6) AS vmax
+        |FROM e""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height
+        |FROM documents""".stripMargin
+  )
+}

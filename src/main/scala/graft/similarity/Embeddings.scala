@@ -1,0 +1,53 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: cosine primitives, brute-force top-k ANN
+  * baseline, and an axis-sign LSH bucketing scale path.
+  *
+  * All vector math runs in double via higher-order array functions —
+  * sequential fold, so results are bit-reproducible across engines.
+  * The brute-force path is explicitly bounded by the query-set size;
+  * the bucketed path keeps the candidate join bucket-local.
+  */
+object Embeddings {
+
+  /** float[] → double[] (controls precision before any arithmetic). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: each query vector against the full
+    * corpus, ranked per query. The cross join is bounded by the
+    * (small) query set — corpus side streams through, no shuffle of
+    * the corpus itself; ranking shuffles only (queries × corpus)
+    * rows partitioned by query id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = queries
+      .crossJoin(corpus)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+
+  /** Axis-sign LSH bucket id: sign bits of the first `bits` dims.
+    * A degenerate-but-deterministic random-hyperplane LSH (the
+    * hyperplanes are the coordinate axes); bucket-local search then
+    * bounds the candidate set at scale. */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(v, i) >= 0, "1").otherwise("0")): _*)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.TextDedup
+import graft.similarity.Embeddings
+
+class LlmDataSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("minhash+LSH finds planted near-duplicates and skips unrelated docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
+    val near = base.replace("dawn", "dusk") // one-token edit → most shingles shared
+    val far  = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text")
+    val cands = TextDedup.lshCandidates(sigs, "doc_id").collect()
+    assert(cands.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!cands.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("simhash of identical docs identical; different docs differ") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally other content here")).toDF("doc_id", "text")
+    val sh = TextDedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+    assert(sh(1L).length == 32 && sh(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val v = Embeddings.asDouble(col("embedding"))
+    val c = df.select(round(Embeddings.cosine(v, v), 9).as("c")).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+
+  test("ann topk returns k rows per query, self excluded, descending") {
+    val df = SparkEntry.queries("q_ann_topk")(spark, sf)
+    val perQ = df.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 5))
+    assert(df.filter(col("q_id") === col("n_id")).count() == 0)
+  }
+
+  test("jaccard pairs bounded by [0,1]") {
+    val df = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+    assert(df.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("multimodal meta: byte_len matches n_chars for ascii docs") {
+    val meta = SparkEntry.queries("q_multimodal_meta")(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val joined = meta.join(docs, "doc_id")
+      .filter(col("byte_len") =!= length(col("text")))
+    assert(joined.count() == 0)
+  }
+}

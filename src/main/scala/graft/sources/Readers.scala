@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Format readers mirroring the reference's extract surface.
+  *
+  * The reference converts raw API/GCS/file payloads to DataFrames per
+  * source config: json / jsonl / csv with optional header, date-field
+  * parsing and timezone normalization to UTC
+  * (reference utils/marshalling.py convert_df; tasks/base.py
+  * extract_via_fs). Spark-first: every reader is a distributed
+  * `spark.read` with an explicit schema (schema inference at 100 TB is
+  * a full extra scan — never rely on it in production paths).
+  */
+object Readers {
+
+  /** Newline-delimited JSON (the reference's default interchange). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV with optional explicit header names
+    * (reference convert_df: `names=config["header"]`). */
+  def csv(spark: SparkSession, path: String, schema: StructType, hasHeader: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", hasHeader.toString).csv(path)
+
+  /** Parquet with schema assertion: fail fast on drift instead of
+    * silently nulling columns. */
+  def parquet(spark: SparkSession, path: String, expected: Option[StructType] = None): DataFrame = {
+    val df = spark.read.parquet(path)
+    expected.foreach { s =>
+      val missing = s.fields.filterNot(f => df.schema.fieldNames.contains(f.name))
+      require(missing.isEmpty, s"missing columns: ${missing.map(_.name).mkString(",")}")
+    }
+    df
+  }
+
+  /** Const/inline source (reference tasks/base.py extract_via_const). */
+  def const(spark: SparkSession, rows: Seq[(String, Double)], cols: (String, String)): DataFrame = {
+    import spark.implicits._
+    rows.toDF(cols._1, cols._2)
+  }
+
+  /** Normalize a naive local-time timestamp column from `tz` to UTC
+    * (reference convert_df: tz_localize + tz_convert). */
+  def localToUtc(df: DataFrame, tsCol: String, tz: String): DataFrame =
+    df.withColumn(tsCol, to_utc_timestamp(col(tsCol), tz))
+}

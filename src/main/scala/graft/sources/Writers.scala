@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned sinks mirroring the reference's load surface.
+  *
+  * The reference writes one file per (stage, task, source, date) plus
+  * a `latest` snapshot copy (reference tasks/base.py load_to_fs,
+  * convert_latest_file, get_filepath's
+  * `{prefix}{stage}-{task}-{source}/{filename}` layout).
+  *
+  * Spark-first: `partitionBy(dateCol)` writes all dates in ONE
+  * distributed pass (the reference loops over dates driver-side);
+  * downstream readers get partition pruning for free.
+  */
+object Writers {
+
+  def pathFor(prefix: String, stage: String, task: String, source: String): String =
+    s"$prefix/$stage-$task-$source"
+
+  /** Write parquet partitioned by a date column. */
+  def datePartitionedParquet(
+      df: DataFrame, prefix: String, stage: String, task: String, source: String,
+      dateCol: String): Unit =
+    df.withColumn("__date", to_date(col(dateCol)).cast("string"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__date")
+      .parquet(pathFor(prefix, stage, task, source))
+
+  /** Write newline-delimited JSON partitioned by date
+    * (the reference's jsonl destination format). */
+  def datePartitionedJsonl(
+      df: DataFrame, prefix: String, stage: String, task: String, source: String,
+      dateCol: String): Unit =
+    df.withColumn("__date", to_date(col(dateCol)).cast("string"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__date")
+      .json(pathFor(prefix, stage, task, source))
+
+  /** CSV single-directory sink. */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** `latest` snapshot: overwrite a stable path with the rows of the
+    * max date (reference convert_latest_file copies the newest
+    * dated file to latest.{ext}). */
+  def writeLatest(
+      df: DataFrame, prefix: String, stage: String, task: String, source: String,
+      dateCol: String): Unit = {
+    val maxDate = df.agg(max(to_date(col(dateCol)))).head.getDate(0)
+    df.filter(to_date(col(dateCol)) === lit(maxDate.toString))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(pathFor(prefix, stage, task, source) + "/latest")
+  }
+}

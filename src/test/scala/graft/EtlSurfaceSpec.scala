@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Readers, Tables, Writers}
+import graft.validation.Checks
+
+class EtlSurfaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("jsonl/csv readers roundtrip with explicit schema") {
+    val tmp = Files.createTempDirectory("graft-io").toString
+    val df = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    df.write.json(s"$tmp/jsonl")
+    df.write.option("header", "true").csv(s"$tmp/csv")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    assert(Readers.jsonl(spark, s"$tmp/jsonl", schema).count() == df.count())
+    assert(Readers.csv(spark, s"$tmp/csv", schema).count() == df.count())
+  }
+
+  test("localToUtc shifts naive timestamps") {
+    import spark.implicits._
+    val df = Seq("2024-01-01 08:00:00").toDF("t")
+      .select(col("t").cast("timestamp").as("t"))
+    val utc = Readers.localToUtc(df, "t", "Asia/Taipei").head.getTimestamp(0)
+    assert(utc.toString.startsWith("2024-01-01 00:00:00"))
+  }
+
+  test("date-partitioned writer + latest snapshot") {
+    val tmp = Files.createTempDirectory("graft-w").toString
+    val df = Tables.orders(spark, sf).limit(500)
+    Writers.datePartitionedParquet(df, tmp, "staging", "revenue", "orders", "o_orderdate")
+    val back = spark.read.parquet(Writers.pathFor(tmp, "staging", "revenue", "orders"))
+    assert(back.count() == 500)
+    // partition pruning is available on the __date partition column
+    assert(back.schema.fieldNames.contains("__date"))
+
+    Writers.writeLatest(df, tmp, "staging", "revenue", "orders_latest", "o_orderdate")
+    val latest = spark.read.parquet(Writers.pathFor(tmp, "staging", "revenue", "orders_latest") + "/latest")
+    val maxDate = df.agg(max(to_date(col("o_orderdate")))).head.getDate(0)
+    assert(latest.select(to_date(col("o_orderdate"))).distinct().head.getDate(0) == maxDate)
+  }
+
+  test("validation checks pass on conforming frame and fail on violation") {
+    val df = Tables.orders(spark, sf)
+    Checks.requireSchema(df, Seq("o_orderkey" -> LongType, "o_totalprice" -> DoubleType))
+    Checks.requireNonNull(df, Seq("o_orderkey", "o_custkey"))
+    Checks.requireMinRows(df, 100)
+    assertThrows[IllegalArgumentException] {
+      Checks.requireSchema(df, Seq("missing_col" -> LongType))
+    }
+    assertThrows[IllegalArgumentException] {
+      Checks.requireMinRows(df, 10000000L)
+    }
+    val withNulls = df.withColumn("o_orderkey",
+      when(col("o_orderkey") % 2 === 0, col("o_orderkey")))
+    assertThrows[IllegalArgumentException] {
+      Checks.requireNonNull(withNulls, Seq("o_orderkey"))
+    }
+  }
+
+  test("const source") {
+    val df = Readers.const(spark, Seq(("package", 1000000.0)), ("name", "package"))
+    assert(df.head.getDouble(1) == 1000000.0)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Ev, SessionOut}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("windowed counts over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(1), "click", 1.0), Ev(1, ts(2), "click", 2.0),
+      Ev(2, ts(3), "purchase", 10.0))
+    val agg = EventsStream.windowedCounts(mem.toDF(), "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("wc").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wc").collect()
+    assert(rows.length == 2)
+    assert(rows.find(_.getString(1) == "click").get.getLong(2) == 2L)
+  }
+
+  test("stateful sessionization closes sessions on idle gap") {
+    import spark.implicits._
+    // events at minute 0,5,10 then a 40-minute gap then 50,52
+    val evs = Seq(
+      Ev(7, ts(0), "click", 0), Ev(7, ts(5), "click", 0), Ev(7, ts(10), "click", 0),
+      Ev(7, ts(50), "click", 0), Ev(7, ts(52), "click", 0)).toDS()
+    val out: Seq[SessionOut] = EventsStream.sessionize(evs).collect().toSeq
+    // first session (0→10) closes when the 40-min gap is seen;
+    // second session stays open in state (batch semantics)
+    assert(out.length == 1)
+    assert(out.head.n_events == 3)
+    assert(out.head.session_len_us == 10L * 60 * 1000 * 1000)
+  }
+}

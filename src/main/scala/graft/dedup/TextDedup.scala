@@ -30,7 +30,7 @@ object TextDedup {
     */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val sh = TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)))
+    val sh = TextAnalysis.shinglesOfText(col(textCol))
     val sigs = (0 until k).map { h =>
       array_min(transform(sh, s => md5(concat(lit(s"$h:"), s)))).as(s"sig_$h")
     }
@@ -74,17 +74,24 @@ object TextDedup {
     * one shingle (inverted-index join — pair generation is
     * shingle-local, not all-pairs). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // distinct shingles with the per-doc shingle count attached via a
+    // window — both self-join inputs are then the SAME subplan, so
+    // Spark reuses one exchange instead of recomputing the shingle
+    // explosion three times (once per side + once for sizes)
     val sh = docs
-      .select(col(idCol), explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)))).as("sh"))
+      .select(col(idCol), explode(TextAnalysis.shinglesOfText(col(textCol))).as("sh"))
       .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    // SHUFFLE_HASH (not broadcast): a shingle index is never broadcast-
+    // size at scale, and with both sides shuffled the planner reuses
+    // ONE exchange for the identical subplans instead of recomputing
+    // the shingle pipeline for a broadcast side
+    sh.as("a")
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .agg(count(lit(1)).as("inter"), max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
   }

@@ -17,13 +17,27 @@ object TextAnalysis {
   /** Word n-gram shingles as an array column. Row-local (no window,
     * no shuffle) — this is what keeps shingling viable at 100 TB:
     * the shingle set never leaves the scan stage.
+    *
+    * Higher-order-function reference implementation; production paths
+    * use [[shinglesOfText]] (native codegen kernel, bit-identical).
     */
-  def shingles(toks: Column, n: Int = 3): Column = {
+  def shinglesHof(toks: Column, n: Int = 3): Column = {
     val gen = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
     when(size(toks) >= n, gen).otherwise(expr("array()").cast("array<string>"))
   }
+
+  /** Native shingle kernel over the raw text column
+    * ([[graft.plans.WordShingles]]). */
+  def shinglesOfText(text: Column, n: Int = 3): Column =
+    graft.plans.WordShingles(text, n)
+
+  /** Shingles from a token array (delegates to the native kernel by
+    * rejoining — callers that already have the text column should use
+    * [[shinglesOfText]]). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    shinglesOfText(array_join(toks, " "), n)
 
   /** English-ish stopwords used for quality scoring / language ID. */
   val Stopwords: Seq[String] =

@@ -110,7 +110,7 @@ object LlmData {
 
   /** #45 document fingerprint: content hash + min-shingle-hash. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val sh = TextAnalysis.shingles(TextAnalysis.tokens(col("text")))
+    val sh = TextAnalysis.shinglesOfText(col("text"))
     Tables.documents(s, dir).select(
       col("doc_id"),
       md5(col("text")).as("content_hash"),

@@ -23,8 +23,15 @@ object Embeddings {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Higher-order-function cosine: kept as the reference/fallback
+    * implementation; bit-equal to [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen cosine ([[graft.plans.CosineSimilarity]]) — the
+    * production kernel. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity(a, b)
 
   /** Brute-force cosine top-k: each query vector against the full
     * corpus, ranked per query. The cross join is bounded by the

@@ -74,19 +74,16 @@ object TextDedup {
     * one shingle (inverted-index join — pair generation is
     * shingle-local, not all-pairs). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // distinct shingles with the per-doc shingle count attached via a
-    // window — both self-join inputs are then the SAME subplan, so
-    // Spark reuses one exchange instead of recomputing the shingle
-    // explosion three times (once per side + once for sizes)
+    // per-doc dedup and size are ROW-LOCAL (array_distinct + size on
+    // the shingle array) — no global distinct shuffle, no window; the
+    // only exchanges left are the inverted-index join on `sh` and the
+    // pair aggregation
     val sh = docs
-      .select(col(idCol), explode(TextAnalysis.shinglesOfText(col(textCol))).as("sh"))
-      .distinct()
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .select(col(idCol), array_distinct(TextAnalysis.shinglesOfText(col(textCol))).as("shs"))
+      .select(col(idCol), size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
     // SHUFFLE_HASH (not broadcast): a shingle index is never broadcast-
-    // size at scale, and with both sides shuffled the planner reuses
-    // ONE exchange for the identical subplans instead of recomputing
-    // the shingle pipeline for a broadcast side
+    // size at scale; identical shuffled subplans also let the planner
+    // reuse one exchange for both sides
     sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -68,19 +68,26 @@ object Cohort {
     * input, joined on low-cardinality dims. */
   def activeUserCount(occ: DataFrame, asOf: String, dims: Seq[String], userCol: String = "user_id"): DataFrame = {
     val d = lit(asOf).cast("date")
-    val newUser = when(col("occur_day") === 0, col(userCol))
-    val dimCols = dims.map(col)
-
-    val dau = occ.filter(col("occur_date") === d)
-      .groupBy(dimCols: _*)
-      .agg(countDistinct(newUser).as("new_dau"), countDistinct(col(userCol)).as("dau"))
-    val wau = occ.filter(col("occur_date") > date_sub(d, 7) && col("occur_date") <= d)
-      .groupBy(dimCols: _*)
-      .agg(countDistinct(newUser).as("new_wau"), countDistinct(col(userCol)).as("wau"))
-    val mau = occ.filter(col("occur_date") > date_sub(d, 28) && col("occur_date") <= d)
-      .groupBy(dimCols: _*)
-      .agg(countDistinct(newUser).as("new_mau"), countDistinct(col(userCol)).as("mau"))
-
-    dau.join(wau, dims, "left").join(mau, dims, "left")
+    val u = col(userCol)
+    val isNew = col("occur_day") === 0
+    val inWau = col("occur_date") > date_sub(d, 7)
+    // The reference computes dau/wau/mau as three scans LEFT JOINed on
+    // the dims (sql/mango_active_user_count.sql). One conditional-
+    // distinct aggregation over the 28-day slice produces identical
+    // rows (dau>0 ⇒ wau,mau>0, so the join never actually nulls) in a
+    // SINGLE shuffle instead of three agg jobs + two joins; the dau>0
+    // filter reproduces the dau-driven join base exactly.
+    occ.filter(col("occur_date") > date_sub(d, 28) && col("occur_date") <= d)
+      .groupBy(dims.map(col): _*)
+      .agg(
+        countDistinct(when(col("occur_date") === d && isNew, u)).as("new_dau"),
+        countDistinct(when(col("occur_date") === d, u)).as("dau"),
+        countDistinct(when(inWau && isNew, u)).as("new_wau"),
+        countDistinct(when(inWau, u)).as("wau"),
+        countDistinct(when(isNew, u)).as("new_mau"),
+        countDistinct(u).as("mau"))
+      .filter(col("dau") > 0)
+      .select((dims.map(col) :+ col("new_dau") :+ col("dau") :+ col("new_wau") :+
+        col("wau") :+ col("new_mau") :+ col("mau")): _*)
   }
 }

@@ -39,4 +39,22 @@ object Mappings {
   /** Target-market membership test (udf/match_target_countries.sql). */
   def isTargetMarket(nation: Column): Column =
     nation.isin("CHINA", "INDIA", "INDONESIA", "JAPAN", "VIETNAM", "FRANCE", "GERMANY")
+
+  /** Country → principal UTC offset string, mirroring the reference's
+    * get_country_tz_str (reference utils/marshalling.py:253-351: most-
+    * common zone per country, rendered as ±HH:MM). */
+  def countryTzOffset(country: Column): Column =
+    when(country.isNull, "+00:00")
+      .when(country === "ID", "+07:00")
+      .when(country === "IN", "+05:30")
+      .when(country.isin("TW", "HK", "SG", "MY", "PH", "CN"), "+08:00")
+      .when(country === "TH", "+07:00")
+      .when(country === "VN", "+07:00")
+      .when(country === "BD", "+06:00")
+      .when(country === "MM", "+06:30")
+      .when(country.isin("KH", "LA"), "+07:00")
+      .when(country === "BN", "+08:00")
+      .when(country === "DE", "+01:00")
+      .when(country === "US", "-05:00")
+      .otherwise("+00:00")
 }

@@ -42,6 +42,17 @@ object Writers {
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Bucketed table for co-located joins: repeated joins/aggs on the
+    * bucket keys skip their shuffle entirely. The 100 TB layout tool:
+    * bucket fact tables by join key at write time, pay the shuffle
+    * once. */
+  def bucketedTable(df: DataFrame, table: String, keys: Seq[String], numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** `latest` snapshot: overwrite a stable path with the rows of the
     * max date (reference convert_latest_file copies the newest
     * dated file to latest.{ext}). */

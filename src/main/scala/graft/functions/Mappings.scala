@@ -40,6 +40,29 @@ object Mappings {
   def isTargetMarket(nation: Column): Column =
     nation.isin("CHINA", "INDIA", "INDONESIA", "JAPAN", "VIETNAM", "FRANCE", "GERMANY")
 
+  /** Dashboard sort rank for channel groups
+    * (reference udf/order_channels.sql shape: known groups first,
+    * Unknown=99, Others=100, else 9999). */
+  def channelOrder(channel: Column): Column =
+    when(channel === "Overall", 0)
+      .when(channel === "Organic", 1)
+      .when(channel === "Paid", 2)
+      .when(channel === "Diagnostic", 3)
+      .when(channel === "Unknown", 99)
+      .when(channel === "Others", 100)
+      .otherwise(9999).cast("int")
+
+  /** Dashboard sort rank for markets (reference udf/order_markets.sql). */
+  def marketOrder(market: Column): Column =
+    when(market === "Overall", 0)
+      .when(market === "APAC", 1)
+      .when(market === "EMEA", 2)
+      .when(market === "AMER", 3)
+      .when(market === "AFRICA", 4)
+      .when(market === "Unknown", 99)
+      .when(market === "Others", 100)
+      .otherwise(9999).cast("int")
+
   /** Country → principal UTC offset string, mirroring the reference's
     * get_country_tz_str (reference utils/marshalling.py:253-351: most-
     * common zone per country, rendered as ±HH:MM). */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
-import graft.functions.JsonEvents
+import graft.functions.{Anonymize, JsonEvents, Mappings}
 
 /** Additional operator coverage: nested-JSON unnest and sketch
   * aggregates. */
@@ -37,9 +37,41 @@ object Extras {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
         count(lit(1)).as("n"))
 
+  /** #50 dimension ordering for dashboards
+    * (reference udf/order_markets.sql / order_channels.sql applied to
+    * the market mapping). */
+  def dimensionOrder(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(s, dir)
+    val nation   = Tables.nation(s, dir)
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .select(Mappings.market(col("n_name")).as("market"))
+      .groupBy(col("market"))
+      .agg(count(lit(1)).as("customers"))
+      .withColumn("market_order", Mappings.marketOrder(col("market")))
+  }
+
+  /** #51 deterministic anonymization: stable pseudonyms, IP masking,
+    * hash-derived value perturbation
+    * (reference utils/anonymizer.py, made reproducible). */
+  def anonymize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("ip",
+        concat(lit("10."), col("user_id") % 256, lit("."), col("k") % 256, lit(".7")))
+    e.select(
+      col("event_id"),
+      Anonymize.hashId(col("user_id")).as("user_hash"),
+      Anonymize.maskIp(col("ip")).as("masked_ip"),
+      Anonymize.perturb(col("value"), col("event_id")).as("value_perturbed"),
+      Anonymize.band(col("value"), 50.0).as("value_band"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_json_unnest"   -> jsonUnnest _,
-    "q_approx_sketch" -> approxSketch _
+    "q_json_unnest"     -> jsonUnnest _,
+    "q_approx_sketch"   -> approxSketch _,
+    "q_dimension_order" -> dimensionOrder _,
+    "q_anonymize"       -> anonymize _
   )
 
   /** q_approx_sketch intentionally has no oracle (rows-only check). */
@@ -51,6 +83,38 @@ object Extras {
         |      (CAST(json_extract_string(props, '$.k') AS BIGINT) + 1) || '}]' AS arr
         |  FROM events),
         |u AS (SELECT event_id, unnest(json_transform(arr, '[{"k":"BIGINT"}]')) AS e FROM j)
-        |SELECT event_id, e.k AS k FROM u""".stripMargin
+        |SELECT event_id, e.k AS k FROM u""".stripMargin,
+    "q_dimension_order" ->
+      """WITH m AS (
+        |  SELECT CASE
+        |    WHEN n_name IS NULL THEN 'Unknown'
+        |    WHEN n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4','NATION_5') THEN 'APAC'
+        |    WHEN n_name IN ('NATION_6','NATION_7','NATION_8','NATION_9','NATION_10') THEN 'EMEA'
+        |    WHEN n_name IN ('NATION_11','NATION_12','NATION_13','NATION_14','NATION_15') THEN 'AMER'
+        |    WHEN n_name IN ('NATION_16','NATION_17','NATION_18','NATION_19','NATION_20') THEN 'AFRICA'
+        |    ELSE 'Others' END AS market
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT market, COUNT(*) AS customers,
+        |  CAST(CASE market
+        |    WHEN 'Overall' THEN 0 WHEN 'APAC' THEN 1 WHEN 'EMEA' THEN 2
+        |    WHEN 'AMER' THEN 3 WHEN 'AFRICA' THEN 4
+        |    WHEN 'Unknown' THEN 99 WHEN 'Others' THEN 100 ELSE 9999 END AS INTEGER) AS market_order
+        |FROM m GROUP BY market""".stripMargin,
+    "q_anonymize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, value,
+        |    '10.' || (user_id % 256) || '.' || (k % 256) || '.7' AS ip,
+        |    sha256(CAST(user_id AS VARCHAR)) AS user_hash,
+        |    md5(CAST(event_id AS VARCHAR)) AS h
+        |  FROM e)
+        |SELECT event_id, user_hash,
+        |  regexp_replace(ip, '^(\d+\.\d+)\.\d+\.\d+$', '\1.0.0') AS masked_ip,
+        |  ROUND(value * (1.0 + (((ascii(substr(h,1,1)) * 256 + ascii(substr(h,2,1))) % 1000) / 1000.0 - 0.5) * 2 * 0.1), 6) AS value_perturbed,
+        |  CAST(FLOOR(value / 50.0) * 50.0 AS DOUBLE) AS value_band
+        |FROM w""".stripMargin
   )
 }

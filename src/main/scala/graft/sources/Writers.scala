@@ -42,6 +42,21 @@ object Writers {
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Daily-cleanup + reload as ONE dynamic partition overwrite:
+    * the reference deletes the execution date's rows then re-appends
+    * (reference sql/cleanup_generic.sql + tasks/bigquery.py
+    * daily_cleanup/run_query). With partitionOverwriteMode=dynamic
+    * only the partitions present in `df` are replaced; other dates are
+    * untouched. Idempotent daily re-runs, no delete scan. */
+  def overwriteDatePartitions(
+      df: DataFrame, prefix: String, stage: String, task: String, source: String,
+      dateCol: String): Unit =
+    df.withColumn("__date", to_date(col(dateCol)).cast("string"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__date")
+      .parquet(pathFor(prefix, stage, task, source))
+
   /** Bucketed table for co-located joins: repeated joins/aggs on the
     * bucket keys skip their shuffle entirely. The 100 TB layout tool:
     * bucket fact tables by join key at write time, pay the shuffle

@@ -6,6 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = GraftSession
     .builder(master = "local[4]", shufflePartitions = 4)
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .getOrCreate()
   val sf = "/root/testdata/sf0.001"
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.sources.Tables
 import graft.functions.{Anonymize, JsonEvents, Mappings}
+import graft.operators.AsOf
 
 /** Additional operator coverage: nested-JSON unnest and sketch
   * aggregates. */
@@ -67,11 +68,27 @@ object Extras {
       Anonymize.band(col("value"), 50.0).as("value_band"))
   }
 
+  /** #52 as-of (temporal) join: each click event matched with the
+    * user's most recent daily purchase total at or before the event —
+    * the union-and-carry composition ([[AsOf.join]]); DuckDB's native
+    * ASOF JOIN is the oracle. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val left = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val right = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).cast("timestamp").as("rt"))
+      .agg(round(sum(col("value")), 6).as("daily_purchase"))
+    AsOf.join(left, right, Seq("user_id"), "ts", "rt")
+      .select(col("event_id"), col("user_id"), col("value"), col("daily_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_unnest"     -> jsonUnnest _,
     "q_approx_sketch"   -> approxSketch _,
     "q_dimension_order" -> dimensionOrder _,
-    "q_anonymize"       -> anonymize _
+    "q_anonymize"       -> anonymize _,
+    "q_asof_join"       -> asofJoin _
   )
 
   /** q_approx_sketch intentionally has no oracle (rows-only check). */
@@ -115,6 +132,16 @@ object Extras {
         |  regexp_replace(ip, '^(\d+\.\d+)\.\d+\.\d+$', '\1.0.0') AS masked_ip,
         |  ROUND(value * (1.0 + (((ascii(substr(h,1,1)) * 256 + ascii(substr(h,2,1))) % 1000) / 1000.0 - 0.5) * 2 * 0.1), 6) AS value_perturbed,
         |  CAST(FLOOR(value / 50.0) * 50.0 AS DOUBLE) AS value_band
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+    "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, value
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS rt,
+        |    ROUND(SUM(value), 6) AS daily_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.value, r.daily_purchase
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt""".stripMargin
   )
 }

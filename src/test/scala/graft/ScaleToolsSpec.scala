@@ -65,4 +65,17 @@ class ScaleToolsSpec extends AnyFunSuite {
       assert(math.abs(approx(k) - v) <= math.max(2, v / 10))
     }
   }
+
+  test("as-of join picks most recent snapshot, null when none") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val left = Seq((1L, 10L, "2024-01-05 12:00:00"), (2L, 10L, "2024-01-01 00:00:00"))
+      .toDF("id", "k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq((10L, "2024-01-02 00:00:00", 5.0), (10L, "2024-01-04 00:00:00", 9.0))
+      .toDF("k", "rt", "snap").withColumn("rt", col("rt").cast("timestamp"))
+    val out = AsOf.join(left, right, Seq("k"), "t", "rt")
+      .select("id", "snap").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(9.0))   // latest snapshot before Jan 5
+    assert(out(2L).isEmpty)         // no snapshot before Jan 1
+  }
 }

@@ -34,11 +34,33 @@ object Embeddings {
     graft.plans.CosineSimilarity(a, b)
 
   /** Brute-force cosine top-k: each query vector against the full
-    * corpus, ranked per query. The cross join is bounded by the
-    * (small) query set — corpus side streams through, no shuffle of
-    * the corpus itself; ranking shuffles only (queries × corpus)
-    * rows partitioned by query id. */
+    * corpus. The cross join is bounded by the (small) query set — the
+    * corpus streams through scan-local; ranking uses the bounded
+    * [[graft.plans.TopKAgg]] aggregate, so each map task emits at most
+    * k candidates per query to the shuffle instead of every scored
+    * row (the window formulation would shuffle and sort them all). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val scored = queries
+      .crossJoin(corpus)
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"), col("n_id"))
+      .as[(Long, Double, Long)]
+    scored
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.plans.TopKAgg(k).toColumn)
+      .flatMap { case (q, top) =>
+        top.zipWithIndex.map { case ((cos, n), i) => (q, (i + 1).toLong, n, cos) }
+      }
+      .toDF("q_id", "rank", "n_id", "cos")
+  }
+
+  /** Window-ranked reference formulation of [[bruteForceTopK]]
+    * (identical output; kept for comparison/testing). */
+  def bruteForceTopKWindow(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val scored = queries
       .crossJoin(corpus)
       .filter(col("q_id") =!= col("n_id"))

@@ -59,4 +59,16 @@ class LlmDataSpec extends AnyFunSuite {
       .filter(col("byte_len") =!= length(col("text")))
     assert(joined.count() == 0)
   }
+
+  test("TopK aggregate matches window formulation exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.similarity.Embeddings
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), Embeddings.asDouble(col("embedding")).as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), Embeddings.asDouble(col("embedding")).as("nv"))
+    val a = Embeddings.bruteForceTopK(q, c, 5).orderBy("q_id", "rank").collect().toSeq
+    val b = Embeddings.bruteForceTopKWindow(q, c, 5).orderBy("q_id", "rank").collect().toSeq
+    assert(a == b)
+  }
 }

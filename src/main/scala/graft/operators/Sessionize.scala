@@ -32,6 +32,33 @@ object Sessionize {
       .drop("__us")
   }
 
+  /** Gap-split session windows: a new session starts when the gap
+    * from the previous event exceeds `gapUs`. Cumulative-sum session
+    * ids over one (key)-partitioned window — the batch analogue of
+    * the streaming state machine in
+    * [[graft.streaming.EventsStream.sessionize]]. */
+  def sessionWindows(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      order: Seq[Column],
+      gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    val w  = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val us = unix_micros(col(tsCol))
+    val withFlag = events
+      .withColumn("__us", us)
+      .withColumn("__new",
+        when(col("__us") - lag(col("__us"), 1).over(w) > gapUs, 1L).otherwise(lit(0L)))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withFlag
+      .groupBy((keys.map(col) :+ col("session_id")): _*)
+      .agg(
+        min(col("__us")).as("session_start_us"),
+        (max(col("__us")) - min(col("__us"))).as("session_len_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Daily session time per key: sum of capped gaps
     * (gap > capUs counts 0, mirroring the reference's
     * `CASE WHEN diff > 30*60*1000 THEN 0 ELSE diff END`). */

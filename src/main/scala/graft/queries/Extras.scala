@@ -6,7 +6,8 @@ import org.apache.spark.sql.types._
 
 import graft.sources.Tables
 import graft.functions.{Anonymize, JsonEvents, Mappings}
-import graft.operators.AsOf
+import graft.operators.{AsOf, Sessionize}
+import graft.similarity.Embeddings
 
 /** Additional operator coverage: nested-JSON unnest and sketch
   * aggregates. */
@@ -83,12 +84,30 @@ object Extras {
       .select(col("event_id"), col("user_id"), col("value"), col("daily_purchase"))
   }
 
+  /** #53 gap-split session windows (30-min idle): batch analogue of
+    * the streaming stateful sessionization. */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionWindows(
+      Tables.events(s, dir), Seq("user_id"), "ts", Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("session_id"), col("session_start_us"),
+        col("session_len_us"), col("n_events"))
+
+  /** #54 per-label embedding centroids (the IVF coarse-quantizer
+    * training step), long format (label, dim position, mean). */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(Embeddings.asDouble(col("embedding"))))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("col")), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_unnest"     -> jsonUnnest _,
     "q_approx_sketch"   -> approxSketch _,
     "q_dimension_order" -> dimensionOrder _,
     "q_anonymize"       -> anonymize _,
-    "q_asof_join"       -> asofJoin _
+    "q_asof_join"       -> asofJoin _,
+    "q_session_windows" -> sessionWindows _,
+    "q_embedding_centroids" -> embeddingCentroids _
   )
 
   /** q_approx_sketch intentionally has no oracle (rows-only check). */
@@ -142,6 +161,32 @@ object Extras {
         |    ROUND(SUM(value), 6) AS daily_purchase
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.value, r.daily_purchase
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt""".stripMargin
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt""".stripMargin,
+    "q_session_windows" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |        - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id,
+        |  MIN(us) AS session_start_us,
+        |  MAX(us) - MIN(us) AS session_len_us,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_embedding_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT label, CAST(i AS BIGINT) AS dim, v[i] AS val
+        |  FROM e, UNNEST(range(1, 65)) AS t(i))
+        |SELECT label, dim, ROUND(AVG(val), 6) AS centroid, COUNT(*) AS n_vecs
+        |FROM x GROUP BY 1, 2""".stripMargin
   )
 }

@@ -72,15 +72,33 @@ object TextDedup {
 
   /** n-gram Jaccard similarity for candidate pairs that share at least
     * one shingle (inverted-index join — pair generation is
-    * shingle-local, not all-pairs). */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * shingle-local, not all-pairs).
+    *
+    * @param maxDf optional document-frequency cap: shingles appearing
+    *              in more than `maxDf` docs are dropped from CANDIDATE
+    *              GENERATION (pair counts still use full per-doc
+    *              sizes). A shingle shared by m docs contributes
+    *              O(m²) pairs — at corpus scale a handful of stop-
+    *              shingles would otherwise dominate the join; capping
+    *              df bounds the blowup at maxDf² per shingle. Off by
+    *              default (exact semantics, what the oracle checks).
+    */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String, maxDf: Option[Int] = None): DataFrame = {
     // per-doc dedup and size are ROW-LOCAL (array_distinct + size on
     // the shingle array) — no global distinct shuffle, no window; the
     // only exchanges left are the inverted-index join on `sh` and the
     // pair aggregation
-    val sh = docs
+    val shAll = docs
       .select(col(idCol), array_distinct(TextAnalysis.shinglesOfText(col(textCol))).as("shs"))
       .select(col(idCol), size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
+    val sh = maxDf match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        shAll.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+          .filter(col("__df") <= cap).drop("__df")
+      case None => shAll
+    }
     // SHUFFLE_HASH (not broadcast): a shingle index is never broadcast-
     // size at scale; identical shuffled subplans also let the planner
     // reuse one exchange for both sides

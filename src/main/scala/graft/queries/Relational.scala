@@ -48,8 +48,8 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 6).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -77,7 +77,7 @@ object Relational {
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("o_totalprice")), 6).as("revenue"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
         count(lit(1)).as("order_cnt"))
   }
 
@@ -175,8 +175,8 @@ object Relational {
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 6) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  ROUND(AVG(l_quantity), 6) AS avg_qty,
         |  ROUND(AVG(l_discount), 6) AS avg_disc,
         |  COUNT(*) AS count_order
@@ -190,7 +190,7 @@ object Relational {
         |FROM events GROUP BY 1""".stripMargin,
     "q_join_broadcast" ->
       """SELECT r_name, n_name,
-        |  ROUND(SUM(o_totalprice), 6) AS revenue,
+        |  ROUND(SUM(o_totalprice), 2) AS revenue,
         |  COUNT(*) AS order_cnt
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey

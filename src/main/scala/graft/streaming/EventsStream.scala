@@ -59,6 +59,18 @@ object EventsStream {
         })
   }
 
+  /** foreachBatch sink: applies the batch writer to each micro-batch —
+    * the streaming analogue of the reference's per-day load step
+    * (daily partitioned append becomes continuous micro-batch
+    * upsert). */
+  def foreachBatchParquet(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .start()
+
   /** Batch-drive a streaming query over a parquet directory for tests:
     * memory sink + processAllAvailable. */
   def runOnce(spark: SparkSession, df: DataFrame, name: String): DataFrame = {

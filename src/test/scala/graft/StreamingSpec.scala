@@ -44,4 +44,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.n_events == 3)
     assert(out.head.session_len_us == 10L * 60 * 1000 * 1000)
   }
+
+  test("watermarked append emits closed windows as watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = EventsStream.windowedCounts(mem.toDF(), "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm").start()
+    mem.addData(Ev(1, ts(1), "click", 1.0), Ev(1, ts(2), "click", 1.0))
+    q.processAllAvailable()
+    val early = spark.table("wm").count()
+    // event far past the first window pushes the watermark beyond it
+    mem.addData(Ev(2, Timestamp.valueOf("2024-01-01 02:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    val late = spark.table("wm").count()
+    q.stop()
+    assert(early == 0)  // window still open, nothing emitted
+    assert(late >= 1)   // watermark passed -> first window finalized
+  }
+
+  test("foreachBatch sink appends micro-batches to parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.foreachBatchParquet(mem.toDF(), s"$dir/out", s"$dir/ckpt")
+    mem.addData(Ev(1, ts(1), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(2, ts(2), "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
 }

@@ -135,7 +135,16 @@ object Extras {
         count(lit(1)).as("n_partners"))
   }
 
+  /** #57 IVF ANN: nearest-centroid assignment + bucket-local top-3
+    * (the scale path completing q_ann_topk's brute-force baseline). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+    Embeddings.ivfTopK(vecs, embeddingCentroids(s, dir), queryMaxId = 5L, k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivf"         -> annIvf _,
     "q_kv_array_lookup" -> kvArrayLookup _,
     "q_dedup_resolve"   -> dedupResolve _,
     "q_json_unnest"     -> jsonUnnest _,
@@ -264,6 +273,37 @@ object Extras {
         |SELECT doc_id,
         |  LEAST(MIN(partner), MIN(doc_id)) AS canonical_id,
         |  COUNT(*) AS n_partners
-        |FROM edges GROUP BY 1""".stripMargin
+        |FROM edges GROUP BY 1""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT true_label AS label, CAST(i AS BIGINT) AS dim, v[i] AS val
+        |  FROM e, UNNEST(range(1, 65)) AS t(i)),
+        |cent AS (
+        |  SELECT label, dim, ROUND(AVG(val), 6) AS centroid FROM x GROUP BY 1, 2),
+        |ca AS (
+        |  SELECT label, list(centroid ORDER BY dim) AS cv FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, ca.label,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * ca.cv[i]))
+        |      / (sqrt(list_sum(list_transform(e.v, y -> y*y)))
+        |         * sqrt(list_sum(list_transform(ca.cv, y -> y*y)))), 6) AS ccos
+        |  FROM e, ca),
+        |assigned AS (
+        |  SELECT vec_id, v, label AS bucket FROM scored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) = 1),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS n_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+        |      / (sqrt(list_sum(list_transform(q.v, y -> y*y)))
+        |         * sqrt(list_sum(list_transform(c.v, y -> y*y)))), 6) AS cos
+        |  FROM assigned q JOIN assigned c
+        |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT q_id, bucket,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank,
+        |  n_id, cos
+        |FROM pairs
+        |QUALIFY rank <= 3""".stripMargin
   )
 }

@@ -72,6 +72,43 @@ object Embeddings {
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 
+  /** IVF search: assign every vector to its nearest centroid (small
+    * broadcast cross-score + rank-1), then answer top-k queries with
+    * candidates from the SAME bucket only. The centroid set is the
+    * coarse quantizer (here: per-label means); at scale the bucket
+    * restriction turns an O(corpus) scan per query into
+    * O(corpus / #buckets).
+    *
+    * @param centroids long-format (label, dim, centroid) frame with
+    *                  dims 1..d, centroid values pre-rounded so
+    *                  assignment is reproducible
+    */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centArr = centroids
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        x => x.getField("centroid")).as("cv"))
+    val scored = vectors
+      .crossJoin(broadcast(centArr))
+      .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("label"))
+    val assigned = scored
+      .withColumn("__r", row_number().over(wAssign)).filter(col("__r") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("bucket"))
+    val q = assigned.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val c = assigned
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("bucket"), col("rank"), col("n_id"), col("cos"))
+  }
+
   /** Axis-sign LSH bucket id: sign bits of the first `bits` dims.
     * A degenerate-but-deterministic random-hyperplane LSH (the
     * hyperplanes are the coordinate axes); bucket-local search then

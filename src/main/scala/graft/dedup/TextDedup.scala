@@ -56,8 +56,14 @@ object TextDedup {
 
   /** 32-bit SimHash from md5-nibble bit votes over tokens (term
     * frequency weighting falls out of voting per occurrence).
-    * Row-local. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    * Row-local; native one-digest-per-token kernel
+    * ([[graft.plans.SimHashBits]]). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame =
+    docs.select(col(idCol), graft.plans.SimHashBits(col(textCol), bits).as("simhash"))
+
+  /** Higher-order reference implementation of [[simhash]] (bit-equal;
+    * evaluates md5 once per bit per token — kept for parity testing). */
+  def simhashHof(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit(_))
     val bitCols = (1 to bits).map { i =>

@@ -71,4 +71,12 @@ class LlmDataSpec extends AnyFunSuite {
     val b = Embeddings.bruteForceTopKWindow(q, c, 5).orderBy("q_id", "rank").collect().toSeq
     assert(a == b)
   }
+
+  test("native SimHash kernel bit-equal to HOF formulation") {
+    import graft.dedup.TextDedup
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = TextDedup.simhash(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = TextDedup.simhashHof(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -36,6 +36,11 @@ object Readers {
     df
   }
 
+  /** ORC with explicit schema (columnar alternative to parquet;
+    * same pushdown/pruning properties). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Const/inline source (reference tasks/base.py extract_via_const). */
   def const(spark: SparkSession, rows: Seq[(String, Double)], cols: (String, String)): DataFrame = {
     import spark.implicits._

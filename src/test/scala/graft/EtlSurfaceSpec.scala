@@ -70,4 +70,17 @@ class EtlSurfaceSpec extends AnyFunSuite {
     val df = Readers.const(spark, Seq(("package", 1000000.0)), ("name", "package"))
     assert(df.head.getDouble(1) == 1000000.0)
   }
+
+  test("orc roundtrip with pushdown-capable scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    df.write.orc(s"$tmp/orc")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType)))
+    val back = Readers.orc(spark, s"$tmp/orc", schema)
+    assert(back.count() == df.count())
+    val plan = back.filter(col("o_totalprice") > 100000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("orc"))
+  }
 }

@@ -26,9 +26,19 @@ object TextDedup {
 
   /** MinHash signature matrix: k salted-md5 min-hashes over word
     * 3-gram shingles. md5 with a per-permutation salt is a public,
-    * engine-portable stand-in for a universal hash family.
+    * engine-portable stand-in for a universal hash family. Native
+    * one-pass kernel ([[graft.plans.MinHashSigs]]).
     */
   def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val sigs = graft.plans.MinHashSigs(col(textCol), k)
+    docs.select((col(idCol) +:
+      (0 until k).map(h => element_at(sigs, h + 1).as(s"sig_$h"))): _*)
+  }
+
+  /** Higher-order reference implementation of [[minhashSignatures]]
+    * (bit-equal; kept for parity testing). */
+  def minhashSignaturesHof(
       docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val sh = TextAnalysis.shinglesOfText(col(textCol))
     val sigs = (0 until k).map { h =>

@@ -79,4 +79,12 @@ class LlmDataSpec extends AnyFunSuite {
     val b = TextDedup.simhashHof(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("native MinHash kernel bit-equal to HOF formulation") {
+    import graft.dedup.TextDedup
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = TextDedup.minhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = TextDedup.minhashSignaturesHof(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }

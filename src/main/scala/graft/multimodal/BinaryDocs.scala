@@ -23,6 +23,35 @@ object BinaryDocs {
   def toBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), encode(col(textCol), "utf-8").as("media"))
 
+  /** Resize metadata transform: scales decoded dims to fit a bounding
+    * box preserving aspect ratio (integer math — deterministic). The
+    * pixel-level resample belongs in the same partition-wise decode
+    * stage; here only the metadata contract is computed. */
+  def resizeMeta(meta: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    val scaleNum = least(lit(maxW) * col("height"), lit(maxH) * col("width"))
+    val scaleDen = col("width") * col("height")
+    meta
+      .withColumn("out_width",
+        when(col("width") <= 0 || col("height") <= 0, 0L)
+          .otherwise((col("width") * scaleNum / scaleDen).cast("long")))
+      .withColumn("out_height",
+        when(col("width") <= 0 || col("height") <= 0, 0L)
+          .otherwise((col("height") * scaleNum / scaleDen).cast("long")))
+  }
+
+  /** Frame-sampling stub: every `stride`-th byte offset stands in for
+    * a decoded video frame index (a real codec would seek keyframes).
+    * Emits (doc_id, frame_no, byte_offset) rows — the explode shape a
+    * frame-level feature extractor consumes. */
+  def sampleFrames(bin: DataFrame, stride: Int): DataFrame =
+    bin.select(col("doc_id"),
+        org.apache.spark.sql.functions.length(col("media")).cast("long").as("byte_len"))
+      .withColumn("frame_no",
+        explode(sequence(lit(0L),
+          greatest(((col("byte_len") - 1) / stride).cast("long"), lit(0L)))))
+      .select(col("doc_id"), col("frame_no"),
+        (col("frame_no") * stride).as("byte_offset"))
+
   /** Batch decode stub: per-partition iteration over the binary
     * payloads, emitting typed metadata. Replace the body marked STUB
     * with a real codec call (one codec init per partition, streaming

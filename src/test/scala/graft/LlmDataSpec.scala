@@ -87,4 +87,17 @@ class LlmDataSpec extends AnyFunSuite {
     val b = TextDedup.minhashSignaturesHof(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("multimodal resize and frame sampling stubs") {
+    import graft.multimodal.BinaryDocs
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bin = BinaryDocs.toBinary(docs, "doc_id", "text")
+    val meta = BinaryDocs.extractMeta(bin)
+    val resized = BinaryDocs.resizeMeta(meta.filter(col("width") > 0 && col("height") > 0), 64, 64)
+    assert(resized.filter(col("out_width") > 64 || col("out_height") > 64).count() == 0)
+    val frames = BinaryDocs.sampleFrames(bin, 100)
+    val f = frames.filter(col("doc_id") === 0).count()
+    val len = meta.filter(col("doc_id") === 0).head.getAs[Long]("byte_len")
+    assert(f == (len - 1) / 100 + 1)
+  }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry mirroring the reference's `etl.py` dispatcher
+  * (reference etl.py + utils/config.get_arg_parser: --task / --step /
+  * --source / --dest args routed to a task main).
+  *
+  * Usage:
+  *   runMain graft.Main --task <queryName|daily|all> \
+  *     [--dir /root/testdata/sf0.01] [--out /tmp/graft_out]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val task = opts.getOrElse("--task", "all")
+    val dir  = opts.getOrElse("--dir", "/root/testdata/sf0.001")
+    val out  = opts.get("--out")
+
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    def emit(name: String, df: org.apache.spark.sql.DataFrame): Unit = out match {
+      case Some(p) => df.write.mode("overwrite").parquet(s"$p/$name")
+      case None    => println(s"$name: ${df.count()} rows")
+    }
+
+    task match {
+      case "daily" =>
+        val o = pipelines.DailyPipeline.run(spark, dir)
+        emit("occurrence", o.occurrence); emit("retention", o.retention)
+        emit("active_users", o.activeUsers); emit("sessions", o.sessions)
+        emit("user_rfe", o.userRfe); emit("feature_roi", o.featureRoi)
+        emit("user_channels", o.userChannels); emit("revenue", o.revenue)
+      case "all" =>
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) => emit(n, fn(spark, dir)) }
+      case name =>
+        val fn = SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown task '$name'; valid: daily, all, ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+        emit(name, fn(spark, dir))
+    }
+    spark.stop()
+  }
+}

@@ -77,4 +77,29 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
+
+  test("streaming windowed counts equal batch aggregation on same rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .collect().map(r => Ev(r._1, r._2, r._3, r._4))
+    val mem = MemoryStream[Ev]
+    mem.addData(rows.toIndexedSeq)
+    val q = EventsStream.windowedCounts(mem.toDF(), "1 hour", "2 hours")
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("sb").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sb")
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
 }

@@ -143,7 +143,35 @@ object Extras {
     Embeddings.ivfTopK(vecs, embeddingCentroids(s, dir), queryMaxId = 5L, k = 3)
   }
 
+  /** #58 deterministic train/val/test split: md5-derived bucket per
+    * doc (reproducible across engines and runs — the property a
+    * 100 TB corpus split must have; no rand()). */
+  def dataSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":split")))
+    val pct = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(pct < 80, "train").when(pct < 90, "valid").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 6).as("avg_chars"))
+  }
+
+  /** #59 corpus statistics per source: vocabulary size, type-token
+    * ratio — the corpus-level profile a data curation run reports. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("token")).as("vocab_size"),
+        round(countDistinct(col("token")) / count(lit(1)), 6).as("type_token_ratio"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_data_split"      -> dataSplit _,
+    "q_corpus_stats"    -> corpusStats _,
     "q_ann_ivf"         -> annIvf _,
     "q_kv_array_lookup" -> kvArrayLookup _,
     "q_dedup_resolve"   -> dedupResolve _,
@@ -304,6 +332,26 @@ object Extras {
         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank,
         |  n_id, cos
         |FROM pairs
-        |QUALIFY rank <= 3""".stripMargin
+        |QUALIFY rank <= 3""".stripMargin,
+    "q_data_split" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1)) * 256
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 2, 1))) % 100 AS pct
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  ROUND(AVG(n_chars), 6) AS avg_chars
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT source,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS total_tokens,
+        |  COUNT(DISTINCT token) AS vocab_size,
+        |  ROUND(COUNT(DISTINCT token) / COUNT(*), 6) AS type_token_ratio
+        |FROM t WHERE token <> '' GROUP BY 1""".stripMargin
   )
 }

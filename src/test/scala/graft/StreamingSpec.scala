@@ -102,4 +102,21 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("window_start", "event_type").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("streaming dedup within watermark drops late duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = mem.toDF()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dd").start()
+    mem.addData(Ev(1, ts(1), "click", 1.0), Ev(1, ts(1), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, ts(1), "click", 1.0)) // late duplicate, same key+ts
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dd").count() == 1)
+  }
 }

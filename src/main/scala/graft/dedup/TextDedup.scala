@@ -16,6 +16,11 @@ import graft.functions.TextAnalysis
   */
 object TextDedup {
 
+  /** Default document-frequency cap for [[jaccardPairs]] candidate
+    * generation — bounds the inverted-index self-join at maxDf² pairs
+    * per shingle. */
+  val DefaultMaxDf = 100
+
   /** Exact dedup via content hash: one group per distinct text
     * (hash-groupBy — the baseline dedup at any scale). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -51,11 +56,21 @@ object TextDedup {
     * value, self-join bucket-locally. With k=8, bands of rows=2 →
     * 4 bands. Returns distinct (a, b) candidate pairs, a < b. */
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = (0 until k / rowsPerBand).map { b =>
-      val key = concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
-      sigs.select(col(idCol), lit(b).as("band"), key.as("bucket"))
-    }.reduce(_ unionByName _)
+    // ONE pass over the signature frame, exploding a band array —
+    // NOT a union of per-band selects, which would recompute the
+    // signature subplan once per band per join side. concat is
+    // null-PROPAGATING (unlike concat_ws): a doc too short to shingle
+    // has null signature slots and must not collide with other
+    // null-signature docs — DuckDB `||` propagates null the same way
+    val bandStructs = (0 until k / rowsPerBand).map { b =>
+      val key = concat(
+        (0 until rowsPerBand).flatMap(r =>
+          Seq(lit("|"), col(s"sig_${b * rowsPerBand + r}"))).drop(1): _*)
+      struct(lit(b).as("band"), key.as("bucket"))
+    }
+    val bands = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r,
         col(s"l.band") === col(s"r.band") && col(s"l.bucket") === col(s"r.bucket") &&
@@ -90,17 +105,20 @@ object TextDedup {
     * one shingle (inverted-index join — pair generation is
     * shingle-local, not all-pairs).
     *
-    * @param maxDf optional document-frequency cap: shingles appearing
-    *              in more than `maxDf` docs are dropped from CANDIDATE
+    * @param maxDf document-frequency cap: shingles appearing in more
+    *              than `maxDf` docs are dropped from CANDIDATE
     *              GENERATION (pair counts still use full per-doc
     *              sizes). A shingle shared by m docs contributes
     *              O(m²) pairs — at corpus scale a handful of stop-
     *              shingles would otherwise dominate the join; capping
-    *              df bounds the blowup at maxDf² per shingle. Off by
-    *              default (exact semantics, what the oracle checks).
+    *              df bounds the blowup at maxDf² per shingle. ON by
+    *              default ([[DefaultMaxDf]]) — the uncapped plan is a
+    *              scale hazard a caller must opt into with `None`
+    *              (exact semantics, used by the exact-oracle entries).
     */
   def jaccardPairs(
-      docs: DataFrame, idCol: String, textCol: String, maxDf: Option[Int] = None): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     // per-doc dedup and size are ROW-LOCAL (array_distinct + size on
     // the shingle array) — no global distinct shuffle, no window; the
     // only exchanges left are the inverted-index join on `sh` and the
@@ -110,9 +128,15 @@ object TextDedup {
       .select(col(idCol), size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
     val sh = maxDf match {
       case Some(cap) =>
-        import org.apache.spark.sql.expressions.Window
-        shAll.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-          .filter(col("__df") <= cap).drop("__df")
+        // df via groupBy (map-side partial agg — a stop-shingle's count
+        // combines before the shuffle, so the df computation itself
+        // doesn't skew the way a count-over-window partitioned by `sh`
+        // would), then an inner join against the SURVIVING shingles
+        // only: capped-out keys vanish from the join's build side
+        val dfOk = shAll.groupBy(col("sh"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+        shAll.join(dfOk.hint("shuffle_hash"), "sh").drop("__df")
       case None => shAll
     }
     // SHUFFLE_HASH (not broadcast): a shingle index is never broadcast-

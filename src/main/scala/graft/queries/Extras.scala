@@ -93,12 +93,29 @@ object Extras {
         col("session_len_us"), col("n_events"))
 
   /** #54 per-label embedding centroids (the IVF coarse-quantizer
-    * training step), long format (label, dim position, mean). */
-  def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    * training step), long format (label, dim position, mean).
+    *
+    * Map-side array aggregation ([[graft.plans.VecSumAgg]]): one
+    * (sums, count) row per label crosses the shuffle — NOT the
+    * posexplode formulation, which multiplies the exchange volume by
+    * the dimensionality (×64 here) before aggregating. The tiny
+    * per-label result is exploded to long format after the shuffle. */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.embeddings(s, dir)
-      .select(col("label"), posexplode(Embeddings.asDouble(col("embedding"))))
-      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
-      .agg(round(avg(col("col")), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), Embeddings.asDouble(col("embedding")).as("v"))
+      .as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.plans.VecSumAgg.toColumn)
+      .flatMap { case (label, acc) =>
+        acc.sum.zipWithIndex.map { case (sm, i) =>
+          (label, (i + 1).toLong, sm / acc.n, acc.n)
+        }
+      }
+      .toDF("label", "dim", "centroid", "n_vecs")
+      .withColumn("centroid", round(col("centroid"), 6))
+  }
 
   /** #55 kv-array lookup over a real ARRAY<STRUCT<key,value>> column —
     * the literal shape of the reference's settings/event_extra lookups
@@ -120,12 +137,12 @@ object Extras {
           x => x.getField("key") === "etype"), 1).getField("value")).as("n_etypes"))
   }
 
-  /** #56 near-dup cluster resolution: canonical doc per candidate-pair
-    * graph (one min-propagation hop — the dedup "keep one" step after
-    * candidate generation). */
+  /** #56 near-dup cluster resolution, single-hop variant: min partner
+    * per doc (kept as the one-hop oracle entry; the full fixpoint
+    * resolution is [[dedupResolveCc]]). */
   def dedupResolve(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.dedup.TextDedup
-      .jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+      .jaccardPairs(Tables.documents(s, dir), "doc_id", "text", maxDf = None)
       .filter(col("jaccard") >= 0.05)
     val fwd = pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"))
     val bwd = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
@@ -133,6 +150,21 @@ object Extras {
       .groupBy(col("doc_id"))
       .agg(least(min(col("partner")), min(col("doc_id"))).as("canonical_id"),
         count(lit(1)).as("n_partners"))
+  }
+
+  /** #56b near-dup cluster resolution to FIXPOINT: connected
+    * components over the (df-capped, scale-path) candidate graph via
+    * iterated min-label propagation ([[graft.dedup.Resolve]]) — a
+    * chain a–b–c resolves to ONE canonical (a), which the one-hop
+    * variant cannot do. Oracle: DuckDB recursive CTE computing min
+    * reachable doc per node. */
+  def dedupResolveCc(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.dedup.TextDedup
+      .jaccardPairs(Tables.documents(s, dir), "doc_id", "text", maxDf = Some(4))
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.dedup.Resolve.connectedComponents(edges)
+      .toDF("doc_id", "canonical_id")
   }
 
   /** #57 IVF ANN: nearest-centroid assignment + bucket-local top-3
@@ -175,6 +207,7 @@ object Extras {
     "q_ann_ivf"         -> annIvf _,
     "q_kv_array_lookup" -> kvArrayLookup _,
     "q_dedup_resolve"   -> dedupResolve _,
+    "q_dedup_resolve_cc" -> dedupResolveCc _,
     "q_json_unnest"     -> jsonUnnest _,
     "q_approx_sketch"   -> approxSketch _,
     "q_dimension_order" -> dimensionOrder _,
@@ -302,6 +335,34 @@ object Extras {
         |  LEAST(MIN(partner), MIN(doc_id)) AS canonical_id,
         |  COUNT(*) AS n_partners
         |FROM edges GROUP BY 1""".stripMargin,
+    "q_dedup_resolve_cc" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS shs
+        |  FROM t),
+        |ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS sh FROM s),
+        |dfok AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 4),
+        |exc AS (SELECT ex.doc_id, ex.sz, ex.sh FROM ex JOIN dfok USING (sh)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+        |    MAX(a.sz) AS sz_a, MAX(b.sz) AS sz_b
+        |  FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  WHERE ROUND(inter / (sz_a + sz_b - inter), 6) >= 0.05),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM cand),
+        |reach(doc_id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT doc_id, MIN(r) AS canonical_id FROM reach GROUP BY 1""".stripMargin,
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (

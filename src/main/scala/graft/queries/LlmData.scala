@@ -27,10 +27,37 @@ object LlmData {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhash(Tables.documents(s, dir), "doc_id", "text")
 
+  /** #36b the flagship MinHash dedup path END-TO-END: signatures →
+    * LSH band bucketing → distinct candidate pairs. Planted near-dups
+    * (every doc unioned with a copy of itself plus a 3-token suffix)
+    * guarantee the band join produces pairs to verify at any SF; the
+    * oracle replays the identical union, signatures, band keys and
+    * bucket self-join in SQL. */
+  def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" near dup probe")).as("text"))
+    val all = base.unionByName(variants)
+    TextDedup.lshCandidates(
+      TextDedup.minhashSignatures(all, "doc_id", "text"), "doc_id")
+  }
+
   /** #38 n-gram Jaccard near-dup pairs: top-20 most similar candidate
-    * pairs from the shared-shingle inverted index. */
+    * pairs from the shared-shingle inverted index (exact: df cap
+    * explicitly off — this entry verifies the exact semantics). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+    TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", maxDf = None)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** #38b the SCALE plan for n-gram Jaccard, itself oracle-verified:
+    * document-frequency cap on candidate generation (stop-shingles
+    * shared by more than maxDf docs are dropped before the
+    * inverted-index self-join, bounding it at maxDf² pairs per
+    * shingle). Cap of 4 bites at every test SF; pair counts still use
+    * full per-doc sizes. */
+  def dedupNgramJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", maxDf = Some(4))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
@@ -59,15 +86,37 @@ object LlmData {
     Embeddings.bruteForceTopK(q, c, 5)
   }
 
-  /** #41 LSH-bucketed ANN scale path: axis-sign buckets with stats
-    * (bucket-local search bounds candidates at scale). */
+  /** #41 LSH-bucketed ANN scale path — a REAL neighbor query: sign-
+    * bucket the corpus (4 hyperplane bits → 16 buckets), multi-probe
+    * each query's home bucket plus its Hamming-1 neighbors (recall at
+    * the hyperplane boundaries), and rank bucket-local candidates with
+    * the bounded map-side [[graft.plans.TopKAgg]]. The tiny probe set
+    * (queries × 5 probes) is BROADCAST; the corpus never moves — at
+    * scale each query touches (bits+1)/2^bits of the data instead of
+    * all of it. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    import s.implicits._
+    val bits = 4
+    val b = Tables.embeddings(s, dir)
       .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
-    e.select(Embeddings.signBucket(col("v"), 8).as("bucket"), col("v"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_vecs"),
-        round(avg(Embeddings.norm(col("v"))), 6).as("avg_norm"))
+      .withColumn("bucket", Embeddings.signBucket(col("v"), bits))
+    val probes = array((col("bucket") +:
+      (1 to bits).map(i => Embeddings.flipBit(col("bucket"), i))): _*)
+    val q = b.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), explode(probes).as("bucket"))
+    val c = b.select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"),
+        round(Embeddings.cosine(col("qv"), col("nv")), 6).as("cos"), col("n_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.plans.TopKAgg(3).toColumn)
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((cs, n), i) => (qid, (i + 1).toLong, n, cs) }
+      }
+      .toDF("q_id", "rank", "n_id", "cos")
   }
 
   /** #42 text quality scoring: length / stopword ratios + gate. */
@@ -138,8 +187,10 @@ object LlmData {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> dedupExact _,
     "q_dedup_minhash"       -> dedupMinhash _,
+    "q_dedup_minhash_pairs" -> dedupMinhashPairs _,
     "q_dedup_simhash"       -> dedupSimhash _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "q_dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped _,
     "q_dedup_embedding"     -> dedupEmbedding _,
     "q_ann_topk"            -> annTopk _,
     "q_ann_lsh"             -> annLsh _,
@@ -176,6 +227,11 @@ object LlmData {
       |  / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
       |     * sqrt(list_sum(list_transform(b.v, x -> x*x))))""".stripMargin
 
+  private def cosSqlFor(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
+       |  / (sqrt(list_sum(list_transform($a, x -> x*x)))
+       |     * sqrt(list_sum(list_transform($b, x -> x*x))))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS dup_count,
@@ -188,6 +244,46 @@ object LlmData {
           s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
         " FROM s"),
     "q_dedup_simhash" -> simhashOracle,
+    "q_dedup_minhash_pairs" ->
+      ("""WITH t0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' near dup probe' FROM documents),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM t0),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM t),
+         |sig AS (SELECT doc_id, """.stripMargin +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        """ FROM s),
+          |bands AS (
+          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sig
+          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig)
+          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM bands a JOIN bands b
+          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin),
+    "q_dedup_ngram_jaccard_capped" ->
+      (shingleCte +
+        """, ex AS (SELECT DISTINCT doc_id, unnest(sh) AS sh FROM s),
+          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY 1),
+          |dfok AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 4),
+          |exc AS (SELECT ex.doc_id, ex.sh FROM ex JOIN dfok USING (sh)),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          |  FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, inter,
+          |  ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.doc_id = doc_a
+          |JOIN sizes sb ON sb.doc_id = doc_b
+          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin),
     "q_dedup_ngram_jaccard" ->
       (shingleCte +
         """, ex AS (SELECT DISTINCT doc_id, unnest(sh) AS sh FROM s),
@@ -219,20 +315,33 @@ object LlmData {
          |FROM scored
          |QUALIFY rank <= 5""".stripMargin,
     "q_ann_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |b AS (SELECT v,
-        |  (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN v[5] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN v[6] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN v[7] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN v[8] >= 0 THEN '1' ELSE '0' END) AS bucket
-        |FROM e)
-        |SELECT bucket, COUNT(*) AS n_vecs,
-        |  ROUND(AVG(sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS avg_norm
-        |FROM b GROUP BY 1""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |  (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END) ||
+         |  (CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END) ||
+         |  (CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END) ||
+         |  (CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+         |FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT q_id, qv, bucket AS probe FROM q
+         |  UNION ALL SELECT q_id, qv,
+         |    (CASE WHEN substr(bucket,1,1)='1' THEN '0' ELSE '1' END) || substr(bucket,2) FROM q
+         |  UNION ALL SELECT q_id, qv,
+         |    substr(bucket,1,1) || (CASE WHEN substr(bucket,2,1)='1' THEN '0' ELSE '1' END) || substr(bucket,3) FROM q
+         |  UNION ALL SELECT q_id, qv,
+         |    substr(bucket,1,2) || (CASE WHEN substr(bucket,3,1)='1' THEN '0' ELSE '1' END) || substr(bucket,4) FROM q
+         |  UNION ALL SELECT q_id, qv,
+         |    substr(bucket,1,3) || (CASE WHEN substr(bucket,4,1)='1' THEN '0' ELSE '1' END) FROM q),
+         |scored AS (
+         |  SELECT p.q_id, c.vec_id AS n_id,
+         |    ROUND(${cosSqlFor("p.qv", "c.v")}, 6) AS cos
+         |  FROM probes p JOIN b c ON c.bucket = p.probe AND c.vec_id <> p.q_id)
+         |SELECT q_id,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank,
+         |  n_id, cos
+         |FROM scored
+         |QUALIFY rank <= 3""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |c AS (SELECT doc_id, text, toks,

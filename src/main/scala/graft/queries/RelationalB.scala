@@ -73,14 +73,27 @@ object RelationalB {
         max(col("gap_us")).as("max_gap_us"))
 
   /** #13 top-N per group (reference udf/order_channels.sql ordering +
-    * rank-limit idiom). */
+    * rank-limit idiom).
+    *
+    * Via the bounded map-side [[graft.plans.TopKAgg]], NOT a
+    * row_number window: o_orderpriority has 5 distinct values, so a
+    * window would sort the whole table on ≤5 tasks no matter how big
+    * the cluster is. The aggregate sends at most k rows per group per
+    * map task to the shuffle; identical tie-break (price desc, key
+    * asc) keeps the same oracle. */
   def topnPerGroup(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    import s.implicits._
     Tables.orders(s, dir)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+      .select(col("o_orderpriority"), col("o_totalprice").cast("double"),
+        col("o_orderkey").cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.plans.TopKAgg(3).toColumn)
+      .flatMap { case (prio, top) =>
+        top.zipWithIndex.map { case ((price, key), i) => (prio, (i + 1).toLong, key, price) }
+      }
+      .toDF("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
   }
 
   /** #14 PERCENTILE_CONT by partition

@@ -84,7 +84,8 @@ object Embeddings {
     *                  assignment is reproducible
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val centArr = centroids
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
@@ -92,21 +93,33 @@ object Embeddings {
     val scored = vectors
       .crossJoin(broadcast(centArr))
       .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("label"))
+    // nearest-centroid assignment as a hash aggregate (max_by with a
+    // (ccos, -label) tie-break = highest score, then lowest label) —
+    // combines map-side; the window formulation would shuffle and sort
+    // every (vector × centroid) row by vec_id instead
     val assigned = scored
-      .withColumn("__r", row_number().over(wAssign)).filter(col("__r") === 1)
-      .select(col("vec_id"), col("v"), col("label").as("bucket"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("label"), col("v")),
+        struct(col("ccos"), negate(col("label")))).as("a"))
+      .select(col("vec_id"), col("a.v").as("v"), col("a.label").as("bucket"))
     val q = assigned.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
     val c = assigned
       .select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket"))
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    // bucket-local candidates ranked by the bounded map-side TopKAgg —
+    // k rows per (q_id, bucket) reach the shuffle, not every candidate
     q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("bucket"), col("rank"), col("n_id"), col("cos"))
+      .select(col("q_id"), col("bucket"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"), col("n_id"))
+      .as[(Long, Int, Double, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapValues(t => (t._3, t._4))
+      .agg(graft.plans.TopKAgg(k).toColumn)
+      .flatMap { case ((qid, b), top) =>
+        top.zipWithIndex.map { case ((cs, n), i) => (qid, b, (i + 1).toLong, n, cs) }
+      }
+      .toDF("q_id", "bucket", "rank", "n_id", "cos")
   }
 
   /** Axis-sign LSH bucket id: sign bits of the first `bits` dims.
@@ -116,4 +129,15 @@ object Embeddings {
   def signBucket(v: Column, bits: Int = 8): Column =
     concat((1 to bits).map(i =>
       when(element_at(v, i) >= 0, "1").otherwise("0")): _*)
+
+  /** Bucket id with bit `i` (1-based) flipped — the Hamming-distance-1
+    * probe set for multi-probe LSH: querying the home bucket plus its
+    * `bits` single-bit neighbors recovers most of the recall a single
+    * sign-bucket lookup loses at the hyperplane boundaries, while the
+    * candidate set stays (bits+1)/2^bits of the corpus. */
+  def flipBit(bucket: Column, i: Int): Column =
+    concat(
+      substring(bucket, 1, i - 1),
+      when(substring(bucket, i, 1) === "1", "0").otherwise("1"),
+      substring(bucket, i + 1, 64))
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Resolve
+
+class ResolveSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("fixpoint resolution collapses a chain a-b-c-d to one canonical") {
+    import spark.implicits._
+    // one-hop min-propagation would leave 3 pointing at 2; fixpoint
+    // must map every chain member to 0
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val out = Resolve.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("fixpoint resolution handles cycles and reversed edge direction") {
+    import spark.implicits._
+    // edges given in arbitrary direction, with a cycle 5-6-7-5
+    val edges = Seq((6L, 5L), (7L, 6L), (5L, 7L), (9L, 8L)).toDF("src", "dst")
+    val out = Resolve.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("multi-probe flip covers all Hamming-1 neighbors") {
+    import spark.implicits._
+    val df = Seq("1010").toDF("bucket")
+    val flips = (1 to 4).map(i =>
+      df.select(graft.similarity.Embeddings.flipBit(col("bucket"), i)).head.getString(0))
+    assert(flips == Seq("0010", "1110", "1000", "1011"))
+  }
+}

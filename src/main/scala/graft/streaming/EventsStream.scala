@@ -29,33 +29,66 @@ object EventsStream {
   /** Stateful sessionization with a 30-minute inactivity timeout —
     * the streaming analogue of the LEAD-based batch sessionize
     * (reference sql/mango_user_rfe_daily_session.sql), expressed with
-    * flatMapGroupsWithState so sessions close on timeout rather than
-    * on a daily batch boundary. */
-  def sessionize(events: Dataset[Ev], gapUs: Long = 30L * 60 * 1000 * 1000): Dataset[SessionOut] = {
+    * flatMapGroupsWithState.
+    *
+    * State is BOUNDED: event-time timeout against the watermark closes
+    * a user's final session (`setTimeoutTimestamp(last + gap)`, capped
+    * below by watermark+1 so late-but-admissible events can't register
+    * a timeout in the past) and removes the state entry — without
+    * this, every user's last session would sit in the state store
+    * forever. On a batch Dataset (spec convenience) timeouts never
+    * fire, so the final open session stays unemitted — streaming is
+    * the real surface.
+    *
+    * @param watermark how long to admit late events; also how long
+    *                  after the session's closing gap the timeout can
+    *                  lag. Should be >= the expected lateness bound.
+    */
+  def sessionize(
+      events: Dataset[Ev],
+      gapUs: Long = 30L * 60 * 1000 * 1000,
+      watermark: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val isStreaming = events.isStreaming
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
-          // batch-driven state machine: emit a session whenever the gap
-          // between consecutive events exceeds gapUs
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000
-            cur match {
-              case Some(st) if us - st.last <= gapUs =>
-                cur = Some(st.copy(last = us, n = st.n + 1))
-              case Some(st) =>
-                out += SessionOut(uid, st.start, st.last - st.start, st.n)
-                cur = Some(SessionState(us, us, 1))
-              case None =>
-                cur = Some(SessionState(us, us, 1))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: the session
+            // is final — emit it and DROP the state entry
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, st.start, st.last - st.start, st.n))
+          } else {
+            // gap-split state machine: emit a session whenever the gap
+            // between consecutive events exceeds gapUs
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              cur match {
+                case Some(st) if us - st.last <= gapUs =>
+                  cur = Some(st.copy(last = us, n = st.n + 1))
+                case Some(st) =>
+                  out += SessionOut(uid, st.start, st.last - st.start, st.n)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              if (isStreaming) {
+                val target = st.last / 1000 + gapUs / 1000
+                state.setTimeoutTimestamp(
+                  math.max(target, state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
         })
   }
 

@@ -64,6 +64,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(late >= 1)   // watermark passed -> first window finalized
   }
 
+  test("streaming sessionize emits the final session via event-time timeout and clears state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.sessionize(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss").start()
+    mem.addData(Ev(7, ts(0), "click", 0), Ev(7, ts(5), "click", 0))
+    q.processAllAvailable()
+    assert(spark.table("ss").count() == 0) // session still open
+    // far-future event advances the watermark past last+gap...
+    mem.addData(Ev(99, Timestamp.valueOf("2024-01-01 03:00:00"), "click", 0))
+    q.processAllAvailable()
+    // ...and the next batch fires the timeout
+    mem.addData(Ev(99, Timestamp.valueOf("2024-01-01 03:00:30"), "click", 0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss").as[SessionOut].collect().filter(_.user_id == 7L)
+    assert(out.length == 1)
+    assert(out.head.n_events == 2)
+    assert(out.head.session_len_us == 5L * 60 * 1000 * 1000)
+  }
+
   test("foreachBatch sink appends micro-batches to parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -41,6 +41,32 @@ object Readers {
   def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Warehouse source over JDBC — the public-knowledge equivalent of
+    * the reference's warehouse extract (reference tasks/base.py:559-594
+    * `extract_via_bq`: run a query against the warehouse, get a
+    * frame). Always pass `partition` in production: without it the
+    * whole table streams through ONE task; with it every executor
+    * reads its own slice `[lower, upper)` of the partition column in
+    * parallel.
+    *
+    * @param partition (column, lowerBound, upperBound, numPartitions)
+    */
+  def jdbc(
+      spark: SparkSession, url: String, table: String,
+      partition: Option[(String, Long, Long, Int)] = None,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val parted = partition.fold(base) { case (c, lo, hi, n) =>
+      base.option("partitionColumn", c)
+        .option("lowerBound", lo)
+        .option("upperBound", hi)
+        .option("numPartitions", n)
+    }
+    props.foldLeft(parted) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
   /** Const/inline source (reference tasks/base.py extract_via_const). */
   def const(spark: SparkSession, rows: Seq[(String, Double)], cols: (String, String)): DataFrame = {
     import spark.implicits._

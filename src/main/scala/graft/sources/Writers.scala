@@ -68,15 +68,27 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
-  /** `latest` snapshot: overwrite a stable path with the rows of the
-    * max date (reference convert_latest_file copies the newest
-    * dated file to latest.{ext}). */
+  /** `latest` snapshot for a KNOWN date: overwrite a stable path with
+    * that date's rows (reference convert_latest_file copies the newest
+    * dated file to latest.{ext}). Single scan — prefer this overload
+    * when the orchestrator already knows the as-of date. */
+  def writeLatest(
+      df: DataFrame, prefix: String, stage: String, task: String, source: String,
+      dateCol: String, date: String): Unit =
+    df.filter(to_date(col(dateCol)) === lit(date))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(pathFor(prefix, stage, task, source) + "/latest")
+
+  /** `latest` snapshot, max date derived from the data. The max-date
+    * probe and the filtered write both read `df`, so it is persisted
+    * across the two passes instead of recomputing its whole lineage. */
   def writeLatest(
       df: DataFrame, prefix: String, stage: String, task: String, source: String,
       dateCol: String): Unit = {
-    val maxDate = df.agg(max(to_date(col(dateCol)))).head.getDate(0)
-    df.filter(to_date(col(dateCol)) === lit(maxDate.toString))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(pathFor(prefix, stage, task, source) + "/latest")
+    val cached = df.persist()
+    try {
+      val maxDate = cached.agg(max(to_date(col(dateCol)))).head.getDate(0)
+      writeLatest(cached, prefix, stage, task, source, dateCol, maxDate.toString)
+    } finally cached.unpersist()
   }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.SourceConfig
+import graft.pipelines.Backfill
+import graft.sources.{ApiSource, Extract, Tables, Views, Writers}
+
+class SourcePipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val apiSchema = StructType(Seq(
+    StructField("id", LongType), StructField("country", StringType),
+    StructField("v", DoubleType)))
+
+  /** 2 pages per country, jsonl payloads keyed by (country, page). */
+  private def fakeFetcher(counter: java.util.concurrent.atomic.AtomicInteger): ApiSource.Fetcher =
+    (country, page) =>
+      if (page > 2) None
+      else {
+        counter.incrementAndGet()
+        Some((1 to 3).map(i =>
+          s"""{"id": ${page * 10 + i}, "country": "$country", "v": ${i}.5}""")
+          .mkString("\n"))
+      }
+
+  test("api source pages through iterators and caches raw files") {
+    val raw = Files.createTempDirectory("graft-api").toString
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cfg = SourceConfig("adnet", "api", iterator = Seq("TW", "ID"))
+    val df = Extract(spark, cfg, apiSchema, rawDir = raw, fetcher = Some(fakeFetcher(n)))
+    assert(n.get() == 4) // 2 countries x 2 pages
+    assert(df.count() == 12)
+    assert(df.filter(col("country") === "TW").count() == 6)
+
+    // second run: full cache hit — the fetcher is never called
+    val df2 = Extract(spark, cfg, apiSchema, rawDir = raw, fetcher = Some(fakeFetcher(n)))
+    assert(n.get() == 4)
+    assert(df2.count() == 12)
+
+    // cache=false forces a refetch of this source's files
+    val df3 = Extract(spark, cfg.copy(cache = false), apiSchema,
+      rawDir = raw, fetcher = Some(fakeFetcher(n)))
+    assert(n.get() == 8)
+    assert(df3.count() == 12)
+  }
+
+  test("backfill over a date range is idempotent") {
+    val out = Files.createTempDirectory("graft-backfill").toString
+    val events = Tables.events(spark, sf)
+    val dates = events.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy("d").collect().map(_.getDate(0).toLocalDate)
+    val start = dates.head
+    val end = start.plusDays(3)
+
+    Backfill.run(events, "ts", start, end, out, "staging", "events", "t")
+    val p = s"$out/staging-events-t"
+    val first = spark.read.parquet(p)
+    assert(first.select("__date").distinct().count() == 3)
+    val firstRows = first.orderBy("event_id").collect().toSeq
+
+    // re-run the same range: identical output (dynamic overwrite)
+    Backfill.run(events, "ts", start, end, out, "staging", "events", "t")
+    val second = spark.read.parquet(p).orderBy("event_id").collect().toSeq
+    assert(firstRows == second)
+
+    // per-day variant over the same dates adds/changes nothing
+    Backfill.runPerDay(events, "ts", Backfill.dateRange(start, end),
+      out, "staging", "events", "t")
+    val third = spark.read.parquet(p).orderBy("event_id").collect().toSeq
+    assert(firstRows == third)
+  }
+
+  test("backfill date helpers mirror the reference semantics") {
+    val d = LocalDate.parse("2019-01-01")
+    assert(Backfill.lookbackDate(d, 30) == LocalDate.parse("2018-12-02"))
+    assert(Backfill.lookforwardDate(d, 30) == LocalDate.parse("2019-01-31"))
+    assert(Backfill.dateRange(d, d.plusDays(2)) ==
+      Seq(d, d.plusDays(1))) // half-open, like get_date_range
+    assert(Backfill.backfillDates(d, Seq(1, 7)) ==
+      Seq(d.minusDays(1), d.minusDays(7)))
+  }
+
+  test("view task publishes an optimizable temp view") {
+    Views.publish("orders_v", Tables.orders(spark, sf))
+    Views.publishSql(spark, "big_orders_v",
+      "SELECT o_orderkey, o_totalprice FROM orders_v WHERE o_totalprice > 100000")
+    val n = spark.table("big_orders_v").count()
+    assert(n > 0)
+    assert(n == Tables.orders(spark, sf).filter(col("o_totalprice") > 100000).count())
+  }
+
+  test("writeLatest snapshots only the max date in one derived pass") {
+    val out = Files.createTempDirectory("graft-latest").toString
+    val events = Tables.events(spark, sf)
+    Writers.writeLatest(events, out, "staging", "events", "t", "ts")
+    val latest = spark.read.parquet(s"$out/staging-events-t/latest")
+    val maxDate = events.agg(max(to_date(col("ts")))).head.getDate(0)
+    assert(latest.select(to_date(col("ts"))).distinct().head.getDate(0) == maxDate)
+    assert(latest.count() ==
+      events.filter(to_date(col("ts")) === lit(maxDate.toString)).count())
+  }
+}

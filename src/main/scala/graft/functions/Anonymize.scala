@@ -36,4 +36,31 @@ object Anonymize {
   /** Bucket a value into a coarse band (k-anonymity style). */
   def band(value: Column, width: Double): Column =
     (floor(value / width) * width).cast("double")
+
+  /** Config-driven NESTED anonymization (reference
+    * utils/anonymizer.py:101-233 anonymize_data + extract_elem: walk
+    * parsed JSON and replace the values at configured dotted paths).
+    *
+    * Spark-first: the JSON string is parsed ONCE against a declared
+    * schema, every configured path is rewritten in place with
+    * `Column.withField` (native nested-struct update — supports
+    * `a.b.c` paths and stays inside codegen; no UDF, no re-parse per
+    * path), then serialized back. Values are replaced with the
+    * deterministic [[hashId]] pseudonym rather than the reference's
+    * `random` so repeated runs and cross-table joins agree.
+    *
+    * @param paths dotted struct paths to anonymize, e.g.
+    *              `Seq("user.id", "device.ip")`
+    */
+  def nestedJson(
+      json: Column,
+      schema: org.apache.spark.sql.types.DataType,
+      paths: Seq[String]): Column = {
+    val parsed = from_json(json, schema)
+    val masked = paths.foldLeft(parsed) { (c, p) =>
+      val current = p.split('.').foldLeft(c)((acc, f) => acc.getField(f))
+      c.withField(p, hashId(current))
+    }
+    to_json(masked)
+  }
 }

@@ -67,6 +67,38 @@ object Analytics {
     rfe.join(rr, Seq("event_type"), "left").join(au, Seq("event_type"), "left")
   }
 
+  /** #30b channel ROI composite (reference sql/mango_channel_roi.sql:
+    * per-CHANNEL percentile engagement profile ⋈ retention rates ⋈
+    * active users, with the dashboard channel ordering): the channel-
+    * cohort sibling of [[featureRoi]]. All three branches aggregate
+    * the same events scan by the channel grouping; the final joins are
+    * on a handful of channel rows. */
+  def channelRoi(s: SparkSession, dir: String): DataFrame = {
+    val ch = Mappings.channel(col("event_type"))
+    val perUser = e28(s, dir).withColumn("channel", ch)
+      .groupBy(col("user_id"), col("channel"))
+      .agg(countDistinct(col("day")).as("frequency_days"))
+    val rfe = perUser.groupBy(col("channel")).agg(
+      round(expr("percentile(frequency_days, 0.25)"), 6).as("frequency_days_25p"),
+      round(expr("percentile(frequency_days, 0.5)"), 6).as("frequency_days_50p"),
+      round(expr("percentile(frequency_days, 0.75)"), 6).as("frequency_days_75p"))
+
+    val occ = Cohort.occurrence(
+      Tables.events(s, dir).withColumn("channel", ch), "user_id", "ts", Seq("channel"))
+    val rr = Cohort.retentionMatrix(occ, Seq("channel"))
+      .groupBy(col("channel"))
+      .agg(
+        round(sum(col("d1_retained")) / sum(col("daily_cohort_size")), 6).as("d1_retention"),
+        round(sum(col("d7_retained")) / sum(col("daily_cohort_size")), 6).as("d7_retention"),
+        round(sum(col("w1_retained")) / sum(col("weekly_cohort_size")), 6).as("w1_retention"))
+
+    val au = Cohort.activeUserCount(occ, AsOf, Seq("channel"))
+      .select(col("channel"), col("dau"), col("wau"), col("mau"))
+
+    rfe.join(rr, Seq("channel"), "left").join(au, Seq("channel"), "left")
+      .withColumn("channel_order", Mappings.channelOrder(col("channel")))
+  }
+
   /** #31 multi-token channel attribution
     * (reference sql/mango_user_channels.sql; supplier ≙ channel dim,
     * signup-event props ≙ tracker settings). */
@@ -161,6 +193,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_user_rfe"        -> userRfe _,
     "q_feature_roi"     -> featureRoi _,
+    "q_channel_roi"     -> channelRoi _,
     "q_user_channels"   -> userChannels _,
     "q_revenue_join"    -> revenueJoin _,
     "q_rps_factor"      -> rpsFactor _,
@@ -248,6 +281,75 @@ object Analytics {
           |  rr.d1_retention, rr.d7_retention, rr.w1_retention,
           |  au.dau, au.wau, au.mau
           |FROM rfe LEFT JOIN rr USING (event_type) LEFT JOIN au USING (event_type)""".stripMargin),
+    "q_channel_roi" ->
+      ("""WITH ec AS (
+         |  SELECT *, CAST(ts AS DATE) AS day,
+         |    CASE
+         |      WHEN event_type IS NULL THEN 'Unknown'
+         |      WHEN event_type IN ('signup', 'view') THEN 'Organic'
+         |      WHEN event_type IN ('click', 'purchase') THEN 'Paid'
+         |      WHEN event_type IN ('error') THEN 'Diagnostic'
+         |      ELSE 'Others' END AS channel
+         |  FROM events),
+         |e AS (
+         |  SELECT * FROM ec
+         |  WHERE day > DATE '2024-01-30' - 28 AND day <= DATE '2024-01-30'),
+         |per_user AS (
+         |  SELECT user_id, channel, COUNT(DISTINCT day) AS frequency_days
+         |  FROM e GROUP BY 1, 2),
+         |rfe AS (
+         |  SELECT channel,
+         |    ROUND(quantile_cont(frequency_days, 0.25), 6) AS frequency_days_25p,
+         |    ROUND(quantile_cont(frequency_days, 0.5), 6) AS frequency_days_50p,
+         |    ROUND(quantile_cont(frequency_days, 0.75), 6) AS frequency_days_75p
+         |  FROM per_user GROUP BY 1),
+         |daily AS (
+         |  SELECT DISTINCT channel, user_id, CAST(ts AS DATE) AS occur_date FROM ec),
+         |occ0 AS (
+         |  SELECT channel, user_id, occur_date,
+         |    MIN(occur_date) OVER (PARTITION BY channel, user_id) AS cohort_date
+         |  FROM daily),
+         |occ AS (
+         |  SELECT channel, user_id, occur_date, cohort_date,
+         |    CAST(date_diff('day', cohort_date, occur_date) AS BIGINT) AS occur_day,
+         |    CAST(FLOOR(date_diff('day', cohort_date, occur_date) / 7.0) AS BIGINT) AS occur_week
+         |  FROM occ0
+         |  WHERE date_diff('day', cohort_date, occur_date) BETWEEN 0 AND 111),
+         |rm AS (
+         |  SELECT channel, cohort_date,
+         |    COUNT(DISTINCT CASE WHEN occur_day = 0 THEN user_id END) AS daily_cohort_size,
+         |    COUNT(DISTINCT CASE WHEN occur_day = 1 THEN user_id END) AS d1_retained,
+         |    COUNT(DISTINCT CASE WHEN occur_day = 7 THEN user_id END) AS d7_retained,
+         |    COUNT(DISTINCT CASE WHEN occur_week = 0 THEN user_id END) AS weekly_cohort_size,
+         |    COUNT(DISTINCT CASE WHEN occur_week = 1 THEN user_id END) AS w1_retained
+         |  FROM occ GROUP BY 1, 2),
+         |rr AS (
+         |  SELECT channel,
+         |    ROUND(SUM(d1_retained) / SUM(daily_cohort_size), 6) AS d1_retention,
+         |    ROUND(SUM(d7_retained) / SUM(daily_cohort_size), 6) AS d7_retention,
+         |    ROUND(SUM(w1_retained) / SUM(weekly_cohort_size), 6) AS w1_retention
+         |  FROM rm GROUP BY 1),
+         |dau AS (
+         |  SELECT channel, COUNT(DISTINCT user_id) AS dau
+         |  FROM occ WHERE occur_date = DATE '2024-01-30' GROUP BY 1),
+         |wau AS (
+         |  SELECT channel, COUNT(DISTINCT user_id) AS wau
+         |  FROM occ WHERE occur_date > DATE '2024-01-30' - 7 AND occur_date <= DATE '2024-01-30' GROUP BY 1),
+         |mau AS (
+         |  SELECT channel, COUNT(DISTINCT user_id) AS mau
+         |  FROM occ WHERE occur_date > DATE '2024-01-30' - 28 AND occur_date <= DATE '2024-01-30' GROUP BY 1),
+         |au AS (
+         |  SELECT dau.channel, dau.dau, wau.wau, mau.mau
+         |  FROM dau LEFT JOIN wau USING (channel) LEFT JOIN mau USING (channel))
+         |SELECT rfe.channel, rfe.frequency_days_25p, rfe.frequency_days_50p,
+         |  rfe.frequency_days_75p,
+         |  rr.d1_retention, rr.d7_retention, rr.w1_retention,
+         |  au.dau, au.wau, au.mau,
+         |  CAST(CASE rfe.channel
+         |    WHEN 'Overall' THEN 0 WHEN 'Organic' THEN 1 WHEN 'Paid' THEN 2
+         |    WHEN 'Diagnostic' THEN 3 WHEN 'Unknown' THEN 99 WHEN 'Others' THEN 100
+         |    ELSE 9999 END AS INTEGER) AS channel_order
+         |FROM rfe LEFT JOIN rr USING (channel) LEFT JOIN au USING (channel)""".stripMargin),
     "q_user_channels" ->
       """WITH settings AS (
         |  SELECT user_id,

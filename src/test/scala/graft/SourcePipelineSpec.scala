@@ -95,6 +95,21 @@ class SourcePipelineSpec extends AnyFunSuite {
     assert(n == Tables.orders(spark, sf).filter(col("o_totalprice") > 100000).count())
   }
 
+  test("storage abstraction resolves local and remote prefixes uniformly") {
+    import graft.sources.Storage
+    assert(!Storage.isRemote("/data/out"))
+    assert(!Storage.isRemote("file:///data/out"))
+    assert(Storage.isRemote("gs://bucket/path"))
+    assert(Storage.isRemote("s3a://bucket/path"))
+    assert(Storage.resolve("gs://b/pre/", "staging", "revenue", "orders") ==
+      "gs://b/pre/staging-revenue-orders")
+    // round-trip through the same API on a local prefix
+    val out = Files.createTempDirectory("graft-storage").toString
+    Storage.writeParquet(Tables.events(spark, sf), out, "staging", "events", "t", "ts")
+    assert(Storage.readParquet(spark, out, "staging", "events", "t").count() ==
+      Tables.events(spark, sf).count())
+  }
+
   test("writeLatest snapshots only the max date in one derived pass") {
     val out = Files.createTempDirectory("graft-latest").toString
     val events = Tables.events(spark, sf)

@@ -10,11 +10,14 @@ case class MediaMeta(doc_id: Long, byte_len: Long, magic_hex: String, width: Lon
   * typed metadata, decoded batch-wise inside the executors.
   *
   * The reference pipeline has no media path; this is the brief-mandated
-  * scale component. The decode step is a STUB — image/audio codecs are
-  * not in this container — but the Spark-side plumbing is real: binary
-  * column ingestion, partition-wise typed `mapPartitions` (the Scala
-  * analogue of `mapInPandas` batch decode), and a deterministic
-  * metadata schema that downstream queries join against.
+  * scale component. Header decode is REAL for BMP/PNG/JPEG/WAV
+  * ([[MediaCodecs]] — pure byte parsing, no codec library); full
+  * pixel/sample decode of compressed payloads is a disclosed stub
+  * (codec libs not in this container). The Spark-side plumbing is
+  * real either way: binary column ingestion, partition-wise typed
+  * `mapPartitions` (the Scala analogue of `mapInPandas` batch
+  * decode), and a deterministic metadata schema that downstream
+  * queries join against.
   */
 object BinaryDocs {
 
@@ -52,22 +55,35 @@ object BinaryDocs {
       .select(col("doc_id"), col("frame_no"),
         (col("frame_no") * stride).as("byte_offset"))
 
-  /** Batch decode stub: per-partition iteration over the binary
-    * payloads, emitting typed metadata. Replace the body marked STUB
-    * with a real codec call (one codec init per partition, streaming
-    * over the batch — the shape a 100 TB media scan needs). */
+  /** Batch decode: per-partition iteration over the binary payloads,
+    * emitting typed metadata (the shape a 100 TB media scan needs —
+    * any per-codec init happens once per partition, not per row).
+    *
+    * REAL for header-carrying containers: BMP/PNG/JPEG dimensions and
+    * WAV parameters are parsed from bytes ([[MediaCodecs]], pure
+    * byte arithmetic — no codec library). For unknown formats the
+    * (width, height) fields fall back to a DETERMINISTIC placeholder
+    * derived from the byte length (disclosed stub: full pixel/sample
+    * decode of compressed payloads needs codec libs not present in
+    * this container). */
   def extractMeta(bin: DataFrame): DataFrame = {
     val spark = bin.sparkSession
     import spark.implicits._
     bin.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // one decoder instance per partition would be initialized here
         it.map { case (id, bytes) =>
           val len   = bytes.length.toLong
           val magic = bytes.take(4).map("%02x".format(_)).mkString
-          // STUB: deterministic fake of a decoder's (width, height);
-          // a real implementation returns the codec's header fields.
-          MediaMeta(id, len, magic, len % 640, len % 480)
+          MediaCodecs.decodeImage(bytes) match {
+            case Some(m) => MediaMeta(id, len, magic, m.width, m.height)
+            case None =>
+              MediaCodecs.decodeWav(bytes) match {
+                // audio has no dims; carry (sampleRate, channels) in the
+                // dimension slots of the shared metadata contract
+                case Some(a) => MediaMeta(id, len, magic, a.sampleRate, a.channels.toLong)
+                case None    => MediaMeta(id, len, magic, len % 640, len % 480)
+              }
+          }
         }
       }
       .toDF()

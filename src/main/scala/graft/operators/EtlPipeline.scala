@@ -27,6 +27,11 @@ trait GraftTask {
     * (reference pandas_schema validation in tasks/base.py:670-674). */
   def schema: Seq[(String, String)] = Nil
 
+  /** Schema expected for one source (defaults to the task-level
+    * schema). Override to exempt auxiliary sources — lookup/const
+    * inputs that feed transforms but are never loaded. */
+  def schemaFor(source: String): Seq[(String, String)] = schema
+
   /** Loader for the transformed frame (reference `load`). */
   def load(source: String, df: DataFrame): Unit
 
@@ -36,9 +41,10 @@ trait GraftTask {
   final def transformed: Map[String, DataFrame] =
     extracted.map { case (name, df) =>
       val out = transforms.getOrElse(name, identity[DataFrame] _)(df)
-      if (schema.nonEmpty) {
+      val expected = schemaFor(name)
+      if (expected.nonEmpty) {
         val actual = out.schema.map(f => f.name -> f.dataType.simpleString).toMap
-        val bad = schema.filter { case (c, t) => !actual.get(c).contains(t) }
+        val bad = expected.filter { case (c, t) => !actual.get(c).contains(t) }
         require(bad.isEmpty, s"schema mismatch for $name: $bad vs $actual")
       }
       name -> out

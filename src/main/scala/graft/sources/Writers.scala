@@ -68,16 +68,22 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Path of the `latest` snapshot: a SIBLING of the dated table
+    * (reference convert_latest_file writes latest.{ext} beside the
+    * dated files) — nesting it under the partitioned table root would
+    * corrupt whole-table reads with a conflicting directory layout. */
+  def latestPath(prefix: String, stage: String, task: String, source: String): String =
+    pathFor(prefix, stage, task, source) + "-latest"
+
   /** `latest` snapshot for a KNOWN date: overwrite a stable path with
-    * that date's rows (reference convert_latest_file copies the newest
-    * dated file to latest.{ext}). Single scan — prefer this overload
-    * when the orchestrator already knows the as-of date. */
+    * that date's rows. Single scan — prefer this overload when the
+    * orchestrator already knows the as-of date. */
   def writeLatest(
       df: DataFrame, prefix: String, stage: String, task: String, source: String,
       dateCol: String, date: String): Unit =
     df.filter(to_date(col(dateCol)) === lit(date))
       .write.mode(SaveMode.Overwrite)
-      .parquet(pathFor(prefix, stage, task, source) + "/latest")
+      .parquet(latestPath(prefix, stage, task, source))
 
   /** `latest` snapshot, max date derived from the data. The max-date
     * probe and the filtered write both read `df`, so it is persisted

@@ -43,7 +43,7 @@ class EtlSurfaceSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.contains("__date"))
 
     Writers.writeLatest(df, tmp, "staging", "revenue", "orders_latest", "o_orderdate")
-    val latest = spark.read.parquet(Writers.pathFor(tmp, "staging", "revenue", "orders_latest") + "/latest")
+    val latest = spark.read.parquet(Writers.latestPath(tmp, "staging", "revenue", "orders_latest"))
     val maxDate = df.agg(max(to_date(col("o_orderdate")))).head.getDate(0)
     assert(latest.select(to_date(col("o_orderdate"))).distinct().head.getDate(0) == maxDate)
   }

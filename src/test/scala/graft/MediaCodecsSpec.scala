@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{BinaryDocs, MediaCodecs}
+
+class MediaCodecsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Hand-assembled 2x3 BMP (BITMAPINFOHEADER, no pixel data needed
+    * for header decode). */
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.array()
+  }
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    b.put(8.toByte).put(2.toByte)
+    b.array()
+  }
+
+  /** Minimal JPEG: SOI, APP0 (filler), SOF0 with dims, EOI. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(2 + 4 + 16 + 2 + 9 + 2).order(ByteOrder.BIG_ENDIAN)
+    b.put(0xff.toByte).put(0xd8.toByte)                  // SOI
+    b.put(0xff.toByte).put(0xe0.toByte).putShort(18)     // APP0 len 18
+    b.put(new Array[Byte](16))                           // APP0 body
+    b.put(0xff.toByte).put(0xc0.toByte).putShort(9)      // SOF0 len 9
+    b.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(1.toByte)
+    b.put(0xff.toByte).put(0xd9.toByte)                  // EOI
+    b.array()
+  }
+
+  /** 16-bit mono WAV: fmt + data chunks. */
+  private def wavBytes(sampleRate: Int, channels: Int, dataLen: Int): Array[Byte] = {
+    val byteRate = sampleRate * channels * 2
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+    b.putInt(sampleRate).putInt(byteRate).putShort((channels * 2).toShort).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    b.array()
+  }
+
+  test("header codecs parse real BMP/PNG/JPEG/WAV bytes") {
+    assert(MediaCodecs.decodeBmp(bmpBytes(640, 480)).contains(
+      MediaCodecs.ImageMeta("bmp", 640, 480)))
+    assert(MediaCodecs.decodePng(pngBytes(1920, 1080)).contains(
+      MediaCodecs.ImageMeta("png", 1920, 1080)))
+    assert(MediaCodecs.decodeJpeg(jpegBytes(800, 600)).contains(
+      MediaCodecs.ImageMeta("jpeg", 800, 600)))
+    val wav = MediaCodecs.decodeWav(wavBytes(44100, 1, 88200)).get
+    assert(wav.sampleRate == 44100 && wav.channels == 1 && wav.bitsPerSample == 16)
+    assert(wav.durationMs == 1000) // 88200 bytes / 88200 B/s = 1s
+    // malformed input never throws
+    assert(MediaCodecs.decodeImage("not media".getBytes).isEmpty)
+    assert(MediaCodecs.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodecs.detectFormat("text".getBytes) == "unknown")
+  }
+
+  test("extractMeta decodes real headers in the distributed path") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, bmpBytes(320, 200)),
+      (2L, wavBytes(16000, 2, 64000)),
+      (3L, "plain text".getBytes("UTF-8")))
+    val out = BinaryDocs.extractMeta(rows.toDF("doc_id", "media"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("width"), r.getAs[Long]("height"))).toMap
+    assert(out(1L) == ((320L, 200L)))       // real BMP dims
+    assert(out(2L) == ((16000L, 2L)))       // WAV sampleRate/channels
+    val len = "plain text".getBytes("UTF-8").length.toLong
+    assert(out(3L) == ((len % 640, len % 480))) // disclosed fallback
+  }
+}

@@ -95,6 +95,26 @@ class SourcePipelineSpec extends AnyFunSuite {
     assert(n == Tables.orders(spark, sf).filter(col("o_totalprice") > 100000).count())
   }
 
+  test("configured task runs the full config-driven E/T/L loop") {
+    import graft.config.TaskConfig
+    import graft.operators.ConfiguredTask
+    val out = Files.createTempDirectory("graft-task").toString
+    val cfg = TaskConfig.revenueExample(out)
+    val ordersSchema = Tables.orders(spark, sf).schema
+    val task = new ConfiguredTask(
+      spark, cfg, baseDir = sf,
+      schemas = Map("orders" -> ordersSchema),
+      constRows = Map("rates" -> (Seq("USD" -> 1.0, "TWD" -> 0.032), ("currency", "rate"))),
+      transforms = Map("orders" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.filter(col("o_totalprice") > 0))))
+    task.run("l")
+    // orders written date-partitioned + latest snapshot; rates (load=false) not written
+    val written = spark.read.parquet(s"$out/staging-revenue-orders")
+    assert(written.count() == Tables.orders(spark, sf).count())
+    assert(spark.read.parquet(s"$out/staging-revenue-orders-latest").count() > 0)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/staging-revenue-rates")))
+  }
+
   test("storage abstraction resolves local and remote prefixes uniformly") {
     import graft.sources.Storage
     assert(!Storage.isRemote("/data/out"))
@@ -114,7 +134,7 @@ class SourcePipelineSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft-latest").toString
     val events = Tables.events(spark, sf)
     Writers.writeLatest(events, out, "staging", "events", "t", "ts")
-    val latest = spark.read.parquet(s"$out/staging-events-t/latest")
+    val latest = spark.read.parquet(s"$out/staging-events-t-latest")
     val maxDate = events.agg(max(to_date(col("ts")))).head.getDate(0)
     assert(latest.select(to_date(col("ts"))).distinct().head.getDate(0) == maxDate)
     assert(latest.count() ==

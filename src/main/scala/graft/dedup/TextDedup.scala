@@ -71,7 +71,10 @@ object TextDedup {
     val bands = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = bands.as("l"); val r = bands.as("r")
+    // SHUFFLE_HASH, not broadcast: a band index is corpus-sized at
+    // scale; identical shuffled subplans also let the planner reuse
+    // one exchange for both sides of the self-join
+    val l = bands.as("l"); val r = bands.as("r").hint("shuffle_hash")
     l.join(r,
         col(s"l.band") === col(s"r.band") && col(s"l.bucket") === col(s"r.bucket") &&
           col(s"l.$idCol") < col(s"r.$idCol"))

@@ -14,7 +14,7 @@ object PlanAudit {
         val p = df.queryExecution.executedPlan.toString
         val ex  = "Exchange hashpartitioning".r.findAllIn(p).length
         val bc  = "BroadcastHashJoin".r.findAllIn(p).length + "BroadcastNestedLoop".r.findAllIn(p).length
-        val wsc = "WholeStageCodegen".r.findAllIn(p).length
+        val wsc = "\\*\\(\\d+\\)".r.findAllIn(p).toSet.size // distinct codegen stage ids
         val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
         val wide = scans.count(_.split(",").length > 8)
         println(f"$name%-24s $ex%2d  $bc%2d  $wsc%3d  ${if (wide == 0) "ok" else s"$wide wide scans"}")

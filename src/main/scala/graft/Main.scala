@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
   * --source / --dest args routed to a task main).
   *
   * Usage:
-  *   runMain graft.Main --task <queryName|daily|all> \
-  *     [--dir /root/testdata/sf0.01] [--out /tmp/graft_out]
+  *   runMain graft.Main --task <queryName|daily|all|backfill> \
+  *     [--dir /root/testdata/sf0.01] [--out /tmp/graft_out] \
+  *     [--start 2024-01-01 --end 2024-01-04]   (backfill range, half-open)
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -33,6 +34,15 @@ object Main {
         emit("active_users", o.activeUsers); emit("sessions", o.sessions)
         emit("user_rfe", o.userRfe); emit("feature_roi", o.featureRoi)
         emit("user_channels", o.userChannels); emit("revenue", o.revenue)
+      case "backfill" =>
+        val start = java.time.LocalDate.parse(opts.getOrElse("--start",
+          sys.error("backfill needs --start YYYY-MM-DD")))
+        val end = java.time.LocalDate.parse(opts.getOrElse("--end",
+          sys.error("backfill needs --end YYYY-MM-DD (exclusive)")))
+        val dest = out.getOrElse(sys.error("backfill needs --out"))
+        pipelines.Backfill.run(
+          sources.Tables.events(spark, dir), "ts", start, end, dest, "staging", "events", "t")
+        println(s"backfilled [$start, $end) to $dest")
       case "all" =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) => emit(n, fn(spark, dir)) }
       case name =>

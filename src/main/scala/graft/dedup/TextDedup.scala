@@ -82,6 +82,26 @@ object TextDedup {
       .distinct()
   }
 
+  /** Exact Jaccard VERIFICATION of candidate pairs: joins each
+    * (doc_a, doc_b) with both documents' distinct shingle sets and
+    * computes the exact similarity ROW-LOCALLY (array_intersect on
+    * the two arrays — no shingle explosion, no extra aggregation).
+    * This is the verify step after LSH candidate generation: the
+    * candidate set is tiny relative to the corpus, so two hash joins
+    * against the (doc_id, shingles) frame is the whole cost. */
+  def verifyJaccard(
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      array_distinct(TextAnalysis.shinglesOfText(col(textCol))).as("__shs"))
+    pairs
+      .join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__shs", "sa"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__shs", "sb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa"), col("sb"))) /
+          (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))),
+          6).as("jaccard"))
+  }
+
   /** 32-bit SimHash from md5-nibble bit votes over tokens (term
     * frequency weighting falls out of voting per occurrence).
     * Row-local; native one-digest-per-token kernel

@@ -42,6 +42,30 @@ object LlmData {
       TextDedup.minhashSignatures(all, "doc_id", "text"), "doc_id")
   }
 
+  /** #36c the COMPLETE corpus-dedup pipeline as one query — what a
+    * reference user actually runs over training data: MinHash
+    * signatures → LSH band candidates → exact-Jaccard VERIFICATION of
+    * candidates (row-local array_intersect) → connected-component
+    * resolve → one canonical per cluster, every document labeled
+    * keep/drop. Each stage is the scale shape: signatures row-local,
+    * candidates bucket-local, verification bounded by the candidate
+    * count, resolution a bounded fixpoint loop. */
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cand = TextDedup.lshCandidates(
+      TextDedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+    val verified = TextDedup.verifyJaccard(cand, docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.dedup.Resolve.connectedComponents(verified)
+      .toDF("doc_id", "canonical_id")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep", (col("doc_id") === col("canonical_id")).cast("int"))
+  }
+
   /** #38 n-gram Jaccard near-dup pairs: top-20 most similar candidate
     * pairs from the shared-shingle inverted index (exact: df cap
     * explicitly off — this entry verifies the exact semantics). */
@@ -188,6 +212,7 @@ object LlmData {
     "q_dedup_exact"         -> dedupExact _,
     "q_dedup_minhash"       -> dedupMinhash _,
     "q_dedup_minhash_pairs" -> dedupMinhashPairs _,
+    "q_dedup_pipeline"      -> dedupPipeline _,
     "q_dedup_simhash"       -> dedupSimhash _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped _,
@@ -268,6 +293,48 @@ object LlmData {
           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           |FROM bands a JOIN bands b
           |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin),
+    "q_dedup_pipeline" ->
+      ("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM t),
+         |sig AS (SELECT doc_id, """.stripMargin +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        """ FROM s),
+          |bands AS (
+          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sig
+          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          |shd AS (SELECT doc_id, list_distinct(sh) AS shs FROM s),
+          |verified AS (
+          |  SELECT doc_a, doc_b FROM cand
+          |  JOIN shd sa ON sa.doc_id = doc_a
+          |  JOIN shd sb ON sb.doc_id = doc_b
+          |  WHERE ROUND(len(list_intersect(sa.shs, sb.shs)) /
+          |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6) >= 0.2),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM verified
+          |  UNION ALL
+          |  SELECT doc_b AS src, doc_a AS dst FROM verified),
+          |reach(doc_id, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+          |labels AS (SELECT doc_id, MIN(r) AS canonical_id FROM reach GROUP BY 1)
+          |SELECT d.doc_id,
+          |  COALESCE(l.canonical_id, d.doc_id) AS canonical_id,
+          |  CAST(CASE WHEN COALESCE(l.canonical_id, d.doc_id) = d.doc_id
+          |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+          |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin),
     "q_dedup_ngram_jaccard_capped" ->
       (shingleCte +
         """, ex AS (SELECT DISTINCT doc_id, unnest(sh) AS sh FROM s),

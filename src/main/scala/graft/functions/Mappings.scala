@@ -40,6 +40,36 @@ object Mappings {
   def isTargetMarket(nation: Column): Column =
     nation.isin("CHINA", "INDIA", "INDONESIA", "JAPAN", "VIETNAM", "FRANCE", "GERMANY")
 
+  /** Vertical grouping for a cohort name
+    * (reference udf/map_verticals.sql shape: named verticals plus
+    * feature→vertical rollups, unmatched → empty string). */
+  def vertical(cohortName: Column): Column =
+    when(cohortName === "Browser", "vertical: browser")
+      .when(cohortName === "Shopping", "vertical: shopping")
+      .when(cohortName === "Game", "vertical: game")
+      .when(cohortName === "feature: purchase_large", "shopping: large purchases")
+      .when(cohortName === "feature: purchase_small", "shopping: small purchases")
+      .when(cohortName === "feature: view", "vertical: browser")
+      .otherwise("")
+
+  /** Vertical membership test (udf/match_verticals.sql: cohort level
+    * AND name both in the vertical set). */
+  def isVertical(cohortLevel: Column, cohortName: Column): Column =
+    cohortLevel.isin("Vertical", "Feature") &&
+      cohortName.isin("Browser", "Shopping", "Game",
+        "feature: purchase_large", "feature: purchase_small", "feature: view")
+
+  /** Attribution-level sort rank
+    * (udf/order_channel_levels.sql: appstore < network < campaign <
+    * adgroup < creative). */
+  def channelLevelOrder(level: Column): Column =
+    when(level === "appstore", 0)
+      .when(level === "network", 1)
+      .when(level === "campaign", 2)
+      .when(level === "adgroup", 3)
+      .when(level === "creative", 4)
+      .otherwise(9999).cast("int")
+
   /** Dashboard sort rank for channel groups
     * (reference udf/order_channels.sql shape: known groups first,
     * Unknown=99, Others=100, else 9999). */

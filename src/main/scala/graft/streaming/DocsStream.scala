@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming LLM-data ingestion: near-duplicate suppression on a
+  * document stream.
+  *
+  * The batch dedup pipeline (signatures → LSH bands → verify →
+  * resolve) needs the whole corpus; a STREAM can still cheaply
+  * suppress near-dups at ingest: MinHash signatures are ROW-LOCAL
+  * (streaming-safe — no shuffle, no state), so each arriving document
+  * gets an LSH band key, and `dropDuplicatesWithinWatermark` keeps the
+  * first arrival per band key. Docs whose band collides with an
+  * earlier arrival within the watermark horizon are dropped —
+  * exactly the documents the batch pipeline would pair up.
+  *
+  * State is BOUNDED by the watermark (keys older than the horizon are
+  * evicted), so this runs forever on an unbounded crawl — the
+  * streaming complement of the batch `q_dedup_pipeline`, trading
+  * cross-batch recall for O(watermark) state.
+  */
+object DocsStream {
+
+  /** @param rowsPerKey how many signature slots form the suppression
+    *                    key (the LSH `r`): collision probability for a
+    *                    pair with Jaccard J is J^r — r=1 suppresses
+    *                    aggressively (any fairly similar doc), higher r
+    *                    trades recall for precision. */
+  def dedupNearWithinWatermark(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour", rowsPerKey: Int = 1): DataFrame = {
+    val sigs = graft.plans.MinHashSigs(col(textCol), 8)
+    val key = concat_ws("|",
+      (0 until rowsPerKey).map(i => element_at(sigs, i + 1)): _*)
+    docs
+      .withColumn("__band", key)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__band")
+      .drop("__band")
+  }
+}

@@ -28,6 +28,54 @@ class MappingsExtSpec extends AnyFunSuite {
     assert(table.values.forall(_.matches("""[+-]\d2:[0-5]\d""".replace("""\d2""", """\d\d"""))))
   }
 
+  test("kv-array cleanup mirrors the reference JS UDF semantics") {
+    import spark.implicits._
+    import graft.functions.KvArrays
+    val df = Seq(1).toDF("i").select(array(
+      struct(lit("Session_Time").as("key"), lit("-5").as("value")),
+      struct(lit("URL_counts").as("key"), lit("3").as("value")),
+      struct(lit("Other").as("key"), lit(null.asInstanceOf[String]).as("value"))).as("extra"))
+    val out = df.select(KvArrays.cleanupExtra(col("extra")).as("e"))
+      .selectExpr("inline(e)").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("session_time") == "0")   // negative clamped
+    assert(out("url_counts") == "4")     // off-by-one patched
+    assert(out("other") == "")           // null -> ""
+    val settings = df.select(KvArrays.cleanupSettings(col("extra")).as("e"))
+      .selectExpr("inline(e)").collect().map(_.getString(0)).toSeq
+    assert(settings == Seq("session_time", "url_counts", "other"))
+    // null array stays null (JS early-return)
+    val n = Seq(1).toDF("i")
+      .select(KvArrays.cleanupSettings(
+        lit(null).cast("array<struct<key:string,value:string>>")))
+      .head
+    assert(n.isNullAt(0))
+  }
+
+  test("regex find-all-groups returns every match's capture tuple") {
+    import spark.implicits._
+    import graft.functions.KvArrays
+    val out = Seq("a=1;b=22;c=333").toDF("s")
+      .select(KvArrays.findAllGroups(col("s"), "([a-z])=(\\d+)", 2).as("g"))
+      .selectExpr("inline(g)").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("a", "1"), ("b", "22"), ("c", "333")))
+  }
+
+  test("vertical mapping and ordering mirror the reference udf family") {
+    import spark.implicits._
+    val v = Seq("Shopping", "feature: view", "nope").toDF("c")
+      .select(Mappings.vertical(col("c"))).collect().map(_.getString(0)).toSeq
+    assert(v == Seq("vertical: shopping", "vertical: browser", ""))
+    val lv = Seq("appstore", "creative", "x").toDF("c")
+      .select(Mappings.channelLevelOrder(col("c"))).collect().map(_.getInt(0)).toSeq
+    assert(lv == Seq(0, 4, 9999))
+    val m = Seq(("Vertical", "Shopping"), ("App", "Shopping"))
+      .toDF("l", "n")
+      .select(Mappings.isVertical(col("l"), col("n"))).collect().map(_.getBoolean(0)).toSeq
+    assert(m == Seq(true, false))
+  }
+
   test("nested anonymizer rewrites only the configured paths") {
     import spark.implicits._
     val schema = StructType(Seq(

@@ -87,6 +87,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.session_len_us == 5L * 60 * 1000 * 1000)
   }
 
+  test("streaming near-dup suppression drops LSH-band collisions at ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String, ts: Timestamp)
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
+    val near = base.replace("dawn", "dusk") // near-dup: most shingles shared
+    val far  = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = graft.streaming.DocsStream.dedupNearWithinWatermark(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+    val q = df.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("nd").start()
+    mem.addData((1L, base, ts(1)))
+    q.processAllAvailable()
+    mem.addData((2L, near, ts(2)), (3L, far, ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("nd").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L))     // first arrival kept
+    assert(!kept.contains(2L))    // near-dup suppressed on band collision
+    assert(kept.contains(3L))     // unrelated doc passes
+  }
+
   test("foreachBatch sink appends micro-batches to parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -37,6 +37,13 @@ object Resolve {
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("c", col("id"))
       .localCheckpoint()
+    // min-propagation is MONOTONE (labels only ever decrease), so the
+    // label sum strictly decreases until the fixpoint — comparing one
+    // aggregated decimal per round is the whole convergence probe, no
+    // join against the previous labels needed
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("c").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -46,10 +53,9 @@ object Resolve {
       val next = labels.unionByName(nbr)
         .groupBy(col("id")).agg(min(col("c")).as("c"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("c", "c0"), "id")
-        .filter(col("c") < col("c0"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       i += 1
     }

@@ -175,6 +175,41 @@ object Extras {
     Embeddings.ivfTopK(vecs, embeddingCentroids(s, dir), queryMaxId = 5L, k = 3)
   }
 
+  /** #60 ROLLUP aggregation with dashboard Overall rows: per-market
+    * totals PLUS the grand total in one pass (the reference's
+    * dashboards union an 'Overall' row onto every per-dimension
+    * aggregate; order_markets.sql reserves rank 0 for it). Spark
+    * `rollup` = one aggregation with grouping sets — not a
+    * union-of-two-aggregations double scan. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(s, dir)
+    val nation   = Tables.nation(s, dir)
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .select(Mappings.market(col("n_name")).as("market"), col("c_acctbal"))
+      .rollup(col("market"))
+      .agg(count(lit(1)).as("customers"), round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+      .select(coalesce(col("market"), lit("Overall")).as("market"),
+        col("customers"), col("total_acctbal"))
+      .withColumn("market_order", Mappings.marketOrder(col("market")))
+  }
+
+  /** #61 deterministic STRATIFIED sampling: per-language sampling
+    * rates (downsample the dominant language, keep the tail) via an
+    * md5-derived percentile — the training-data mixture-balancing
+    * step, reproducible across engines/runs (no rand(), no
+    * sampleBy seed drift). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":strat")))
+    val pct = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
+    val rate = when(col("lang") === "en", 50).otherwise(90)
+    Tables.documents(s, dir)
+      .filter(pct < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("sampled_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+  }
+
   /** #58 deterministic train/val/test split: md5-derived bucket per
     * doc (reproducible across engines and runs — the property a
     * 100 TB corpus split must have; no rand()). */
@@ -203,6 +238,8 @@ object Extras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_data_split"      -> dataSplit _,
+    "q_grouping_sets"   -> groupingSets _,
+    "q_stratified_sample" -> stratifiedSample _,
     "q_corpus_stats"    -> corpusStats _,
     "q_ann_ivf"         -> annIvf _,
     "q_kv_array_lookup" -> kvArrayLookup _,
@@ -394,6 +431,38 @@ object Extras {
         |  n_id, cos
         |FROM pairs
         |QUALIFY rank <= 3""".stripMargin,
+    "q_grouping_sets" ->
+      """WITH m AS (
+        |  SELECT CASE
+        |    WHEN n_name IS NULL THEN 'Unknown'
+        |    WHEN n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4','NATION_5') THEN 'APAC'
+        |    WHEN n_name IN ('NATION_6','NATION_7','NATION_8','NATION_9','NATION_10') THEN 'EMEA'
+        |    WHEN n_name IN ('NATION_11','NATION_12','NATION_13','NATION_14','NATION_15') THEN 'AMER'
+        |    WHEN n_name IN ('NATION_16','NATION_17','NATION_18','NATION_19','NATION_20') THEN 'AFRICA'
+        |    ELSE 'Others' END AS market,
+        |    c_acctbal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (
+        |  SELECT market, COUNT(*) AS customers,
+        |    ROUND(SUM(c_acctbal), 2) AS total_acctbal
+        |  FROM m GROUP BY ROLLUP(market))
+        |SELECT COALESCE(market, 'Overall') AS market, customers, total_acctbal,
+        |  CAST(CASE COALESCE(market, 'Overall')
+        |    WHEN 'Overall' THEN 0 WHEN 'APAC' THEN 1 WHEN 'EMEA' THEN 2
+        |    WHEN 'AMER' THEN 3 WHEN 'AFRICA' THEN 4
+        |    WHEN 'Unknown' THEN 99 WHEN 'Others' THEN 100 ELSE 9999 END AS INTEGER) AS market_order
+        |FROM r""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 1)) * 256
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 2, 1))) % 100 AS pct
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS sampled_docs,
+        |  ROUND(AVG(n_chars), 6) AS avg_chars
+        |FROM d
+        |WHERE pct < CASE WHEN lang = 'en' THEN 50 ELSE 90 END
+        |GROUP BY 1""".stripMargin,
     "q_data_split" ->
       """WITH d AS (
         |  SELECT lang, n_chars,

@@ -4,7 +4,11 @@ import graft.SparkEntry
   * whole-stage codegen spans, and whether scans carry pushed filters. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = graft.GraftSession.builder("local[8]", 8).getOrCreate()
+    // AQE off for the AUDIT only: adaptive plans don't show final
+    // codegen spans until execution; production sessions keep AQE on
+    val spark = graft.GraftSession.builder("local[8]", 8)
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     println(f"${"query"}%-24s ex  bc  wsc  scan-pruned")

@@ -50,8 +50,17 @@ object Resolve {
       // neighbor labels: for every edge src->dst, src can adopt dst's label
       val nbr = bidir.join(labels, bidir("dst") === labels("id"))
         .select(bidir("src").as("id"), col("c"))
-      val next = labels.unionByName(nbr)
+      val propagated = labels.unionByName(nbr)
         .groupBy(col("id")).agg(min(col("c")).as("c"))
+      // POINTER DOUBLING: each node also jumps to its label's label
+      // (path halving), so convergence is O(log diameter) rounds
+      // instead of O(diameter) — a 1000-link chain resolves in ~10
+      // rounds, not 1000
+      val jumpMap = propagated
+        .withColumnRenamed("id", "jc").withColumnRenamed("c", "cc")
+      val next = propagated
+        .join(jumpMap, col("c") === col("jc"), "left")
+        .select(col("id"), least(col("c"), coalesce(col("cc"), col("c"))).as("c"))
         .localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
@@ -59,6 +68,7 @@ object Resolve {
       labels = next
       i += 1
     }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels
   }
 }

@@ -28,6 +28,17 @@ class ResolveSpec extends AnyFunSuite {
     assert(out == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("pointer doubling converges on a chain far longer than the round budget") {
+    import spark.implicits._
+    // a 120-link chain: plain min-propagation needs 120 rounds, the
+    // path-halving loop must do it within maxIters=50 (actually ~8)
+    val edges = (0L until 120L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Resolve.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 121)
+    assert(out.values.forall(_ == 0L))
+  }
+
   test("multi-probe flip covers all Hamming-1 neighbors") {
     import spark.implicits._
     val df = Seq("1010").toDF("bucket")

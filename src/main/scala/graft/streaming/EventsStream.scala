@@ -92,6 +92,28 @@ object EventsStream {
         })
   }
 
+  /** Stream-stream INTERVAL join: each purchase attributed to the same
+    * user's clicks from the preceding hour (the attribution join run
+    * continuously instead of as a daily batch). Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * per-side buffered state is evicted once the watermark passes the
+    * interval — bounded state on unbounded streams. */
+  def clickPurchaseJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      interval: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $interval"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
   /** foreachBatch sink: applies the batch writer to each micro-batch —
     * the streaming analogue of the reference's per-day load step
     * (daily partitioned append becomes continuous micro-batch

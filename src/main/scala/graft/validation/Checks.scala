@@ -56,4 +56,21 @@ object Checks {
     val c = df.limit((n + 1).toInt).count()
     require(c >= n, s"too few rows: $c < $n")
   }
+
+  /** Volume-drift gate vs the previous period: today's row count must
+    * be within ±tolerance of yesterday's (the reference extracts the
+    * previous date during extract "for validation",
+    * tasks/base.py:303-305 — a collapsed or exploded daily feed is the
+    * upstream failure a 100 TB pipeline must catch BEFORE overwriting
+    * good partitions). */
+  def requireCountWithinDrift(
+      current: DataFrame, previous: DataFrame, tolerance: Double = 0.5): Unit = {
+    val cur = current.count()
+    val prev = previous.count()
+    if (prev > 0) {
+      val drift = math.abs(cur - prev).toDouble / prev
+      require(drift <= tolerance,
+        f"row count drifted $drift%.2f (cur=$cur prev=$prev, tolerance=$tolerance)")
+    }
+  }
 }

@@ -64,6 +64,11 @@ class EtlSurfaceSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Checks.requireNonNull(withNulls, Seq("o_orderkey"))
     }
+    // volume-drift gate vs previous period
+    Checks.requireCountWithinDrift(df, df.sample(0.9, seed = 7), tolerance = 0.5)
+    assertThrows[IllegalArgumentException] {
+      Checks.requireCountWithinDrift(df, df.limit(10), tolerance = 0.5)
+    }
   }
 
   test("const source") {

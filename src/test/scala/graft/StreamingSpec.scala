@@ -87,6 +87,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.session_len_us == 5L * 60 * 1000 * 1000)
   }
 
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = EventsStream.clickPurchaseJoin(
+      clicks.toDF(), purchases.toDF(), "30 minutes", "1 hour")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cpj").start()
+    clicks.addData(Ev(1, ts(0), "click", 1.0), Ev(2, ts(0), "click", 1.0))
+    purchases.addData(
+      Ev(1, ts(10), "purchase", 9.0),   // within 30 min of user 1's click
+      Ev(2, ts(50), "purchase", 5.0))   // 50 min after user 2's click -> outside
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cpj").select("user_id").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L))
+  }
+
   test("streaming near-dup suppression drops LSH-band collisions at ingest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

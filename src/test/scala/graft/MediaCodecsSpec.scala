@@ -66,6 +66,31 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.detectFormat("text".getBytes) == "unknown")
   }
 
+  test("header codecs roundtrip arbitrary dimensions and rates (seeded fuzz)") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 200).foreach { _ =>
+      val w = 1 + rnd.nextInt(65535); val h = 1 + rnd.nextInt(65535)
+      assert(MediaCodecs.decodeBmp(bmpBytes(w, h))
+        .contains(MediaCodecs.ImageMeta("bmp", w, h)), s"bmp $w x $h")
+      assert(MediaCodecs.decodePng(pngBytes(w, h))
+        .contains(MediaCodecs.ImageMeta("png", w, h)), s"png $w x $h")
+      assert(MediaCodecs.decodeJpeg(jpegBytes(w, h))
+        .contains(MediaCodecs.ImageMeta("jpeg", w, h)), s"jpeg $w x $h")
+      val rate = 8000 + rnd.nextInt(184000); val ch = 1 + rnd.nextInt(8)
+      val m = MediaCodecs.decodeWav(wavBytes(rate, ch, rate * ch * 2)).get
+      assert(m.sampleRate == rate && m.channels == ch && m.durationMs == 1000)
+    }
+    // truncated/garbage buffers (including truncated valid prefixes) never throw
+    (0 to 100).foreach { n =>
+      val garbage = Array.fill(n)(rnd.nextInt(256).toByte)
+      MediaCodecs.decodeImage(garbage); MediaCodecs.decodeWav(garbage)
+      val truncated = bmpBytes(640, 480).take(n)
+      MediaCodecs.decodeImage(truncated); MediaCodecs.decodeWav(truncated)
+      val truncWav = wavBytes(44100, 2, 1000).take(n)
+      MediaCodecs.decodeWav(truncWav); MediaCodecs.decodeImage(truncWav)
+    }
+  }
+
   test("extractMeta decodes real headers in the distributed path") {
     import spark.implicits._
     val rows = Seq(

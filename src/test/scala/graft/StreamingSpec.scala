@@ -143,6 +143,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
+  test("checkpointed sink resumes after restart without duplicating batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[Ev]
+    val q1 = EventsStream.foreachBatchParquet(mem.toDF(), s"$dir/out", s"$dir/ckpt")
+    mem.addData(Ev(1, ts(1), "click", 1.0), Ev(2, ts(2), "view", 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the SAME checkpoint: prior batches must not replay
+    val q2 = EventsStream.foreachBatchParquet(mem.toDF(), s"$dir/out", s"$dir/ckpt")
+    mem.addData(Ev(3, ts(3), "purchase", 3.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 3)
+    assert(out.select("user_id").distinct().count() == 3)
+  }
+
   test("streaming windowed counts equal batch aggregation on same rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

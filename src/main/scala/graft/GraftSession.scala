@@ -18,6 +18,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // runtime skew mitigation: a hot key in a sort-merge join is
+      // split into subpartitions instead of stalling one task — the
+      // complement of the explicit Skew.saltedJoin for unplanned skew
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as long and convert in Tables.events.

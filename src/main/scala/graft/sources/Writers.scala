@@ -42,6 +42,16 @@ object Writers {
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** ORC date-partitioned sink (columnar alternative; same pruning
+    * properties as parquet on the read side). */
+  def datePartitionedOrc(
+      df: DataFrame, prefix: String, stage: String, task: String, source: String,
+      dateCol: String): Unit =
+    df.withColumn("__date", to_date(col(dateCol)).cast("string"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__date")
+      .orc(pathFor(prefix, stage, task, source))
+
   /** Daily-cleanup + reload as ONE dynamic partition overwrite:
     * the reference deletes the execution date's rows then re-appends
     * (reference sql/cleanup_generic.sql + tasks/bigquery.py

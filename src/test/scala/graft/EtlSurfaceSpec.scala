@@ -71,6 +71,15 @@ class EtlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("orc date-partitioned writer roundtrips with pruning layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = Tables.orders(spark, sf).limit(500)
+    Writers.datePartitionedOrc(df, tmp, "staging", "revenue", "orders_orc", "o_orderdate")
+    val back = spark.read.orc(Writers.pathFor(tmp, "staging", "revenue", "orders_orc"))
+    assert(back.count() == 500)
+    assert(back.columns.contains("__date"))
+  }
+
   test("const source") {
     val df = Readers.const(spark, Seq(("package", 1000000.0)), ("name", "package"))
     assert(df.head.getDouble(1) == 1000000.0)

@@ -175,6 +175,66 @@ object Extras {
     Embeddings.ivfTopK(vecs, embeddingCentroids(s, dir), queryMaxId = 5L, k = 3)
   }
 
+  /** #62 time-RANGE rolling window: each user-day's purchase total
+    * with a trailing 7-day rolling sum (`rangeBetween` over day
+    * numbers — rows in the window are selected by VALUE distance, not
+    * row count, so gaps in activity are handled correctly). Partition
+    * key is the user — high cardinality, so the window parallelizes
+    * across the cluster (unlike a low-cardinality dashboard window). */
+  def rollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 6).as("day_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_date(col("day")))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_7d", round(sum(col("day_value")).over(w), 6))
+      .select(col("user_id"), col("day"), col("day_value"), col("rolling_7d"))
+  }
+
+  /** #63 funnel / sequence detection: users whose FIRST signup is
+    * followed by a click and then a purchase, in order (the classic
+    * event-sequence mining ask). One aggregation computes each step's
+    * earliest qualifying timestamp per user — no self-joins, no
+    * window sorts; the ordering constraints are min-over-conditionals,
+    * which stay in partial aggregation. */
+  def funnelSequence(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val steps = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+    // earliest click AFTER the user's first signup, then earliest
+    // purchase after that click: two bounded semi-aggregations over
+    // pre-filtered event slices
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+    val s1 = steps.filter(col("t_signup").isNotNull)
+      .join(clicks, Seq("user_id"))
+      .filter(col("click_ts") > col("t_signup"))
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(col("click_ts")).as("t_click"))
+    val s2 = s1.join(purchases, Seq("user_id"))
+      .filter(col("purchase_ts") > col("t_click"))
+      .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+      .agg(min(col("purchase_ts")).as("t_purchase"))
+    s2.select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"))
+  }
+
+  /** #64 histogram binning: fixed-width value buckets over purchase
+    * amounts (corpus/metric profiling; one hash aggregation, bin id
+    * computed row-locally). */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(floor(col("value") / 25.0).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(col("bin") * 25.0, 6))
+
   /** #60 ROLLUP aggregation with dashboard Overall rows: per-market
     * totals PLUS the grand total in one pass (the reference's
     * dashboards union an 'Overall' row onto every per-dimension
@@ -240,6 +300,9 @@ object Extras {
     "q_data_split"      -> dataSplit _,
     "q_grouping_sets"   -> groupingSets _,
     "q_stratified_sample" -> stratifiedSample _,
+    "q_rolling_window"  -> rollingWindow _,
+    "q_funnel_sequence" -> funnelSequence _,
+    "q_histogram"       -> histogram _,
     "q_corpus_stats"    -> corpusStats _,
     "q_ann_ivf"         -> annIvf _,
     "q_kv_array_lookup" -> kvArrayLookup _,
@@ -431,6 +494,35 @@ object Extras {
         |  n_id, cos
         |FROM pairs
         |QUALIFY rank <= 3""".stripMargin,
+    "q_rolling_window" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS day_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT user_id, day, day_value,
+        |  ROUND(SUM(day_value) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 6) AS rolling_7d
+        |FROM daily""".stripMargin,
+    "q_funnel_sequence" ->
+      """WITH s0 AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup
+        |  FROM events GROUP BY 1),
+        |s1 AS (
+        |  SELECT s0.user_id, s0.t_signup, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |  FROM s0 JOIN events e ON e.user_id = s0.user_id AND e.event_type = 'click'
+        |    AND CAST(e.ts AS TIMESTAMP) > s0.t_signup
+        |  WHERE s0.t_signup IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t_signup, s1.t_click, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM s1 JOIN events e ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) > s1.t_click
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, t_signup, t_click, t_purchase FROM s2""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin, COUNT(*) AS n,
+        |  ROUND(CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0, 6) AS bin_lo
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q_grouping_sets" ->
       """WITH m AS (
         |  SELECT CASE

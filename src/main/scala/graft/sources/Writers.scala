@@ -67,6 +67,42 @@ object Writers {
       .partitionBy("__date")
       .parquet(pathFor(prefix, stage, task, source))
 
+  /** MERGE-style upsert into a date-partitioned parquet table
+    * (reference tasks/revenue.py do_updates_inserts at the storage
+    * layer): existing rows for incoming keys are replaced, new keys
+    * appended, and ONLY the date partitions present in the incoming
+    * frame are rewritten (dynamic partition overwrite) — untouched
+    * dates are never read or written. The incoming frame wins ties.
+    *
+    * Reads the CURRENT rows of the affected partitions only (partition
+    * pruning via the date filter), anti-joins out updated keys, unions
+    * the incoming rows, rewrites those partitions. Scale cost is
+    * proportional to the affected partitions, not the table.
+    */
+  def upsertDatePartitions(
+      df: DataFrame, prefix: String, stage: String, task: String, source: String,
+      dateCol: String, keys: Seq[String]): Unit = {
+    val path = pathFor(prefix, stage, task, source)
+    val spark = df.sparkSession
+    val incoming = df.withColumn("__date", to_date(col(dateCol)).cast("string"))
+    val merged =
+      if (scala.util.Try(spark.read.parquet(path).schema).isSuccess) {
+        val existing = spark.read.parquet(path)
+        val affectedDates = incoming.select(col("__date")).distinct()
+        val kept = existing
+          .join(broadcast(affectedDates), Seq("__date"), "left_semi") // prune to affected partitions
+          .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti") // drop updated keys
+        // materialize before overwriting the path we just read
+        // (local[] harness: localCheckpoint; a cluster deployment
+        // would stage to a temp prefix and swap)
+        kept.unionByName(incoming).localCheckpoint()
+      } else incoming
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__date")
+      .parquet(path)
+  }
+
   /** Bucketed table for co-located joins: repeated joins/aggs on the
     * bucket keys skip their shuffle entirely. The 100 TB layout tool:
     * bucket fact tables by join key at write time, pay the shuffle

@@ -130,6 +130,24 @@ class SourcePipelineSpec extends AnyFunSuite {
       Tables.events(spark, sf).count())
   }
 
+  test("upsert rewrites affected partitions only, incoming rows win") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-upsert").toString
+    val v1 = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0), (3L, "2024-01-02", 30.0))
+      .toDF("id", "d", "v")
+    Writers.upsertDatePartitions(v1, out, "staging", "rev", "t", "d", Seq("id"))
+    // update id=2 (same date), insert id=4 on a NEW date; day 2 untouched
+    val v2 = Seq((2L, "2024-01-01", 99.0), (4L, "2024-01-03", 40.0)).toDF("id", "d", "v")
+    Writers.upsertDatePartitions(v2, out, "staging", "rev", "t", "d", Seq("id"))
+    val rows = spark.read.parquet(s"$out/staging-rev-t")
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0))
+    // idempotent: same upsert again -> same table
+    Writers.upsertDatePartitions(v2, out, "staging", "rev", "t", "d", Seq("id"))
+    assert(spark.read.parquet(s"$out/staging-rev-t").count() == 4)
+  }
+
   test("writeLatest snapshots only the max date in one derived pass") {
     val out = Files.createTempDirectory("graft-latest").toString
     val events = Tables.events(spark, sf)

@@ -91,6 +91,38 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("pixel decode, feature extract and resample run on real PNGs in the distributed path") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val buf = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", buf); buf.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(100, 50, 0xff0000)),          // pure red
+      (2L, png(16, 16, 0x0000ff)),           // pure blue
+      (3L, "not an image".getBytes("UTF-8")))
+    val out = graft.multimodal.BinaryDocs
+      .decodeImages(rows.toDF("doc_id", "media"), maxW = 32, maxH = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val red = out(1L)
+    assert(red.getAs[Boolean]("decoded"))
+    assert(red.getAs[Long]("width") == 100 && red.getAs[Long]("height") == 50)
+    assert(red.getAs[Double]("mean_r") == 255.0 && red.getAs[Double]("mean_b") == 0.0)
+    assert(red.getAs[Long]("thumb_bytes") > 0)
+    val blue = out(2L)
+    assert(blue.getAs[Double]("mean_b") == 255.0 && blue.getAs[Double]("mean_r") == 0.0)
+    assert(!out(3L).getAs[Boolean]("decoded"))
+    // resample really shrinks: decode the thumbnail of a bigger image
+    val thumb = graft.multimodal.ImageDecode.resize(png(100, 50, 0x00ff00), 32, 32).get
+    val dims = graft.multimodal.ImageDecode.decode(thumb).get
+    assert(dims.width == 32 && dims.height == 16) // aspect preserved
+    assert(math.abs(dims.meanG - 255.0) < 1.0)
+  }
+
   test("extractMeta decodes real headers in the distributed path") {
     import spark.implicits._
     val rows = Seq(

@@ -44,6 +44,9 @@ object Resolve {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("c").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
+    // an empty edge set is a legitimate input (no near-dups found):
+    // sum over zero rows is null, and there is nothing to propagate
+    if (prevSum == null) return labels
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {

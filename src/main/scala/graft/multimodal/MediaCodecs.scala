@@ -88,19 +88,23 @@ object MediaCodecs {
     if (detectFormat(b) != "wav") return None
     var channels = 0; var sampleRate = 0L; var bits = 0; var byteRate = 0L
     var dataBytes = -1L
-    var i = 12
+    // offset tracked in Long: a corrupt chunk size (up to 0xffffffff)
+    // must advance the cursor past the end and terminate the walk, never
+    // wrap to a negative Int (backward step / infinite loop on a bad blob)
+    var i = 12L
     while (i + 8 <= b.length) {
-      val id = new String(b.slice(i, i + 4), "US-ASCII")
-      val size = le32(b, i + 4)
+      val o = i.toInt
+      val id = new String(b.slice(o, o + 4), "US-ASCII")
+      val size = le32(b, o + 4) // unsigned, always >= 0
       if (id == "fmt " && i + 8 + 16 <= b.length) {
-        channels = le16(b, i + 8 + 2)
-        sampleRate = le32(b, i + 8 + 4)
-        byteRate = le32(b, i + 8 + 8)
-        bits = le16(b, i + 8 + 14)
+        channels = le16(b, o + 8 + 2)
+        sampleRate = le32(b, o + 8 + 4)
+        byteRate = le32(b, o + 8 + 8)
+        bits = le16(b, o + 8 + 14)
       } else if (id == "data") {
         dataBytes = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1L) // chunks are word-aligned; step >= 8
     }
     if (channels <= 0 || sampleRate <= 0 || byteRate <= 0) None
     else {

@@ -33,11 +33,20 @@ object ApiSource {
 
   type Fetcher = (String, Int) => Option[String]
 
+  /** Per-source subdirectory of the raw cache. Name-spacing by
+    * DIRECTORY (not a filename prefix) is what lets several api
+    * sources share one rawDir without cross-contamination: each
+    * source's read scans only its own directory, and invalidation can
+    * delete exactly one directory (a `foo-` filename prefix would also
+    * match a sibling source named `foo-bar`). */
+  def sourceDir(rawDir: String, source: String): java.nio.file.Path =
+    Paths.get(rawDir, source)
+
   /** Cache file for one (source, iterator, page) request — finer-
     * grained than the reference's one-file-per-source but the same
     * rule: an existing raw file is never re-fetched. */
   def cachePath(rawDir: String, source: String, iterator: String, page: Int): java.nio.file.Path =
-    Paths.get(rawDir, s"$source-${if (iterator.isEmpty) "all" else iterator}-p$page.jsonl")
+    sourceDir(rawDir, source).resolve(s"${if (iterator.isEmpty) "all" else iterator}-p$page.jsonl")
 
   /** Fetch every (iterator, page) payload not already cached, then
     * read the whole raw directory as one distributed jsonl scan.
@@ -57,7 +66,7 @@ object ApiSource {
       rawDir: String,
       iterators: Seq[String] = Seq(""),
       maxPages: Int = 10000): (DataFrame, Int) = {
-    Files.createDirectories(Paths.get(rawDir))
+    Files.createDirectories(sourceDir(rawDir, source))
     var fetches = 0
     iterators.foreach { it =>
       var page = 1
@@ -78,6 +87,8 @@ object ApiSource {
         }
       }
     }
-    (Readers.jsonl(spark, rawDir, schema), fetches)
+    // scope the scan to THIS source's cache directory — a shared
+    // rawDir must never leak a sibling source's rows into this frame
+    (Readers.jsonl(spark, sourceDir(rawDir, source).toString, schema), fetches)
   }
 }

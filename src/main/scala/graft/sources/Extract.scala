@@ -41,15 +41,14 @@ object Extract {
       case "api" =>
         val f = fetcher.getOrElse(sys.error(s"api source ${cfg.name} needs a fetcher"))
         if (!cfg.cache) {
-          // cache disabled: drop this source's raw files so the fetch
-          // re-runs (reference runs the undecorated extract)
-          val dir = Paths.get(rawDir)
+          // cache disabled: drop exactly this source's cache directory
+          // so the fetch re-runs (reference runs the undecorated
+          // extract); sibling sources sharing rawDir are untouched
+          val dir = ApiSource.sourceDir(rawDir, cfg.name)
           if (Files.isDirectory(dir)) {
             val it = Files.list(dir).iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              if (p.getFileName.toString.startsWith(s"${cfg.name}-")) Files.delete(p)
-            }
+            while (it.hasNext) Files.delete(it.next())
+            Files.delete(dir)
           }
         }
         val iterators = if (cfg.iterator.nonEmpty) cfg.iterator else Seq("")

@@ -78,6 +78,15 @@ object Writers {
     * pruning via the date filter), anti-joins out updated keys, unions
     * the incoming rows, rewrites those partitions. Scale cost is
     * proportional to the affected partitions, not the table.
+    *
+    * Durability: the merged frame is STAGED to a sibling temp prefix
+    * as a complete, committed parquet write BEFORE the target is
+    * touched. Any failure while computing or staging the merge leaves
+    * the target byte-identical; only after the staged write commits is
+    * the target overwritten — from a re-read of durable staged files,
+    * never from recomputable lineage over the partitions being
+    * truncated (a `localCheckpoint` here would lose data if an
+    * executor died mid-overwrite on a real cluster).
     */
   def upsertDatePartitions(
       df: DataFrame, prefix: String, stage: String, task: String, source: String,
@@ -85,22 +94,34 @@ object Writers {
     val path = pathFor(prefix, stage, task, source)
     val spark = df.sparkSession
     val incoming = df.withColumn("__date", to_date(col(dateCol)).cast("string"))
-    val merged =
-      if (scala.util.Try(spark.read.parquet(path).schema).isSuccess) {
-        val existing = spark.read.parquet(path)
-        val affectedDates = incoming.select(col("__date")).distinct()
-        val kept = existing
-          .join(broadcast(affectedDates), Seq("__date"), "left_semi") // prune to affected partitions
-          .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti") // drop updated keys
-        // materialize before overwriting the path we just read
-        // (local[] harness: localCheckpoint; a cluster deployment
-        // would stage to a temp prefix and swap)
-        kept.unionByName(incoming).localCheckpoint()
-      } else incoming
-    merged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__date")
-      .parquet(path)
+    if (scala.util.Try(spark.read.parquet(path).schema).isSuccess) {
+      val existing = spark.read.parquet(path)
+      val affectedDates = incoming.select(col("__date")).distinct()
+      val kept = existing
+        .join(broadcast(affectedDates), Seq("__date"), "left_semi") // prune to affected partitions
+        .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti") // drop updated keys
+      val staging = path + ".staging"
+      val hadoopConf = spark.sparkContext.hadoopConfiguration
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      val fs = stagingPath.getFileSystem(hadoopConf)
+      fs.delete(stagingPath, true) // clear any leftover from a previous failed run
+      kept.unionByName(incoming)
+        .write.mode(SaveMode.Overwrite).partitionBy("__date").parquet(staging)
+      // the staged write is durably committed: overwrite the target
+      // from a fresh scan of the staged files (no dependency on the
+      // partitions being replaced), then drop the staging prefix
+      spark.read.parquet(staging)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__date")
+        .parquet(path)
+      fs.delete(stagingPath, true)
+    } else {
+      incoming.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__date")
+        .parquet(path)
+    }
   }
 
   /** Bucketed table for co-located joins: repeated joins/aggs on the
@@ -139,8 +160,15 @@ object Writers {
       dateCol: String): Unit = {
     val cached = df.persist()
     try {
-      val maxDate = cached.agg(max(to_date(col(dateCol)))).head.getDate(0)
-      writeLatest(cached, prefix, stage, task, source, dateCol, maxDate.toString)
+      // max over zero rows is null: an empty (but valid) extract still
+      // gets a `latest` snapshot — an empty one — instead of an NPE
+      val maxDate = Option(cached.agg(max(to_date(col(dateCol)))).head.getDate(0))
+      maxDate match {
+        case Some(d) => writeLatest(cached, prefix, stage, task, source, dateCol, d.toString)
+        case None =>
+          cached.write.mode(SaveMode.Overwrite)
+            .parquet(latestPath(prefix, stage, task, source))
+      }
     } finally cached.unpersist()
   }
 }

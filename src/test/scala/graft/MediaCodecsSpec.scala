@@ -91,6 +91,37 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt RIFF chunk sizes terminate the walk instead of looping or indexing backward") {
+    // craft a valid fmt chunk followed by a chunk whose declared size
+    // is hostile: 0xFFFFFFF8 (-8 as Int: step would be 0 → infinite
+    // loop), 0xFFFFFFF9 (-9: also step 0 after word-align), and a
+    // high-bit-set size (negative Int: cursor would move BACKWARD into
+    // a negative index). All must return promptly without throwing.
+    def wavWithJunkChunk(junkSize: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(44 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(44100).putInt(88200).putShort(2).putShort(16)
+      b.put("junk".getBytes).putInt(junkSize.toInt)
+      b.array()
+    }
+    Seq(0xFFFFFFF8L, 0xFFFFFFF9L, 0x80000000L, 0xFFFFFFFFL).foreach { sz =>
+      val m = MediaCodecs.decodeWav(wavWithJunkChunk(sz))
+      // fmt chunk preceded the junk, so metadata still parses
+      assert(m.exists(_.sampleRate == 44100), s"size=$sz")
+    }
+    // hostile size in the FIRST chunk: nothing parsed, clean None
+    def firstChunkJunk(junkSize: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      b.put("junk".getBytes).putInt(junkSize.toInt)
+      b.array()
+    }
+    Seq(0xFFFFFFF8L, 0x80000000L).foreach { sz =>
+      assert(MediaCodecs.decodeWav(firstChunkJunk(sz)).isEmpty, s"size=$sz")
+    }
+  }
+
   test("pixel decode, feature extract and resample run on real PNGs in the distributed path") {
     import spark.implicits._
     import java.awt.image.BufferedImage

@@ -39,6 +39,32 @@ class ResolveSpec extends AnyFunSuite {
     assert(out.values.forall(_ == 0L))
   }
 
+  test("empty edge set resolves to an empty labeling, not an NPE") {
+    import spark.implicits._
+    // a corpus with no near-dups feeds zero verified candidate pairs
+    // into resolution — the pipeline must pass through, not crash
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Resolve.connectedComponents(edges).count() == 0)
+  }
+
+  test("dedup pipeline keeps every doc when no candidate survives verification") {
+    import org.apache.spark.sql.functions._
+    // ultra-strict threshold: verification rejects all pairs, the CC
+    // stage sees an empty edge set, every doc is its own canonical
+    val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+    val sigs = graft.dedup.TextDedup.minhashSignatures(docs, "doc_id", "text")
+    val cand = graft.dedup.TextDedup.lshCandidates(sigs, "doc_id")
+    val verified = graft.dedup.TextDedup.verifyJaccard(cand, docs, "doc_id", "text")
+      .filter(col("jaccard") > 1.0) // impossible: empty edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = Resolve.connectedComponents(verified).toDF("doc_id", "canonical_id")
+    val out = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+    assert(out.count() == 50)
+    assert(out.filter(col("doc_id") =!= col("canonical_id")).count() == 0)
+  }
+
   test("multi-probe flip covers all Hamming-1 neighbors") {
     import spark.implicits._
     val df = Seq("1010").toDF("bucket")

@@ -50,6 +50,62 @@ class SourcePipelineSpec extends AnyFunSuite {
     assert(df3.count() == 12)
   }
 
+  test("api sources sharing one rawDir stay isolated, even with prefix-overlapping names") {
+    val raw = Files.createTempDirectory("graft-api-shared").toString
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    // "foo" is a filename-prefix of "foo-bar": a prefix-based cache
+    // scheme would cross-contaminate reads and invalidation
+    val cfgA = SourceConfig("foo", "api")
+    val cfgB = SourceConfig("foo-bar", "api")
+    val dfA = Extract(spark, cfgA, apiSchema, rawDir = raw, fetcher = Some(fakeFetcher(n)))
+    val dfB = Extract(spark, cfgB, apiSchema, rawDir = raw, fetcher = Some(fakeFetcher(n)))
+    assert(n.get() == 4) // 2 pages each
+    assert(dfA.count() == 6 && dfB.count() == 6) // not 12: no cross-read
+    // cache=false on "foo" must NOT evict "foo-bar"'s cache
+    Extract(spark, cfgA.copy(cache = false), apiSchema,
+      rawDir = raw, fetcher = Some(fakeFetcher(n)))
+    assert(n.get() == 6) // only foo's 2 pages refetched
+    val dfB2 = Extract(spark, cfgB, apiSchema, rawDir = raw, fetcher = Some(fakeFetcher(n)))
+    assert(n.get() == 6) // foo-bar: full cache hit
+    assert(dfB2.count() == 6)
+  }
+
+  test("upsert failure while staging leaves the target table intact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-upsert-crash").toString
+    val v1 = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0), (3L, "2024-01-02", 30.0))
+      .toDF("id", "d", "v")
+    Writers.upsertDatePartitions(v1, out, "staging", "rev", "t", "d", Seq("id"))
+    val before = spark.read.parquet(s"$out/staging-rev-t")
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // incoming frame that BLOWS UP at execution time (assert_true
+    // throws while the staged write job runs) — the merge must fail
+    // before the target is touched
+    val bad = Seq((2L, "2024-01-01", -1.0)).toDF("id", "d", "v")
+      .withColumn("v", when(expr("assert_true(v > 0)").isNull, col("v")).otherwise(col("v")))
+    intercept[Exception] {
+      Writers.upsertDatePartitions(bad, out, "staging", "rev", "t", "d", Seq("id"))
+    }
+    val after = spark.read.parquet(s"$out/staging-rev-t")
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == before) // byte-for-byte: no partition was truncated
+    // the next good upsert clears the leftover staging prefix and lands
+    val v2 = Seq((2L, "2024-01-01", 99.0)).toDF("id", "d", "v")
+    Writers.upsertDatePartitions(v2, out, "staging", "rev", "t", "d", Seq("id"))
+    val fixed = spark.read.parquet(s"$out/staging-rev-t")
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fixed == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/staging-rev-t.staging")))
+  }
+
+  test("writeLatest on an empty frame writes an empty snapshot, not an NPE") {
+    val out = Files.createTempDirectory("graft-latest-empty").toString
+    val empty = Tables.events(spark, sf).filter(lit(false))
+    Writers.writeLatest(empty, out, "staging", "events", "t", "ts")
+    assert(spark.read.parquet(s"$out/staging-events-t-latest").count() == 0)
+  }
+
   test("backfill over a date range is idempotent") {
     val out = Files.createTempDirectory("graft-backfill").toString
     val events = Tables.events(spark, sf)

@@ -30,10 +30,20 @@ object Bench {
     }
     val (r1, r2) = (timed(), timed())
     val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // stable key order, and the scalar fields FIRST: a consumer that
+    // truncates the line tail still gets the total
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$qs}"""
+    // durable copy the driver can read whole even if stdout is capped
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LATEST.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // LAST line on stdout, after all Spark shutdown chatter
+    println(json)
   }
 }

@@ -82,6 +82,56 @@ object Mappings {
       .when(channel === "Others", 100)
       .otherwise(9999).cast("int")
 
+  /** Dashboard sort rank for verticals (reference
+    * udf/order_verticals.sql: top-level verticals 1-5, feature-level
+    * rollups 11-15, else 9999) — completes the map/match/order triple
+    * of the verticals family. */
+  def verticalOrder(feature: Column): Column =
+    when(feature === "vertical: browser", 1)
+      .when(feature === "vertical: shopping", 2)
+      .when(feature === "vertical: game", 3)
+      .when(feature === "vertical: lifestyle", 4)
+      .when(feature === "vertical: travel", 5)
+      .when(feature === "shopping: shopping tab_swipe", 11)
+      .when(feature === "shopping: shopping content_tab", 12)
+      .when(feature === "game: game content_tab", 13)
+      .when(feature === "lifestyle: lifestyle content_tab", 14)
+      .when(feature === "travel: travel content_tab", 15)
+      .otherwise(9999).cast("int")
+
+  /** Dashboard sort KEY for target countries (reference
+    * udf/order_target_countries.sql). Unlike the integer ranks this
+    * family sorts by STRING: synthetic rows first ('!!' Overall, '00'
+    * Target Markets), the target-market ISO codes in dashboard order
+    * ('01'-'14'), Others at '999', null/empty last ('~'), and any
+    * other country sorted by its own code. */
+  def targetCountryOrder(country: Column): Column =
+    when(country === "Overall", "!!")
+      .when(country === "Target Markets", "00")
+      .when(country === "IN", "01")
+      .when(country === "ID", "02")
+      .when(country === "TW", "03")
+      .when(country === "HK", "04")
+      .when(country === "SG", "05")
+      .when(country === "PH", "06")
+      .when(country === "VN", "07")
+      .when(country === "TH", "08")
+      .when(country === "MY", "09")
+      .when(country === "BD", "10")
+      .when(country === "MM", "11")
+      .when(country === "KH", "12")
+      .when(country === "LA", "13")
+      .when(country === "BN", "14")
+      .when(country === "Others", "999")
+      .when(country.isNull || country === "", "~")
+      .otherwise(country)
+
+  /** Target-country membership test (reference
+    * udf/match_target_countries.sql: the 14 target-market ISO codes). */
+  def isTargetCountry(country: Column): Column =
+    country.isin("IN", "ID", "TW", "HK", "SG", "PH", "VN",
+      "TH", "MY", "BD", "MM", "KH", "LA", "BN")
+
   /** Dashboard sort rank for markets (reference udf/order_markets.sql). */
   def marketOrder(market: Column): Column =
     when(market === "Overall", 0)

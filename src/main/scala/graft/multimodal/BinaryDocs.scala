@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 /** Typed metadata extracted from an opaque media blob. */
 case class MediaMeta(doc_id: Long, byte_len: Long, magic_hex: String, width: Long, height: Long)
 
+/** Sample-level audio decode output: PCM parameters and per-clip
+  * signal stats. */
+case class DecodedAudio(
+    doc_id: Long, sample_rate: Long, channels: Int, frames: Long,
+    duration_ms: Long, rms: Double, peak: Double, decoded: Boolean)
+
 /** Pixel-level decode output: dims, channel-mean features, and the
   * byte length of the real resampled thumbnail. */
 case class DecodedImage(
@@ -20,9 +26,11 @@ case class DecodedImage(
   * scale component. IMAGE decode is fully REAL: header fields via
   * [[MediaCodecs]] (pure byte parsing) and pixel decode / channel-mean
   * features / bilinear resample via [[ImageDecode]] (JDK ImageIO —
-  * PNG/JPEG/BMP/GIF, no external library). WAV header decode is real;
-  * only audio/video SAMPLE decode remains a disclosed stub (no codec
-  * lib in this container). The Spark-side plumbing is the same either
+  * PNG/JPEG/BMP/GIF, no external library). AUDIO decode is fully REAL:
+  * WAV headers via [[MediaCodecs]] and PCM sample decode / signal
+  * stats via [[AudioDecode]] (JDK javax.sound.sampled). Only VIDEO
+  * frame decode remains a disclosed stub (no video codec lib in this
+  * container). The Spark-side plumbing is the same either
   * way: binary column ingestion, partition-wise typed `mapPartitions`
   * (the Scala analogue of `mapInPandas` batch decode), and a
   * deterministic schema downstream queries join against.
@@ -48,6 +56,32 @@ object BinaryDocs {
                 p.meanR, p.meanG, p.meanB, thumb, decoded = true)
             case None =>
               DecodedImage(id, 0L, 0L, 0.0, 0.0, 0.0, 0L, decoded = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL audio PCM sample decode over the binary column, batch-wise
+    * per partition: `javax.sound.sampled` ([[AudioDecode]], in the
+    * JDK) converts WAV payloads to 16-bit PCM and reduces them to
+    * per-clip stats (frames, duration, RMS, peak) in one streaming
+    * pass. Undecodable rows come back decoded=false instead of killing
+    * the task. Stats are rounded to 6 places for deterministic
+    * downstream comparison. */
+  def decodeAudio(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          AudioDecode.decode(bytes) match {
+            case Some(a) =>
+              DecodedAudio(id, a.sampleRate, a.channels, a.frames, a.durationMs,
+                math.rint(a.rms * 1e6) / 1e6, math.rint(a.peak * 1e6) / 1e6,
+                decoded = true)
+            case None =>
+              DecodedAudio(id, 0L, 0, 0L, 0L, 0.0, 0.0, decoded = false)
           }
         }
       }

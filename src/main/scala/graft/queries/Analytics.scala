@@ -41,6 +41,18 @@ object Analytics {
         col("total_value"))
   }
 
+  /** #29b the same 28-day RFE computed INCREMENTALLY (reference
+    * sql/mango_user_rfe_daily_partial.sql + mango_user_rfe_28d.sql:
+    * 96-110): per-day partial aggregates merged over the window,
+    * instead of re-scanning 28 days of raw events. Gated by the SAME
+    * oracle as [[userRfe]] — the merge must reproduce the direct
+    * computation exactly, proving the partial algebra. At 100 TB the
+    * daily job scans one day and 28 tiny partials, not the window. */
+  def userRfePartial(s: SparkSession, dir: String): DataFrame = {
+    val partials = graft.operators.Rfe.dailyPartial(Tables.events(s, dir))
+    graft.operators.Rfe.merge(partials, AsOf)
+  }
+
   /** #30 feature ROI: percentile RFE ⋈ retention rates ⋈ active users
     * per feature (reference sql/mango_feature_roi.sql rfe/rr/au). */
   def featureRoi(s: SparkSession, dir: String): DataFrame = {
@@ -191,7 +203,8 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_user_rfe"        -> userRfe _,
+    "q_user_rfe"         -> userRfe _,
+    "q_user_rfe_partial" -> userRfePartial _,
     "q_feature_roi"     -> featureRoi _,
     "q_channel_roi"     -> channelRoi _,
     "q_user_channels"   -> userChannels _,
@@ -209,6 +222,25 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q_user_rfe" ->
+      (e28Cte +
+        """, active AS (
+          |  SELECT user_id, COUNT(DISTINCT day) AS active_days FROM e GROUP BY 1),
+          |rfe AS (
+          |  SELECT user_id, event_type,
+          |    CAST(date_diff('day', MAX(day), DATE '2024-01-30') AS BIGINT) AS recency,
+          |    COUNT(DISTINCT day) AS frequency_days,
+          |    COUNT(*) AS n_events,
+          |    ROUND(SUM(value), 6) AS total_value
+          |  FROM e GROUP BY 1, 2)
+          |SELECT rfe.user_id, rfe.event_type, active.active_days, rfe.recency,
+          |  rfe.frequency_days,
+          |  ROUND(rfe.frequency_days / active.active_days, 6) AS stickiness,
+          |  ROUND(rfe.n_events / rfe.frequency_days, 6) AS value_event_count,
+          |  rfe.total_value
+          |FROM rfe LEFT JOIN active ON rfe.user_id = active.user_id""".stripMargin),
+    // incremental partial+merge must be indistinguishable from the
+    // direct window computation: same oracle, verbatim
+    "q_user_rfe_partial" ->
       (e28Cte +
         """, active AS (
           |  SELECT user_id, COUNT(DISTINCT day) AS active_days FROM e GROUP BY 1),

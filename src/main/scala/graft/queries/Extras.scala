@@ -27,17 +27,31 @@ object Extras {
       .select(col("event_id"), JsonEvents.field("e", "k").as("k"))
   }
 
-  /** #49 sketch aggregates: HLL distinct + approximate percentile
-    * (TypedImperativeAggregate machinery; rows-only check — sketch
-    * estimates are engine-specific by construction, so no cross-engine
-    * oracle). */
+  /** #49 sketch aggregates: HLL distinct + approximate percentile,
+    * TOLERANCE-GATED through the exact-compare harness. Raw sketch
+    * estimates are engine-specific, so the query emits (a) exact
+    * values the oracle recomputes verbatim and (b) 0/1 flags asserting
+    * the sketch landed within tolerance of the exact answer (HLL at
+    * rsd=0.01 within 5% relative error; approx percentile at
+    * accuracy=1000 within the exact 48th-52nd percentile band). The
+    * oracle emits constant 1 for the flags: a drifting sketch flips a
+    * flag and fails the hash — a real cross-engine gate, not rows-only. */
   def approxSketch(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users_exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("au"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50a"),
+        expr("percentile(value, 0.48)").as("lo"),
+        expr("percentile(value, 0.52)").as("hi"))
+      .select(
+        col("event_type"), col("n"), col("users_exact"),
+        (abs(col("au") - col("users_exact")) / col("users_exact") <= 0.05)
+          .cast("int").as("hll_within_5pct"),
+        (col("p50a") >= col("lo") && col("p50a") <= col("hi"))
+          .cast("int").as("p50_within_rank_band"))
 
   /** #50 dimension ordering for dashboards
     * (reference udf/order_markets.sql / order_channels.sql applied to
@@ -167,12 +181,14 @@ object Extras {
       .toDF("doc_id", "canonical_id")
   }
 
-  /** #57 IVF ANN: nearest-centroid assignment + bucket-local top-3
-    * (the scale path completing q_ann_topk's brute-force baseline). */
+  /** #57 IVF ANN: nearest-centroid assignment + MULTI-PROBE (nprobe=2)
+    * bucket-local top-3 — the scale path completing q_ann_topk's
+    * brute-force baseline, with boundary-vector recall recovered by
+    * probing each query's two nearest centroid buckets. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
-    Embeddings.ivfTopK(vecs, embeddingCentroids(s, dir), queryMaxId = 5L, k = 3)
+    Embeddings.ivfTopK(vecs, embeddingCentroids(s, dir), queryMaxId = 5L, k = 3, nprobe = 2)
   }
 
   /** #62 time-RANGE rolling window: each user-day's purchase total
@@ -317,8 +333,15 @@ object Extras {
     "q_embedding_centroids" -> embeddingCentroids _
   )
 
-  /** q_approx_sketch intentionally has no oracle (rows-only check). */
   val oracles: Map[String, String] = Map(
+    // tolerance gate: exact columns recomputed by DuckDB; the 0/1
+    // within-tolerance flags are constant 1 when the sketches behave
+    "q_approx_sketch" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS users_exact,
+        |  1 AS hll_within_5pct,
+        |  1 AS p50_within_rank_band
+        |FROM events GROUP BY 1""".stripMargin,
     "q_json_unnest" ->
       """WITH j AS (
         |  SELECT event_id,
@@ -481,15 +504,19 @@ object Extras {
         |assigned AS (
         |  SELECT vec_id, v, label AS bucket FROM scored
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, label AS bucket FROM scored
+        |  WHERE vec_id < 5
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) <= 2),
         |pairs AS (
-        |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS n_id,
-        |    ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
-        |      / (sqrt(list_sum(list_transform(q.v, y -> y*y)))
+        |  SELECT p.q_id, c.vec_id AS n_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> qe.v[i] * c.v[i]))
+        |      / (sqrt(list_sum(list_transform(qe.v, y -> y*y)))
         |         * sqrt(list_sum(list_transform(c.v, y -> y*y)))), 6) AS cos
-        |  FROM assigned q JOIN assigned c
-        |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 5)
-        |SELECT q_id, bucket,
+        |  FROM probes p
+        |  JOIN e qe ON qe.vec_id = p.q_id
+        |  JOIN assigned c ON c.bucket = p.bucket AND c.vec_id <> p.q_id)
+        |SELECT q_id,
         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank,
         |  n_id, cos
         |FROM pairs

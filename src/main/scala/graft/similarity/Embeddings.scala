@@ -72,18 +72,24 @@ object Embeddings {
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 
-  /** IVF search: assign every vector to its nearest centroid (small
-    * broadcast cross-score + rank-1), then answer top-k queries with
-    * candidates from the SAME bucket only. The centroid set is the
+  /** IVF search with MULTI-PROBE: assign every corpus vector to its
+    * nearest centroid (small broadcast cross-score + max_by), have each
+    * query probe its `nprobe` nearest centroid buckets, and rank the
+    * union of probed candidates per query. The centroid set is the
     * coarse quantizer (here: per-label means); at scale the bucket
     * restriction turns an O(corpus) scan per query into
-    * O(corpus / #buckets).
+    * O(nprobe × corpus / #buckets). nprobe=2 recovers the recall
+    * nprobe=1 loses on vectors near a centroid boundary for ~2× the
+    * candidate cost — still bucket-local, the corpus never shuffles
+    * (the tiny query probe set broadcasts to it).
     *
     * @param centroids long-format (label, dim, centroid) frame with
     *                  dims 1..d, centroid values pre-rounded so
     *                  assignment is reproducible
     */
-  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+  def ivfTopK(
+      vectors: DataFrame, centroids: DataFrame, queryMaxId: Long, k: Int,
+      nprobe: Int = 2): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val centArr = centroids
@@ -102,24 +108,40 @@ object Embeddings {
       .agg(max_by(struct(col("label"), col("v")),
         struct(col("ccos"), negate(col("label")))).as("a"))
       .select(col("vec_id"), col("a.v").as("v"), col("a.label").as("bucket"))
+    // probe set: each query's nprobe best centroids, via the same
+    // bounded TopKAgg (ordering (score desc, label asc) matches the
+    // assignment tie-break, so probe #1 IS the home bucket)
+    val probes = scored
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id"), col("ccos"), col("label").cast("long").as("lbl"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.plans.TopKAgg(nprobe).toColumn)
+      .flatMap { case (q, top) => top.map { case (_, lbl) => (q, lbl) } }
+      .toDF("q_id", "bucket")
     val q = assigned.filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val qprobe = probes.join(q, Seq("q_id"))
     val c = assigned
-      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("bucket"))
-    // bucket-local candidates ranked by the bounded map-side TopKAgg —
-    // k rows per (q_id, bucket) reach the shuffle, not every candidate
-    q.join(c, Seq("bucket"))
+      .select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("bucket").cast("long").as("bucket"))
+    // candidates: corpus rows stream past the BROADCAST probe set —
+    // a neighbor appears at most once per query (one home bucket), so
+    // the probed union needs no dedup; ranking is global per query via
+    // the bounded map-side TopKAgg (k rows per query reach the shuffle)
+    broadcast(qprobe).join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("bucket"),
+      .select(col("q_id"),
         round(cosine(col("qv"), col("nv")), 6).as("cos"), col("n_id"))
-      .as[(Long, Int, Double, Long)]
-      .groupByKey(t => (t._1, t._2))
-      .mapValues(t => (t._3, t._4))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
       .agg(graft.plans.TopKAgg(k).toColumn)
-      .flatMap { case ((qid, b), top) =>
-        top.zipWithIndex.map { case ((cs, n), i) => (qid, b, (i + 1).toLong, n, cs) }
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((cs, n), i) => (qid, (i + 1).toLong, n, cs) }
       }
-      .toDF("q_id", "bucket", "rank", "n_id", "cos")
+      .toDF("q_id", "rank", "n_id", "cos")
   }
 
   /** Axis-sign LSH bucket id: sign bits of the first `bits` dims.

@@ -63,7 +63,16 @@ object EventsStream {
             Iterator.single(SessionOut(uid, st.start, st.last - st.start, st.n))
           } else {
             // gap-split state machine: emit a session whenever the gap
-            // between consecutive events exceeds gapUs
+            // between consecutive events exceeds gapUs.
+            // MEMORY BOUND: this buffers ONE user's events for ONE
+            // micro-batch (they arrive unsorted, and gap-splitting
+            // needs time order — a sort requires materializing the
+            // group). The bound is per-user-per-batch, set by trigger
+            // interval × the user's event rate, not by stream length;
+            // a pathological single user is capped by the micro-batch,
+            // not unbounded. The STATE entry stays O(1) regardless
+            // (one SessionState per user). Production posture for
+            // large state: [[configureRocksDbState]].
             val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
             var cur = state.getOption
             val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
@@ -90,6 +99,21 @@ object EventsStream {
             out.iterator
           }
         })
+  }
+
+  /** Production state-store posture for stateful streams: the default
+    * HDFS-backed provider keeps every state entry on the JVM heap —
+    * fine for tests, an OOM risk when the keyspace is tens of millions
+    * of users. RocksDB spills state off-heap to local disk and
+    * changelog checkpointing uploads only per-batch deltas instead of
+    * full snapshots. (Public Spark configuration; provider ships in
+    * Spark 4.) Call before `.start()` — the provider is read at query
+    * start. */
+  def configureRocksDbState(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
   }
 
   /** Stream-stream INTERVAL join: each purchase attributed to the same

@@ -22,6 +22,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(df.filter(col("stickiness") > 1.0).count() == 0)
   }
 
+  test("user_rfe: incremental per-day partials merge to the exact direct result") {
+    import java.nio.file.Files
+    val events = graft.sources.Tables.events(spark, sf)
+    // production shape: each day's partial is computed from ONLY that
+    // day's raw slice and appended to a date-partitioned table — no day
+    // ever sees another day's events
+    val out = Files.createTempDirectory("graft-rfe-partials").toString
+    val days = events.select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0).toLocalDate.toString).sorted
+    days.foreach { d =>
+      val slice = events.filter(to_date(col("ts")) === lit(d))
+      graft.operators.Rfe.dailyPartial(slice)
+        .write.mode("append").parquet(out)
+    }
+    val merged = graft.operators.Rfe
+      .merge(spark.read.parquet(out), queries.CohortQueries.AsOf)
+    val direct = SparkEntry.queries("q_user_rfe")(spark, sf)
+    val key = Seq("user_id", "event_type")
+    assert(merged.count() == direct.count())
+    // exact equality row-by-row (anti-join both ways is empty)
+    assert(merged.join(direct, merged.columns.toSeq, "left_anti").count() == 0)
+    assert(direct.join(merged, direct.columns.toSeq, "left_anti").count() == 0)
+    assert(merged.select(key.map(col): _*).distinct().count() == merged.count())
+  }
+
   test("rps_factor: rps proportional to cost_idx") {
     val rows = SparkEntry.queries("q_rps_factor")(spark, sf)
       .select(col("cost_idx"), col("rps")).collect()

@@ -51,6 +51,33 @@ class LlmDataSpec extends AnyFunSuite {
     assert(top20.nonEmpty)
   }
 
+  test("IVF multi-probe never loses recall vs single-probe, output well-formed") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+    val cents = graft.queries.Extras.embeddingCentroids(spark, sf)
+    def recallAt3(nprobe: Int): (Double, Seq[(Long, Long, Long)]) = {
+      val rows = Embeddings.ivfTopK(e, cents, queryMaxId = 5L, k = 3, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val c = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+      val truth = Embeddings.bruteForceTopK(q, c, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hit = rows.count { case (qid, _, nid) => truth(qid).contains(nid) }
+      (hit.toDouble / truth.values.map(_.size).sum, rows)
+    }
+    val (r1, _) = recallAt3(1)
+    val (r2, rows2) = recallAt3(2)
+    // probing a superset of buckets can only improve the selected top-k
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+    // well-formed: ranks 1..3 per query, neighbors unique, self excluded
+    rows2.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted == Seq(1L, 2L, 3L), s"ranks for $qid")
+      assert(rs.map(_._3).distinct.size == rs.size, s"dup neighbor for $qid")
+      assert(!rs.exists(_._3 == qid))
+    }
+  }
+
   test("simhash of identical docs identical; different docs differ") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

@@ -28,6 +28,42 @@ class MappingsExtSpec extends AnyFunSuite {
     assert(table.values.forall(_.matches("""[+-]\d2:[0-5]\d""".replace("""\d2""", """\d\d"""))))
   }
 
+  test("vertical and target-country orderings match the reference CASE tables") {
+    import spark.implicits._
+    // verticals: top-level 1-5, feature-level 11-15, unknown 9999
+    val vCases = Seq(
+      "vertical: browser" -> 1, "vertical: shopping" -> 2, "vertical: game" -> 3,
+      "vertical: lifestyle" -> 4, "vertical: travel" -> 5,
+      "shopping: shopping tab_swipe" -> 11, "shopping: shopping content_tab" -> 12,
+      "game: game content_tab" -> 13, "lifestyle: lifestyle content_tab" -> 14,
+      "travel: travel content_tab" -> 15, "something else" -> 9999)
+    val vOut = vCases.map(_._1).toDF("f")
+      .select(col("f"), Mappings.verticalOrder(col("f")).as("o"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    vCases.foreach { case (f, o) => assert(vOut(f) == o, f) }
+
+    // target countries: STRING sort key — synthetic rows first, the 14
+    // target codes '01'-'14', Others '999', null/empty last, passthrough
+    val cCases = Seq(
+      "Overall" -> "!!", "Target Markets" -> "00", "IN" -> "01", "ID" -> "02",
+      "TW" -> "03", "HK" -> "04", "SG" -> "05", "PH" -> "06", "VN" -> "07",
+      "TH" -> "08", "MY" -> "09", "BD" -> "10", "MM" -> "11", "KH" -> "12",
+      "LA" -> "13", "BN" -> "14", "Others" -> "999", "" -> "~", "US" -> "US")
+    val cOut = cCases.map(_._1).toDF("c")
+      .select(col("c"), Mappings.targetCountryOrder(col("c")).as("o"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cCases.foreach { case (c, o) => assert(cOut(c) == o, c) }
+    val nullOut = Seq(Option.empty[String]).toDF("c")
+      .select(Mappings.targetCountryOrder(col("c"))).head.getString(0)
+    assert(nullOut == "~")
+    // membership test agrees with the ordering's target set
+    val members = cCases.map(_._1).toDF("c")
+      .select(col("c"), Mappings.isTargetCountry(col("c")).as("m"))
+      .collect().filter(_.getBoolean(1)).map(_.getString(0)).toSet
+    assert(members == Set("IN", "ID", "TW", "HK", "SG", "PH", "VN",
+      "TH", "MY", "BD", "MM", "KH", "LA", "BN"))
+  }
+
   test("kv-array cleanup mirrors the reference JS UDF semantics") {
     import spark.implicits._
     import graft.functions.KvArrays

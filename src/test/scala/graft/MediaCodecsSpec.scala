@@ -154,6 +154,49 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(math.abs(dims.meanG - 255.0) < 1.0)
   }
 
+  test("PCM sample decode computes real signal stats on generated WAVs, distributed") {
+    import spark.implicits._
+    // 0.5 s of a 440 Hz sine at known amplitude: RMS = A/sqrt(2),
+    // peak = A — analytic ground truth for the sample decode
+    def sineWav(rate: Int, amp: Double, seconds: Double): Array[Byte] = {
+      val nFrames = (rate * seconds).toInt
+      val data = new Array[Byte](nFrames * 2)
+      (0 until nFrames).foreach { i =>
+        val s = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt.toShort
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val b = ByteBuffer.allocate(44 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(data.length).put(data)
+      b.array()
+    }
+    val rows = Seq(
+      (1L, sineWav(16000, 0.8, 0.5)),
+      (2L, sineWav(44100, 0.25, 1.0)),
+      (3L, "definitely not audio".getBytes("UTF-8")))
+    val out = BinaryDocs.decodeAudio(rows.toDF("doc_id", "media"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Boolean]("decoded"))
+    assert(a.getAs[Long]("sample_rate") == 16000 && a.getAs[Int]("channels") == 1)
+    assert(a.getAs[Long]("frames") == 8000 && a.getAs[Long]("duration_ms") == 500)
+    assert(math.abs(a.getAs[Double]("rms") - 0.8 / math.sqrt(2)) < 0.01)
+    assert(math.abs(a.getAs[Double]("peak") - 0.8) < 0.01)
+    val b2 = out(2L)
+    assert(b2.getAs[Long]("duration_ms") == 1000)
+    assert(math.abs(b2.getAs[Double]("rms") - 0.25 / math.sqrt(2)) < 0.01)
+    assert(!out(3L).getAs[Boolean]("decoded")) // corrupt blob survives
+    // fuzz: random bytes and truncated valid WAVs never throw
+    val rnd = new scala.util.Random(77)
+    (0 to 60).foreach { n =>
+      graft.multimodal.AudioDecode.decode(Array.fill(n * 7)(rnd.nextInt(256).toByte))
+      graft.multimodal.AudioDecode.decode(sineWav(8000, 0.5, 0.1).take(n * 20))
+    }
+  }
+
   test("extractMeta decodes real headers in the distributed path") {
     import spark.implicits._
     val rows = Seq(

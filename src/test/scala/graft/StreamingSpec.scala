@@ -87,6 +87,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.session_len_us == 5L * 60 * 1000 * 1000)
   }
 
+  test("sessionize runs on the RocksDB state store (production posture)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    EventsStream.configureRocksDbState(spark)
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventsStream.sessionize(mem.toDS())
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("ss_rocks").start()
+      mem.addData(Ev(1, ts(0), "click", 0), Ev(1, ts(2), "click", 0),
+        Ev(1, ts(40), "click", 0)) // 40-min gap splits the session
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("ss_rocks").as[SessionOut].collect()
+      assert(out.length == 1 && out.head.n_events == 2) // first session closed by gap
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join attributes purchases to preceding clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -208,6 +208,92 @@ object LlmData {
     BinaryDocs.extractMeta(
       BinaryDocs.toBinary(Tables.documents(s, dir), "doc_id", "text"))
 
+  /** #65 rule-based quality FILTER (Gopher-style): the per-document
+    * heuristic gates a pretraining pipeline applies before dedup —
+    * token-count floor, mean-word-length band, symbol-to-word ratio
+    * cap, repeated-bigram-fraction cap. Entirely row-local (scan-stage
+    * only, no shuffle), with the bigram set from the native
+    * [[graft.plans.WordShingles]] codegen kernel — at 100 TB this
+    * whole filter rides the first scan for free. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val n = size(toks)
+    val meanWl = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), _ + _).cast("double") / n
+    val symbolRatio =
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") / n
+    val bi = TextAnalysis.shinglesOfText(col("text"), 2)
+    val repRatio = when(size(bi) > 0,
+      lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi))
+      .otherwise(lit(0.0))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      round(meanWl, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(repRatio, 6).as("rep_ratio"),
+      when(n >= 10 && meanWl >= 3.0 && meanWl <= 10.0 &&
+        symbolRatio <= 0.1 && repRatio <= 0.5, 1L).otherwise(0L)
+        .as("quality_pass"))
+  }
+
+  /** #66 fixed-size context chunking: each document split into
+    * 32-token chunks (the "pack documents into training sequences"
+    * prep step). Chunk enumeration is a row-local array transform +
+    * posexplode — the only row-count growth is the output itself, and
+    * chunk text is reduced to a hash so the operator emits O(tokens/32)
+    * small rows, not duplicated text. */
+  def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val W = 32
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks).cast("double") / W).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * W + 1, lit(W)), " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(chunks))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        size(split(col("col"), " ")).cast("long").as("n_chunk_tokens"),
+        md5(col("col")).as("chunk_hash"))
+  }
+
+  /** #67 domain-mixture resampling to TOKEN-share targets: given a
+    * target weight per source domain, derive each domain's sampling
+    * rate from the measured token counts (rate = min(1, w·T/S)) and
+    * keep a deterministic md5-bucketed subset — the "epoch mixture"
+    * step of corpus curation. Two tiny aggregates (map-side combined)
+    * broadcast back over one scan; the bucket is a uniform 16-bit
+    * value from 4 md5 hex digits, so kept fractions track the computed
+    * rate to 1/65536 and are bit-reproducible across engines. */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val perSrc = docs.groupBy(col("source")).agg(sum(col("ntok")).as("src_tokens"))
+    val total = perSrc.agg(sum(col("src_tokens")).as("total"))
+    val w = when(col("source") === "src0", 0.20)
+      .when(col("source") === "src1", 0.04)
+      .when(col("source") === "src2", 0.025)
+      .otherwise(0.015)
+    val rates = perSrc.crossJoin(broadcast(total)).select(
+      col("source"),
+      floor(least(lit(1.0),
+        w * col("total").cast("double") / col("src_tokens").cast("double"))
+        * 65536).cast("long").as("thresh"))
+    val h = md5(concat(col("doc_id").cast("string"), lit(":mix")))
+    val hex = "0123456789abcdef"
+    val bucket = (1 to 4).map(i =>
+      (instr(lit(hex), substring(h, i, 1)) - 1) * (1 << (4 * (4 - i))))
+      .reduce(_ + _)
+    docs.join(broadcast(rates), "source")
+      .filter(bucket < col("thresh"))
+      .groupBy(col("source"), col("thresh"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("ntok")).as("kept_tokens"))
+      .select(col("source"), col("thresh"), col("kept_docs"), col("kept_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> dedupExact _,
     "q_dedup_minhash"       -> dedupMinhash _,
@@ -224,7 +310,10 @@ object LlmData {
     "q_token_count"         -> tokenCount _,
     "q_fingerprint"         -> fingerprint _,
     "q_embedding_stats"     -> embeddingStats _,
-    "q_multimodal_meta"     -> multimodalMeta _
+    "q_multimodal_meta"     -> multimodalMeta _,
+    "q_quality_filter"      -> qualityFilter _,
+    "q_doc_chunks"          -> docChunks _,
+    "q_domain_mix"          -> domainMix _
   )
 
   private val shingleCte =
@@ -459,6 +548,68 @@ object LlmData {
         |  lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, len(toks) AS n,
+        |  CAST(list_sum(list_transform(toks, tk -> CAST(len(tk) AS BIGINT)))
+        |    AS DOUBLE) / len(toks) AS mean_wl,
+        |  CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / len(toks) AS sym_ratio,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bi
+        |  FROM t),
+        |r AS (SELECT doc_id, n, mean_wl, sym_ratio,
+        |  CASE WHEN len(bi) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+        |    ELSE 0.0 END AS rep_ratio
+        |  FROM c)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  ROUND(mean_wl, 6) AS mean_word_len,
+        |  ROUND(sym_ratio, 6) AS symbol_ratio,
+        |  ROUND(rep_ratio, 6) AS rep_ratio,
+        |  CAST(CASE WHEN n >= 10 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        |    AND sym_ratio <= 0.1 AND rep_ratio <= 0.5
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+        |FROM r""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS chunk_idx
+        |  FROM t),
+        |x AS (SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[(chunk_idx*32 + 1):((chunk_idx+1)*32)], ' ') AS chunk_text
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  len(string_split(chunk_text, ' ')) AS n_chunk_tokens,
+        |  md5(chunk_text) AS chunk_hash
+        |FROM x""".stripMargin,
+    "q_domain_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents),
+        |s AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS src_tokens FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total FROM s),
+        |r AS (SELECT source,
+        |  CAST(floor(least(1.0,
+        |    CAST(CASE source WHEN 'src0' THEN 0.20 WHEN 'src1' THEN 0.04
+        |      WHEN 'src2' THEN 0.025 ELSE 0.015 END AS DOUBLE)
+        |    * CAST(t.total AS DOUBLE) / CAST(src_tokens AS DOUBLE)) * 65536)
+        |    AS BIGINT) AS thresh
+        |  FROM s, t),
+        |k AS (SELECT d.source, r.thresh, d.ntok,
+        |  (strpos('0123456789abcdef',
+        |     substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef',
+        |     substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef',
+        |     substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef',
+        |     substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 4, 1)) - 1) AS bucket
+        |  FROM d JOIN r ON d.source = r.source)
+        |SELECT source, thresh, COUNT(*) AS kept_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS kept_tokens
+        |FROM k WHERE bucket < thresh GROUP BY 1, 2""".stripMargin
   )
 }

@@ -157,4 +157,46 @@ class LlmDataSpec extends AnyFunSuite {
     val len = meta.filter(col("doc_id") === 0).head.getAs[Long]("byte_len")
     assert(f == (len - 1) / 100 + 1)
   }
+
+  test("quality filter: ratios bounded, pass implies every gate") {
+    val df = SparkEntry.queries("q_quality_filter")(spark, sf)
+    assert(df.filter(col("rep_ratio") < 0 || col("rep_ratio") > 1).count() == 0)
+    assert(df.filter(col("symbol_ratio") < 0).count() == 0)
+    val bad = df.filter(col("quality_pass") === 1 &&
+      (col("n_tokens") < 10 || col("mean_word_len") < 3 ||
+        col("mean_word_len") > 10 || col("symbol_ratio") > 0.1 ||
+        col("rep_ratio") > 0.5))
+    assert(bad.count() == 0)
+    // the synthetic corpus is drawn from a tiny vocabulary, so at least
+    // one doc must trip the repetition gate and at least one must pass
+    assert(df.filter(col("quality_pass") === 1).count() > 0)
+  }
+
+  test("doc chunks: every chunk <= 32 tokens, token counts re-add to the doc") {
+    val chunks = SparkEntry.queries("q_doc_chunks")(spark, sf)
+    assert(chunks.filter(col("n_chunk_tokens") > 32 || col("n_chunk_tokens") < 1).count() == 0)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val readd = chunks.groupBy("doc_id")
+      .agg(sum("n_chunk_tokens").as("chunk_sum"), count(lit(1)).as("n_chunks"),
+        max("chunk_idx").as("max_idx"))
+      .join(docs, "doc_id")
+    assert(readd.filter(col("chunk_sum") =!= col("n_tokens")).count() == 0)
+    // chunk_idx is a contiguous 0-based enumeration
+    assert(readd.filter(col("max_idx") =!= col("n_chunks") - 1).count() == 0)
+  }
+
+  test("domain mix: over-weighted source keeps everything, rates bounded") {
+    val mix = SparkEntry.queries("q_domain_mix")(spark, sf)
+    assert(mix.filter(col("thresh") <= 0 || col("thresh") > 65536).count() == 0)
+    val src0Docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source") === "src0").count()
+    // weight 0.20 vs a ~1/20 natural token share → rate caps at 1.0
+    val src0 = mix.filter(col("source") === "src0").head
+    assert(src0.getAs[Long]("thresh") == 65536L)
+    assert(src0.getAs[Long]("kept_docs") == src0Docs)
+    // fractional-rate sources genuinely downsample
+    assert(mix.filter(col("source") =!= "src0")
+      .filter(col("kept_docs") === 0).count() < mix.count() - 1)
+  }
 }

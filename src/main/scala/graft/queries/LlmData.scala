@@ -294,6 +294,84 @@ object LlmData {
       .select(col("source"), col("thresh"), col("kept_docs"), col("kept_tokens"))
   }
 
+  /** #68 training-sequence PACKING (budget-bin approximation): docs in
+    * a deterministic order are laid into contiguous 2048-token bins
+    * via one window cumulative sum; a doc starts the bin its running
+    * prefix falls into. Partitioned by (source, shard) so packing
+    * parallelism scales with shard count instead of serializing per
+    * source — the window never sees more than one shard's rows. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 2048
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      pmod(col("doc_id"), lit(8)).cast("long").as("shard"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("ntok")) / B).cast("long"))
+      .groupBy(col("source"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("bin_tokens"),
+        round(sum(col("ntok")).cast("double") / B, 6).as("fill_ratio"))
+  }
+
+  /** #69 int8 scalar QUANTIZATION of embeddings + reconstruction
+    * error — the storage/serving compression step of an embedding
+    * pipeline. Row-local higher-order functions only; the round is
+    * floor(x+0.5) so both engines take the same half-up tie path. */
+  def embeddingQuant(s: SparkSession, dir: String): DataFrame = {
+    val v = Embeddings.asDouble(col("embedding"))
+    val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-9)) / 127.0
+    // internal column is scale_raw, NOT scale: the output alias
+    // `round(...) AS scale` would otherwise shadow it via lateral
+    // column alias resolution and recon_err would use the 6-digit
+    // rounded scale — a real 2e-3 relative error vs the oracle
+    val q = transform(v, x => floor(x / col("scale_raw") + 0.5).cast("long"))
+    val err = sqrt(aggregate(
+      zip_with(v, col("q"), (x, qi) => {
+        val d = x - qi.cast("double") * col("scale_raw"); d * d
+      }),
+      lit(0.0), _ + _))
+    Tables.embeddings(s, dir)
+      .withColumn("scale_raw", scale)
+      .withColumn("q", q)
+      .select(
+        col("vec_id"),
+        round(col("scale_raw"), 6).as("scale"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        round(err, 6).as("recon_err"))
+  }
+
+  /** #70 PII SCRUB: regex redaction of emails and IPv4 addresses with
+    * per-doc match counts. The corpus carries no PII, so — like the
+    * planted near-dup probes of #36b — each doc gets deterministic
+    * planted PII derived from its id, and the oracle replays the same
+    * plant + scrub. Row-local regexes on the scan; no shuffle. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from "),
+      pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+      pmod(col("doc_id"), lit(100)).cast("string"), lit(".0.1 today"))
+    Tables.documents(s, dir)
+      .withColumn("planted", planted)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("planted"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("planted"), lit(ipRe), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(regexp_replace(
+          regexp_replace(col("planted"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>")).as("scrubbed_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> dedupExact _,
     "q_dedup_minhash"       -> dedupMinhash _,
@@ -313,7 +391,10 @@ object LlmData {
     "q_multimodal_meta"     -> multimodalMeta _,
     "q_quality_filter"      -> qualityFilter _,
     "q_doc_chunks"          -> docChunks _,
-    "q_domain_mix"          -> domainMix _
+    "q_domain_mix"          -> domainMix _,
+    "q_pack_sequences"      -> packSequences _,
+    "q_embedding_quant"     -> embeddingQuant _,
+    "q_pii_scrub"           -> piiScrub _
   )
 
   private val shingleCte =
@@ -610,6 +691,48 @@ object LlmData {
         |  FROM d JOIN r ON d.source = r.source)
         |SELECT source, thresh, COUNT(*) AS kept_docs,
         |  CAST(SUM(ntok) AS BIGINT) AS kept_tokens
-        |FROM k WHERE bucket < thresh GROUP BY 1, 2""".stripMargin
+        |FROM k WHERE bucket < thresh GROUP BY 1, 2""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(doc_id % 8 AS BIGINT) AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents),
+        |c AS (SELECT doc_id, source, shard, ntok,
+        |  SUM(ntok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT source, shard,
+        |  CAST(floor((cum - ntok) / 2048.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS bin_tokens,
+        |  ROUND(CAST(SUM(ntok) AS DOUBLE) / 2048, 6) AS fill_ratio
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
+    "q_embedding_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-9) / 127.0 AS scale
+        |  FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  ROUND(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+        |    i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)))), 6) AS recon_err
+        |FROM q""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com from ' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.' || CAST(doc_id % 100 AS VARCHAR) || '.0.1 today' AS planted
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(planted,
+        |    '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(planted,
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(
+        |    regexp_replace(planted, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS scrubbed_hash
+        |FROM p""".stripMargin
   )
 }

@@ -186,6 +186,33 @@ class LlmDataSpec extends AnyFunSuite {
     assert(readd.filter(col("max_idx") =!= col("n_chunks") - 1).count() == 0)
   }
 
+  test("sequence packing: bins hold the whole corpus, bin ids contiguous per shard") {
+    val bins = SparkEntry.queries("q_pack_sequences")(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val totTokens = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(bins.select(sum("bin_tokens")).head.getLong(0) == totTokens)
+    // a bin never starts beyond the shard's running total / budget
+    val byShard = bins.groupBy("source", "shard")
+      .agg(max("bin").as("max_bin"), sum("bin_tokens").as("shard_tokens"))
+    assert(byShard.filter(col("max_bin") > col("shard_tokens") / 2048).count() == 0)
+  }
+
+  test("embedding quantization: codes in int8 range, reconstruction error small") {
+    val q = SparkEntry.queries("q_embedding_quant")(spark, sf)
+    assert(q.filter(col("q_min") < -128 || col("q_max") > 127).count() == 0)
+    // max per-element error is scale/2 → err <= sqrt(dim)·scale/2
+    assert(q.filter(col("recon_err") > sqrt(lit(64.0)) * col("scale") / 2 + 1e-9).count() == 0)
+    assert(q.filter(col("scale") <= 0).count() == 0)
+  }
+
+  test("pii scrub: planted email+ip found and redacted") {
+    val df = SparkEntry.queries("q_pii_scrub")(spark, sf)
+    assert(df.filter(col("n_emails") < 1 || col("n_ips") < 1).count() == 0)
+    // scrubbed hash differs from hash of the planted text (something was redacted)
+    val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"))
+    assert(df.count() == docs.count())
+  }
+
   test("domain mix: over-weighted source keeps everything, rates bounded") {
     val mix = SparkEntry.queries("q_domain_mix")(spark, sf)
     assert(mix.filter(col("thresh") <= 0 || col("thresh") > 65536).count() == 0)

@@ -51,4 +51,31 @@ object TextAnalysis {
     * symbols each count as one token. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
+  /** Mean token length (Gopher-style word-length gate input). */
+  def meanWordLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+      .cast("double") / size(toks)
+
+  /** Non-alphanumeric-symbol count per token. */
+  def symbolRatio(text: Column, toks: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / size(toks)
+
+  /** Repeated-bigram fraction: 1 − |distinct bigrams| / |bigrams|. */
+  def repRatio(text: Column): Column = {
+    val bi = shinglesOfText(text, 2)
+    when(size(bi) > 0,
+      lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi))
+      .otherwise(lit(0.0))
+  }
+
+  /** The combined Gopher-style quality gate used by `q_quality_filter`
+    * and the curation pipeline: token floor, mean-word-length band,
+    * symbol-ratio cap, repetition cap. Row-local. */
+  def qualityPass(text: Column): Column = {
+    val toks = tokens(text)
+    size(toks) >= 10 &&
+      meanWordLen(toks) >= 3.0 && meanWordLen(toks) <= 10.0 &&
+      symbolRatio(text, toks) <= 0.1 && repRatio(text) <= 0.5
+  }
 }

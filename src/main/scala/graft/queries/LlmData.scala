@@ -217,23 +217,13 @@ object LlmData {
     * whole filter rides the first scan for free. */
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val n = size(toks)
-    val meanWl = aggregate(transform(toks, t => length(t).cast("long")),
-      lit(0L), _ + _).cast("double") / n
-    val symbolRatio =
-      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") / n
-    val bi = TextAnalysis.shinglesOfText(col("text"), 2)
-    val repRatio = when(size(bi) > 0,
-      lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi))
-      .otherwise(lit(0.0))
     Tables.documents(s, dir).select(
       col("doc_id"),
-      n.cast("long").as("n_tokens"),
-      round(meanWl, 6).as("mean_word_len"),
-      round(symbolRatio, 6).as("symbol_ratio"),
-      round(repRatio, 6).as("rep_ratio"),
-      when(n >= 10 && meanWl >= 3.0 && meanWl <= 10.0 &&
-        symbolRatio <= 0.1 && repRatio <= 0.5, 1L).otherwise(0L)
+      size(toks).cast("long").as("n_tokens"),
+      round(TextAnalysis.meanWordLen(toks), 6).as("mean_word_len"),
+      round(TextAnalysis.symbolRatio(col("text"), toks), 6).as("symbol_ratio"),
+      round(TextAnalysis.repRatio(col("text")), 6).as("rep_ratio"),
+      when(TextAnalysis.qualityPass(col("text")), 1L).otherwise(0L)
         .as("quality_pass"))
   }
 
@@ -372,6 +362,54 @@ object LlmData {
           ipRe, "<IP>")).as("scrubbed_hash"))
   }
 
+  /** #71 the COMPLETE curation pipeline as one query — what a corpus
+    * job actually runs end-to-end: quality gate → exact dedup
+    * (keep-one per content hash) → domain-mixture resampling →
+    * sequence packing into 2048-token bins. Each stage is the scale
+    * shape proven by its standalone query: the gate rides the scan,
+    * dedup is one hash shuffle, mix is two tiny broadcast aggregates,
+    * packing is one sharded window. Companion of `q_dedup_pipeline`
+    * (#36c) for the curation half of the surface. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 2048
+    val kept0 = Tables.documents(s, dir)
+      .filter(TextAnalysis.qualityPass(col("text")))
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = kept0
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+    val perSrc = deduped.groupBy(col("source")).agg(sum(col("ntok")).as("src_tokens"))
+    val total = perSrc.agg(sum(col("src_tokens")).as("total"))
+    val weight = when(col("source") === "src0", 0.20)
+      .when(col("source") === "src1", 0.04)
+      .when(col("source") === "src2", 0.025)
+      .otherwise(0.015)
+    val rates = perSrc.crossJoin(broadcast(total)).select(
+      col("source"),
+      floor(least(lit(1.0),
+        weight * col("total").cast("double") / col("src_tokens").cast("double"))
+        * 65536).cast("long").as("thresh"))
+    val h = md5(concat(col("doc_id").cast("string"), lit(":mix")))
+    val hex = "0123456789abcdef"
+    val bucket = (1 to 4).map(i =>
+      (instr(lit(hex), substring(h, i, 1)) - 1) * (1 << (4 * (4 - i))))
+      .reduce(_ + _)
+    val mixed = deduped.join(broadcast(rates), "source")
+      .filter(bucket < col("thresh"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("long"))
+    val wp = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed.withColumn("cum", sum(col("ntok")).over(wp))
+      .withColumn("bin", floor((col("cum") - col("ntok")) / B).cast("long"))
+      .groupBy(col("source"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("bin_tokens"),
+        round(sum(col("ntok")).cast("double") / B, 6).as("fill_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"         -> dedupExact _,
     "q_dedup_minhash"       -> dedupMinhash _,
@@ -394,7 +432,8 @@ object LlmData {
     "q_domain_mix"          -> domainMix _,
     "q_pack_sequences"      -> packSequences _,
     "q_embedding_quant"     -> embeddingQuant _,
-    "q_pii_scrub"           -> piiScrub _
+    "q_pii_scrub"           -> piiScrub _,
+    "q_curation_pipeline"   -> curationPipeline _
   )
 
   private val shingleCte =
@@ -733,6 +772,57 @@ object LlmData {
         |  md5(regexp_replace(
         |    regexp_replace(planted, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
         |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS scrubbed_hash
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    "q_curation_pipeline" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, text FROM g
+        |  WHERE len(toks) >= 10
+        |    AND CAST(list_sum(list_transform(toks, tk -> CAST(len(tk) AS BIGINT)))
+        |      AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+        |    AND CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / len(toks) <= 0.1
+        |    AND (CASE WHEN len(toks) >= 2
+        |      THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+        |           / (len(toks) - 1)
+        |      ELSE 0.0 END) <= 0.5),
+        |dd AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM (SELECT doc_id, source, text,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+        |  WHERE rn = 1),
+        |s AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS src_tokens FROM dd GROUP BY 1),
+        |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total FROM s),
+        |r AS (SELECT source,
+        |  CAST(floor(least(1.0,
+        |    CAST(CASE source WHEN 'src0' THEN 0.20 WHEN 'src1' THEN 0.04
+        |      WHEN 'src2' THEN 0.025 ELSE 0.015 END AS DOUBLE)
+        |    * CAST(t.total AS DOUBLE) / CAST(src_tokens AS DOUBLE)) * 65536)
+        |    AS BIGINT) AS thresh
+        |  FROM s, t),
+        |k AS (SELECT dd.doc_id, dd.source, dd.ntok,
+        |  CAST(dd.doc_id % 8 AS BIGINT) AS shard
+        |  FROM dd JOIN r ON dd.source = r.source
+        |  WHERE (strpos('0123456789abcdef',
+        |      substr(md5(CAST(dd.doc_id AS VARCHAR) || ':mix'), 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef',
+        |      substr(md5(CAST(dd.doc_id AS VARCHAR) || ':mix'), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef',
+        |      substr(md5(CAST(dd.doc_id AS VARCHAR) || ':mix'), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef',
+        |      substr(md5(CAST(dd.doc_id AS VARCHAR) || ':mix'), 4, 1)) - 1) < r.thresh),
+        |c AS (SELECT source, shard, ntok,
+        |  SUM(ntok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM k)
+        |SELECT source, shard,
+        |  CAST(floor((cum - ntok) / 2048.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS bin_tokens,
+        |  ROUND(CAST(SUM(ntok) AS DOUBLE) / 2048, 6) AS fill_ratio
+        |FROM c GROUP BY 1, 2, 3""".stripMargin
   )
 }

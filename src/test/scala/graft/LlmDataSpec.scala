@@ -213,6 +213,18 @@ class LlmDataSpec extends AnyFunSuite {
     assert(df.count() == docs.count())
   }
 
+  test("curation pipeline: output bounded by the standalone stage outputs") {
+    val pipe = SparkEntry.queries("q_curation_pipeline")(spark, sf)
+    val pipeTokens = pipe.select(sum("bin_tokens")).head.getLong(0)
+    // pipeline keeps at most what quality-gate-only keeps
+    val qualityTokens = graft.sources.Tables.documents(spark, sf)
+      .filter(graft.functions.TextAnalysis.qualityPass(col("text")))
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(pipeTokens > 0 && pipeTokens <= qualityTokens)
+    // every bin is within one shard and bins never exceed the shard total
+    assert(pipe.filter(col("bin") < 0).count() == 0)
+  }
+
   test("domain mix: over-weighted source keeps everything, rates bounded") {
     val mix = SparkEntry.queries("q_domain_mix")(spark, sf)
     assert(mix.filter(col("thresh") <= 0 || col("thresh") > 65536).count() == 0)

@@ -55,22 +55,26 @@ object TextDedup {
   /** LSH candidate pairs: band the signature matrix, bucket by band
     * value, self-join bucket-locally. With k=8, bands of rows=2 →
     * 4 bands. Returns distinct (a, b) candidate pairs, a < b. */
-  def lshCandidates(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // ONE pass over the signature frame, exploding a band array —
-    // NOT a union of per-band selects, which would recompute the
-    // signature subplan once per band per join side. concat is
-    // null-PROPAGATING (unlike concat_ws): a doc too short to shingle
-    // has null signature slots and must not collide with other
-    // null-signature docs — DuckDB `||` propagates null the same way
+  /** Band keys of a signature frame: ONE pass, exploding a band
+    * array — NOT a union of per-band selects, which would recompute
+    * the signature subplan once per band per join side. concat is
+    * null-PROPAGATING (unlike concat_ws): a doc too short to shingle
+    * has null signature slots and must not collide with other
+    * null-signature docs — DuckDB `||` propagates null the same way. */
+  def bandKeys(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val bandStructs = (0 until k / rowsPerBand).map { b =>
       val key = concat(
         (0 until rowsPerBand).flatMap(r =>
           Seq(lit("|"), col(s"sig_${b * rowsPerBand + r}"))).drop(1): _*)
       struct(lit(b).as("band"), key.as("bucket"))
     }
-    val bands = sigs
+    sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = bandKeys(sigs, idCol, k, rowsPerBand)
     // SHUFFLE_HASH, not broadcast: a band index is corpus-sized at
     // scale; identical shuffled subplans also let the planner reuse
     // one exchange for both sides of the self-join
@@ -80,6 +84,33 @@ object TextDedup {
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
       .distinct()
+  }
+
+  /** INCREMENTAL LSH dedup: candidate matches of a NEW ingest batch
+    * against an already-signed corpus index, plus within-batch pairs.
+    * This is the production shape at 100 TB — the corpus band index
+    * is computed once and stored (it's just [[bandKeys]] of the stored
+    * signatures); a daily batch signs only itself and runs two
+    * bucket-local joins, so daily cost scales with the batch, not the
+    * corpus. The corpus side stays SHUFFLE_HASH (never broadcast);
+    * the batch side is the small probe side of both joins. Returns
+    * distinct (new_id, match_id) with match_id from the corpus or a
+    * smaller-id batch doc. */
+  def lshCandidatesIncremental(
+      indexSigs: DataFrame, newSigs: DataFrame, idCol: String,
+      k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val idx = bandKeys(indexSigs, idCol, k, rowsPerBand)
+    val nw  = bandKeys(newSigs, idCol, k, rowsPerBand)
+    val vsCorpus = nw.as("n")
+      .join(idx.as("i").hint("shuffle_hash"),
+        col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket"))
+      .select(col(s"n.$idCol").as("new_id"), col(s"i.$idCol").as("match_id"))
+    val within = nw.as("a")
+      .join(nw.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("new_id"), col(s"b.$idCol").as("match_id"))
+    vsCorpus.unionByName(within).distinct()
   }
 
   /** Exact Jaccard VERIFICATION of candidate pairs: joins each

@@ -362,6 +362,23 @@ object LlmData {
           ipRe, "<IP>")).as("scrubbed_hash"))
   }
 
+  /** #72 INCREMENTAL dedup — the daily-ingest shape: a new batch
+    * (every 10th doc, re-texted with a near-dup suffix) is signed and
+    * matched against the full corpus's stored band index plus itself.
+    * Daily cost scales with the batch, not the corpus; see
+    * [[TextDedup.lshCandidatesIncremental]]. The batch construction
+    * guarantees matches at any SF (each batch doc is a near-dup of
+    * its corpus original). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup probe")).as("text"))
+    TextDedup.lshCandidatesIncremental(
+      TextDedup.minhashSignatures(corpus, "doc_id", "text"),
+      TextDedup.minhashSignatures(batch, "doc_id", "text"), "doc_id")
+  }
+
   /** #71 the COMPLETE curation pipeline as one query — what a corpus
     * job actually runs end-to-end: quality gate → exact dedup
     * (keep-one per content hash) → domain-mixture resampling →
@@ -433,7 +450,8 @@ object LlmData {
     "q_pack_sequences"      -> packSequences _,
     "q_embedding_quant"     -> embeddingQuant _,
     "q_pii_scrub"           -> piiScrub _,
-    "q_curation_pipeline"   -> curationPipeline _
+    "q_curation_pipeline"   -> curationPipeline _,
+    "q_dedup_incremental"   -> dedupIncremental _
   )
 
   private val shingleCte =
@@ -823,6 +841,50 @@ object LlmData {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(ntok) AS BIGINT) AS bin_tokens,
         |  ROUND(CAST(SUM(ntok) AS DOUBLE) / 2048, 6) AS fill_ratio
-        |FROM c GROUP BY 1, 2, 3""".stripMargin
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
+    "q_dedup_incremental" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         |scp AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM tc),
+         |tn AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+         |snw AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM tn),
+         |sigc AS (SELECT doc_id, """.stripMargin +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        " FROM scp),\nsign AS (SELECT doc_id, " +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        """ FROM snw),
+          |bandc AS (
+          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sigc
+          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sigc
+          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sigc
+          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sigc),
+          |bandn AS (
+          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sign
+          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sign
+          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sign
+          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sign)
+          |SELECT DISTINCT new_id, match_id FROM (
+          |  SELECT n.doc_id AS new_id, i.doc_id AS match_id
+          |  FROM bandn n JOIN bandc i
+          |    ON n.band = i.band AND n.bucket = i.bucket
+          |  UNION ALL
+          |  SELECT a.doc_id, b.doc_id
+          |  FROM bandn a JOIN bandn b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin)
   )
 }

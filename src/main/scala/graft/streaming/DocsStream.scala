@@ -39,4 +39,18 @@ object DocsStream {
       .dropDuplicatesWithinWatermark("__band")
       .drop("__band")
   }
+
+  /** Curated ingest: the full quality-then-dedup gate applied AT THE
+    * EDGE of a document stream. The quality rules
+    * ([[graft.functions.TextAnalysis.qualityPass]]) are row-local
+    * Column expressions, so they compose with streaming for free (a
+    * stateless filter before the stateful dedup keeps junk documents
+    * from ever entering the dedup state store) — the streaming
+    * complement of the batch `q_curation_pipeline`. */
+  def curatedIngest(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour", rowsPerKey: Int = 1): DataFrame =
+    dedupNearWithinWatermark(
+      docs.filter(graft.functions.TextAnalysis.qualityPass(col(textCol))),
+      textCol, tsCol, watermark, rowsPerKey)
 }

@@ -213,6 +213,16 @@ class LlmDataSpec extends AnyFunSuite {
     assert(df.count() == docs.count())
   }
 
+  test("incremental dedup: every batch doc recovers its corpus original") {
+    val pairs = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    assert(pairs.filter(col("new_id") < 1000000L).count() == 0)
+    val selfMatches = pairs
+      .filter(col("match_id") === col("new_id") - 1000000L).count()
+    val batchSize = graft.sources.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) === 0).count()
+    assert(selfMatches == batchSize)
+  }
+
   test("curation pipeline: output bounded by the standalone stage outputs") {
     val pipe = SparkEntry.queries("q_curation_pipeline")(spark, sf)
     val pipeTokens = pipe.select(sum("bin_tokens")).head.getLong(0)

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the 100 TB posture of key operators
+  * asserted as tests, so a refactor that silently introduces a
+  * shuffle, loses a broadcast, or drops predicate pushdown fails CI
+  * instead of only showing up in the next bench run. Assertions are on
+  * the physical plan string (initial AQE plan — static choices like
+  * broadcast hints and shuffle counts are visible there). */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("row-local curation operators run entirely on the scan (zero shuffles)") {
+    for (q <- Seq("q_quality_filter", "q_pii_scrub", "q_embedding_quant",
+      "q_doc_chunks", "q_text_stats", "q_token_count", "q_fingerprint")) {
+      val p = plan(q)
+      assert(exchanges(p) == 0, s"$q grew a shuffle:\n$p")
+    }
+  }
+
+  test("star join broadcasts its dims (no sort-merge join)") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("LSH self-join stays shuffle-hash, never broadcast") {
+    val p = plan("q_dedup_minhash_pairs")
+    assert(p.contains("ShuffledHashJoin"), s"band self-join lost its hint:\n$p")
+  }
+
+  test("domain mix broadcasts its tiny rate frames") {
+    val p = plan("q_domain_mix")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"rate join fell back to SMJ:\n$p")
+  }
+
+  test("filter predicates reach the parquet scan") {
+    val p = plan("q_select_filter")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"no pushed filters in scan:\n$p")
+  }
+
+  test("no query scans more than 8 columns of any table") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      val wide = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+        .map(_.group(1)).filter(_.split(",").length > 8).toSeq
+      assert(wide.isEmpty, s"$name reads wide: ${wide.mkString("; ")}")
+    }
+  }
+}

@@ -153,6 +153,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.contains(3L))     // unrelated doc passes
   }
 
+  test("curated ingest filters junk before dedup state, keeps quality docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
+    val junk = "spam spam spam spam spam spam spam spam spam spam spam spam" // rep_ratio 1.0
+    val short = "too short" // fails the 10-token floor
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = graft.streaming.DocsStream.curatedIngest(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+    val q = df.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ci").start()
+    mem.addData((1L, good, ts(1)), (2L, junk, ts(1)), (3L, short, ts(1)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("ci").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("foreachBatch sink appends micro-batches to parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.plans.{CosineSimilarity, WordShingles}
+import graft.plans.{CosineSimilarity, MinHashSigs, SimHashBits, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get the codegen
@@ -28,6 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[WordShingles].getName, "word_shingles"),
         GraftExtensions.shinglesBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_bits"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimHashBits].getName, "simhash_bits"),
+        GraftExtensions.simhashBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashSigs].getName, "minhash_sigs"),
+        GraftExtensions.minhashBuilder))
   }
 }
 
@@ -41,11 +51,26 @@ object GraftExtensions {
       WordShingles(args.head, n)
     }
 
+  private[graft] val simhashBuilder: Seq[Expression] => Expression =
+    args => {
+      val bits = args.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(32)
+      SimHashBits(args.head, bits)
+    }
+
+  private[graft] val minhashBuilder: Seq[Expression] => Expression =
+    args => {
+      val k = args.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(8)
+      val n = args.lift(2).map(_.eval(null).asInstanceOf[Int]).getOrElse(3)
+      MinHashSigs(args.head, k, n)
+    }
+
   /** Register the graft SQL functions on an already-running session
     * (the builder-time path is `.withExtensions(new GraftExtensions)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_similarity", cosineBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles", shinglesBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_bits", simhashBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sigs", minhashBuilder, "scala_udf")
   }
 }

@@ -103,7 +103,8 @@ object TextDedup {
     val nw  = bandKeys(newSigs, idCol, k, rowsPerBand)
     val vsCorpus = nw.as("n")
       .join(idx.as("i").hint("shuffle_hash"),
-        col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket"))
+        col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket") &&
+          col(s"n.$idCol") =!= col(s"i.$idCol")) // a batch doc already indexed must not self-match
       .select(col(s"n.$idCol").as("new_id"), col(s"i.$idCol").as("match_id"))
     val within = nw.as("a")
       .join(nw.as("b").hint("shuffle_hash"),

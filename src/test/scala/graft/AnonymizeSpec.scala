@@ -50,9 +50,13 @@ class AnonymizeSpec extends AnyFunSuite {
     GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
-        "word_shingles('a b c d', 3) s")
+        "word_shingles('a b c d', 3) s, " +
+        "simhash_bits('a b c', 32) h, " +
+        "minhash_sigs('a b c d e', 8, 3) m")
       .head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r.getString(2).length == 32 && r.getString(2).forall(c => c == '0' || c == '1'))
+    assert(r.getSeq[String](3).length == 8)
   }
 }

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+import graft.sources.Tables
+
+/** Corpus-curation operators beyond the dedup/mixture set in
+  * [[LlmData]] (SURVEY §2 #73-75): duplicated-span statistics,
+  * benchmark decontamination, and bloom-prefiltered incremental
+  * exact dedup.
+  */
+object Curation {
+
+  /** #73 duplicated-SPAN statistics (the span-level view of exact
+    * substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better"): each document is cut into
+    * non-overlapping 16-token spans, span occurrence counts are
+    * measured across the WHOLE corpus, and each doc reports how much
+    * of it is corpus-duplicated text. Span enumeration is row-local
+    * (array transform + explode, text reduced to a hash immediately);
+    * the corpus-wide counts are one map-side-combining hash agg; the
+    * join back is SHUFFLE_HASH on the same key, so the exchange is
+    * reused. At 100 TB nothing driver-side ever sees a span. */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame = {
+    val W = 16
+    val toks = split(col("text"), " ")
+    val nSpans = ceil(size(toks).cast("double") / W).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(toks, i * W + 1, lit(W)), " "))
+    val sp = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(spans).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("span_hash"))
+    val df = sp.groupBy(col("span_hash")).agg(count(lit(1)).as("span_df"))
+    sp.join(df.hint("shuffle_hash"), "span_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac", round(col("n_dup_spans") / col("n_spans"), 6))
+  }
+
+  /** #74 benchmark DECONTAMINATION: flag training documents sharing
+    * any 8-token n-gram with a held-out evaluation set (the standard
+    * n-gram-overlap decontamination step before pretraining). The
+    * eval set here is the deterministic doc_id % 97 == 0 slice; its
+    * distinct 8-gram set is BROADCAST (an eval set is small by
+    * definition), so the corpus side is one row-local explode + one
+    * broadcast hash join + one per-doc count — the corpus never
+    * shuffles. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val N = 8
+    val toks = split(col("text"), " ")
+    val grams = when(size(toks) >= N,
+      transform(sequence(lit(1), size(toks) - (N - 1)),
+        i => array_join(slice(toks, i, lit(N)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(grams).as("grams"))
+    val evalGrams = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(col("grams")).as("g")).distinct()
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap_cnt"))
+    corpus.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("overlap_cnt"), lit(0L)).as("n_overlap"),
+        (coalesce(col("overlap_cnt"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  /** #75 BLOOM-prefiltered incremental exact dedup — the
+    * daily-ingest membership check: a bloom filter over the corpus's
+    * content hashes is built DISTRIBUTED with Spark's native
+    * [[BloomFilterAggregate]] (the same sketch the engine's runtime
+    * row-group filters use; partial sketches merge map-side), reduced
+    * to one ~1 MB binary on the driver exactly like a broadcast-var
+    * build, and re-applied as a codegen'd [[BloomFilterMightContain]]
+    * literal over the batch. Batch rows the bloom rejects are
+    * DEFINITELY new (no false negatives) and skip the join entirely;
+    * the survivors are confirmed by an exact hash join, so the output
+    * is exact — the bloom only prunes. Daily cost: one corpus scan to
+    * build (amortizable — the sketch is storable), then a join whose
+    * probe side is only the batch rows that might match. The batch is
+    * the planted shape of #72: doc_id % 7 == 0 rows re-ingested
+    * verbatim (guaranteed duplicates), % 7 == 3 rows re-texted
+    * (guaranteed fresh). */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val batch = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(7)).isin(0L, 3L))
+      .select((col("doc_id") + 2000000L).as("new_id"),
+        md5(when(pmod(col("doc_id"), lit(7)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh content")))).as("content_hash"))
+    val hashOf = (c: String) => new XxHash64(Seq(GraftBridge.expression(col(c))))
+    val bloomBytes = corpus
+      .select(GraftBridge.column(
+        new BloomFilterAggregate(hashOf("content_hash"), 1000000L)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftBridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), hashOf("content_hash")))
+    batch.filter(mightContain)
+      .join(corpus.hint("shuffle_hash"), "content_hash")
+      .select(col("new_id"), col("doc_id").as("match_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_spans"   -> dedupSpans _,
+    "q_decontaminate" -> decontaminate _,
+    "q_dedup_bloom"   -> dedupBloom _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i
+        |  FROM t),
+        |x AS (SELECT doc_id,
+        |  md5(array_to_string(toks[(i*16 + 1):((i+1)*16)], ' ')) AS span_hash
+        |  FROM c),
+        |d AS (SELECT span_hash, COUNT(*) AS span_df FROM x GROUP BY 1),
+        |j AS (SELECT doc_id, span_df FROM x JOIN d USING (span_hash))
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN span_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  ROUND(CAST(SUM(CASE WHEN span_df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_frac
+        |FROM j GROUP BY 1""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(toks) >= 8
+        |    THEN list_transform(range(1, len(toks) - 6),
+        |           i -> array_to_string(toks[i:(i+7)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS grams
+        |  FROM t),
+        |ev AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0),
+        |ex AS (SELECT doc_id, unnest(grams) AS gr FROM corpus),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+        |  FROM ex JOIN ev USING (gr) GROUP BY 1)
+        |SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
+        |  COALESCE(h.n_overlap, 0) AS n_overlap,
+        |  CAST(CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS contaminated
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin,
+    "q_dedup_bloom" ->
+      """WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 2000000 AS new_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text
+        |        ELSE text || ' fresh content' END) AS h
+        |  FROM documents WHERE doc_id % 7 IN (0, 3))
+        |SELECT b.new_id, c.doc_id AS match_id
+        |FROM batch b JOIN corpus c USING (h)""".stripMargin
+  )
+}

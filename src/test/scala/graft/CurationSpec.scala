@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dedup_spans: one row per doc, dup spans bounded by span count") {
+    val df = SparkEntry.queries("q_dedup_spans")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(df.count() == docs.count())
+    assert(df.filter(col("n_dup_spans") > col("n_spans")).count() == 0)
+    assert(df.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    // the synthetic vocab repeats 16-token spans across docs — the
+    // operator must actually find corpus-level duplication
+    assert(df.filter(col("n_dup_spans") > 0).count() > 0)
+    df.unpersist()
+  }
+
+  test("dedup_spans: a doc duplicated verbatim has every span corpus-duplicated") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val planted = docs.limit(1)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val all = docs.unionByName(planted)
+    // replay the operator over the planted corpus
+    val W = 16
+    val toks = split(col("text"), " ")
+    val nSpans = ceil(size(toks).cast("double") / W).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(toks, i * W + 1, lit(W)), " "))
+    val sp = all.select(col("doc_id"), explode(spans).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("span_hash"))
+    val dfc = sp.groupBy(col("span_hash")).agg(count(lit(1)).as("span_df"))
+    val res = sp.join(dfc, "span_hash").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    val clone = res.filter(col("doc_id") >= 5000000L).head()
+    assert(clone.getAs[Long]("n_dup_spans") == clone.getAs[Long]("n_spans"))
+  }
+
+  test("decontaminate: eval slice excluded, flag consistent with overlap count") {
+    val df = SparkEntry.queries("q_decontaminate")(spark, sf).cache()
+    assert(df.filter(pmod(col("doc_id"), lit(97)) === 0).count() == 0)
+    assert(df.filter(
+      (col("contaminated") === 1) =!= (col("n_overlap") > 0)).count() == 0)
+    assert(df.filter(col("n_overlap") > col("n_grams")).count() == 0)
+    df.unpersist()
+  }
+
+  test("decontaminate: a planted eval copy is flagged with full overlap") {
+    // doc 97 is in the eval slice; a corpus doc with identical text
+    // must come back contaminated with n_overlap == n_grams
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val evalDoc = docs.filter(pmod(col("doc_id"), lit(97)) === 0).limit(1)
+      .select(col("text")).head().getString(0)
+    val n = evalDoc.split(" ").length
+    assume(n >= 8) // needs at least one 8-gram to overlap
+    // replay with the planted copy appended as a non-eval doc_id
+    val planted = spark.range(1).select(lit(6000001L).as("doc_id"),
+      lit(evalDoc).as("text"), lit("en").as("lang"), lit("srcX").as("source"),
+      lit(evalDoc.length.toLong).as("n_chars"))
+    val all = docs.unionByName(planted)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    all.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val res = SparkEntry.queries("q_decontaminate")(spark, tmp)
+    val row = res.filter(col("doc_id") === 6000001L).head()
+    assert(row.getAs[Int]("contaminated") == 1)
+    assert(row.getAs[Long]("n_overlap") == row.getAs[Long]("n_grams"))
+  }
+
+  test("dedup_bloom: exactly the planted duplicates match, fresh rows never do") {
+    val df = SparkEntry.queries("q_dedup_bloom")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dupIds = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val got = df.collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("match_id")))
+    // every %7==0 doc re-ingested verbatim recovers its original…
+    assert(dupIds.forall(id => got.contains((id + 2000000L, id))))
+    // …and no %7==3 (re-texted) row survives the exact verify
+    assert(got.forall { case (nid, _) => (nid - 2000000L) % 7 == 0 })
+    df.unpersist()
+  }
+
+  test("dedup_bloom: plan applies the native bloom predicate before the join") {
+    val plan = SparkEntry.queries("q_dedup_bloom")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+  }
+}

@@ -26,26 +26,30 @@ object ImageDecode {
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case _: Throwable => None }
 
+  /** Dims + channel means of an already-decoded frame (shared with
+    * the per-frame video path, [[VideoDecode]]). */
+  def stats(img: BufferedImage): Pixels = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (r, g, b) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Pixels(w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+  }
+
   /** Decode to pixels and compute a simple feature vector (dims +
     * channel means) — the "feature-extract" step of the media
     * pipeline, for real. */
   def decode(bytes: Array[Byte]): Option[Pixels] =
-    read(bytes).map { img =>
-      val (w, h) = (img.getWidth, img.getHeight)
-      var (r, g, b) = (0L, 0L, 0L)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-          x += 1
-        }
-        y += 1
-      }
-      val n = w.toLong * h
-      Pixels(w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n)
-    }
+    read(bytes).map(stats)
 
   /** Real resample into a bounding box (aspect preserved), re-encoded
     * as PNG bytes. */

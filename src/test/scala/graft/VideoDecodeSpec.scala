@@ -1,0 +1,161 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import javax.imageio.{IIOImage, ImageIO}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{BinaryDocs, VideoDecode}
+
+class VideoDecodeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def solid(w: Int, h: Int, rgb: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    img
+  }
+
+  /** Real animated GIF via the JDK's own sequence writer. */
+  private def gifBytes(colors: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(buf)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      writer.writeToSequence(
+        new IIOImage(solid(w, h, c), null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    buf.toByteArray
+  }
+
+  private def jpegBytes(img: BufferedImage): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", buf)
+    buf.toByteArray
+  }
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length % 2
+    val b = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+    b.array()
+  }
+
+  private def list(typ: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+
+  /** Hand-assembled MJPEG AVI: RIFF(AVI  LIST(hdrl avih) LIST(movi 00dc…)). */
+  private def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(33366).putInt(0).putInt(0).putInt(0)
+    avih.putInt(frames.length)            // dwTotalFrames @16
+    avih.putInt(0).putInt(1).putInt(0)
+    avih.putInt(w).putInt(h)              // dwWidth/dwHeight @32/@36
+    val hdrl = list("hdrl", chunk("avih", avih.array()))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  test("animated GIF: every frame decoded with correct per-frame features") {
+    val bytes = gifBytes(Seq(0xff0000, 0x00ff00, 0x0000ff), 8, 6)
+    assert(VideoDecode.detectFormat(bytes) == "gif")
+    val frames = VideoDecode.gifFrames(bytes).get
+    assert(frames.length == 3)
+    assert(frames.forall(p => p.width == 8 && p.height == 6))
+    assert(frames(0).meanR == 255.0 && frames(0).meanG == 0.0)
+    assert(frames(1).meanG == 255.0 && frames(1).meanB == 0.0)
+    assert(frames(2).meanB == 255.0 && frames(2).meanR == 0.0)
+    val m = VideoDecode.meta(bytes).get
+    assert(m.format == "gif" && m.width == 8 && m.height == 6 && m.nFrames == 3)
+  }
+
+  test("MJPEG AVI: frames decoded from the RIFF walk, header meta real") {
+    val frames = Seq(solid(16, 12, 0xff0000), solid(16, 12, 0x0000ff)).map(jpegBytes)
+    val bytes = aviBytes(frames, 16, 12)
+    assert(VideoDecode.detectFormat(bytes) == "avi")
+    val px = VideoDecode.aviFrames(bytes).get
+    assert(px.length == 2)
+    assert(px.forall(p => p.width == 16 && p.height == 12))
+    // JPEG is lossy; solid primaries decode within a small tolerance
+    assert(math.abs(px(0).meanR - 255.0) < 3 && px(0).meanB < 3)
+    assert(math.abs(px(1).meanB - 255.0) < 3 && px(1).meanR < 3)
+    val m = VideoDecode.meta(bytes).get
+    assert(m.format == "avi" && m.width == 16 && m.height == 12 && m.nFrames == 2)
+  }
+
+  test("decodeVideo samples every stride-th frame in the distributed path") {
+    import spark.implicits._
+    val gif4 = gifBytes(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), 4, 4)
+    val avi2 = aviBytes(Seq(solid(8, 8, 0x00ff00), solid(8, 8, 0xff0000)).map(jpegBytes), 8, 8)
+    val rows = Seq(
+      (1L, gif4),
+      (2L, avi2),
+      (3L, "h264 would live here".getBytes("UTF-8")))
+    val out = BinaryDocs.decodeVideo(rows.toDF("doc_id", "media"), stride = 2)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    // 4-frame GIF at stride 2 → frames 0 and 2
+    val g = out(1L).sortBy(_.getAs[Long]("frame_no"))
+    assert(g.map(_.getAs[Long]("frame_no")).toSeq == Seq(0L, 2L))
+    assert(g.forall(_.getAs[Boolean]("decoded")))
+    assert(g(0).getAs[Double]("mean_r") == 255.0)
+    assert(g(1).getAs[Double]("mean_b") == 255.0)
+    // 2-frame AVI at stride 2 → frame 0 only
+    val a = out(2L)
+    assert(a.map(_.getAs[Long]("frame_no")).toSeq == Seq(0L))
+    assert(math.abs(a(0).getAs[Double]("mean_g") - 255.0) < 3)
+    // unsupported codec → one decoded=false row, task survives
+    val u = out(3L)
+    assert(u.length == 1 && !u(0).getAs[Boolean]("decoded"))
+  }
+
+  test("extractMeta picks up video headers in the fallback chain") {
+    import spark.implicits._
+    val avi = aviBytes(Seq(jpegBytes(solid(8, 8, 0))), 320, 240)
+    val out = BinaryDocs.extractMeta(Seq((1L, avi)).toDF("doc_id", "media"))
+      .collect().head
+    assert(out.getAs[Long]("width") == 320 && out.getAs[Long]("height") == 240)
+  }
+
+  test("corrupt containers terminate cleanly: fuzz, truncation, hostile chunk sizes") {
+    val rnd = new scala.util.Random(4321)
+    val gif = gifBytes(Seq(0xff0000, 0x00ff00), 8, 8)
+    val avi = aviBytes(Seq(jpegBytes(solid(8, 8, 0xff0000))), 8, 8)
+    (0 to 80).foreach { n =>
+      VideoDecode.decode(Array.fill(n * 5)(rnd.nextInt(256).toByte))
+      VideoDecode.decode(gif.take(n * 3)); VideoDecode.meta(gif.take(n * 3))
+      VideoDecode.decode(avi.take(n * 3)); VideoDecode.meta(avi.take(n * 3))
+    }
+    // hostile chunk size right after the AVI header: the Long cursor
+    // walks past the end instead of stepping backward or looping
+    Seq(0xFFFFFFF8L, 0xFFFFFFF9L, 0x80000000L, 0xFFFFFFFFL).foreach { sz =>
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(12).put("AVI ".getBytes)
+      b.put("00dc".getBytes).putInt(sz.toInt)
+      assert(VideoDecode.decode(b.array()).isEmpty, s"size=$sz")
+      assert(VideoDecode.meta(b.array()).isEmpty, s"size=$sz")
+    }
+    // a LIST whose declared size overruns the buffer is clamped
+    val overrun = {
+      val inner = list("movi", chunk("00dc", jpegBytes(solid(4, 4, 0x0000ff))))
+      val patched = inner.clone()
+      val bb = ByteBuffer.wrap(patched).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4, Int.MaxValue) // hostile LIST size
+      val body = "AVI ".getBytes ++ patched
+      val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(body.length).put(body)
+      out.array()
+    }
+    val decoded = VideoDecode.decode(overrun)
+    assert(decoded.forall(_.nonEmpty)) // clamped walk still finds the frame or bails clean
+  }
+}

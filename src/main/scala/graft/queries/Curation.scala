@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Liter
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.sources.Tables
+import graft.similarity.Embeddings
 
 /** Corpus-curation operators beyond the dedup/mixture set in
   * [[LlmData]] (SURVEY §2 #73-75): duplicated-span statistics,
@@ -110,10 +111,42 @@ object Curation {
       .select(col("new_id"), col("doc_id").as("match_id"))
   }
 
+  /** #76 SEMANTIC dedup (SemDeDup, Abbas et al. 2023): embeddings are
+    * grouped by their cluster label (the k-means assignment a real
+    * pipeline computes with [[Embeddings]] centroids — the testdata
+    * ships labels), near-duplicate pairs are found by WITHIN-CLUSTER
+    * cosine, and each duplicate set keeps its lowest-id member. The
+    * all-pairs comparison is bounded per cluster — that is the whole
+    * point of the SemDeDup design: cluster first so the quadratic step
+    * is cluster-local, never corpus-wide. Planted probes (every 5th
+    * vector re-ingested verbatim under a new id) guarantee dup pairs
+    * at any SF; the keep rule is the one-hop min-id resolve of
+    * `q_dedup_resolve`. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.99
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val planted = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"), col("embedding"))
+    val all = e.unionByName(planted)
+      .select(col("vec_id"), col("label"), Embeddings.asDouble(col("embedding")).as("v"))
+    val drops = all.as("a")
+      .join(all.as("b").hint("shuffle_hash"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(Embeddings.cosine(col("a.v"), col("b.v")), 6) >= tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    all.select(col("vec_id"), col("label"))
+      .join(drops.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        when(col("__drop").isNull, 1).otherwise(0).cast("int").as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_spans"   -> dedupSpans _,
     "q_decontaminate" -> decontaminate _,
-    "q_dedup_bloom"   -> dedupBloom _
+    "q_dedup_bloom"   -> dedupBloom _,
+    "q_semdedup"      -> semDedup _
   )
 
   val oracles: Map[String, String] = Map(
@@ -150,6 +183,23 @@ object Curation {
         |  CAST(CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END
         |    AS INTEGER) AS contaminated
         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin,
+    "q_semdedup" ->
+      """WITH pl AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, label, embedding FROM embeddings
+        |  WHERE vec_id % 5 = 0),
+        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM pl),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ROUND(
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) >= 0.99)
+        |SELECT e.vec_id, e.label,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM e LEFT JOIN drops d ON e.vec_id = d.vec_id""".stripMargin,
     "q_dedup_bloom" ->
       """WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents),
         |batch AS (

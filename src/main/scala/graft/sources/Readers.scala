@@ -41,6 +41,26 @@ object Readers {
   def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Provider class for the Avro file source: present in spark-sql
+    * but not service-registered in this build, so the fully-qualified
+    * name is used instead of the `avro` short name. */
+  val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Avro with explicit schema — the row-oriented interchange format
+    * of warehouse export/import surfaces. Partition pruning on
+    * directory columns works as with any file source; Avro itself has
+    * no column pruning, so prefer parquet/ORC for analytic tables and
+    * Avro for row-at-a-time interchange. */
+  def avro(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).format(AvroProvider).load(path)
+
+  /** XML source (built into Spark 4): `rowTag` names the repeating
+    * element that becomes a row. The odd one out of the file surface —
+    * XML feeds are interchange, not analytics; land them to parquet at
+    * ingest. */
+  def xml(spark: SparkSession, path: String, rowTag: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).format("xml").load(path)
+
   /** Warehouse source over JDBC — the public-knowledge equivalent of
     * the reference's warehouse extract (reference tasks/base.py:559-594
     * `extract_via_bq`: run a query against the warehouse, get a

@@ -52,6 +52,17 @@ object Writers {
       .partitionBy("__date")
       .orc(pathFor(prefix, stage, task, source))
 
+  /** Avro date-partitioned sink (row-oriented interchange; the
+    * export format warehouse load surfaces consume). */
+  def datePartitionedAvro(
+      df: DataFrame, prefix: String, stage: String, task: String, source: String,
+      dateCol: String): Unit =
+    df.withColumn("__date", to_date(col(dateCol)).cast("string"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__date")
+      .format(Readers.AvroProvider)
+      .save(pathFor(prefix, stage, task, source))
+
   /** Daily-cleanup + reload as ONE dynamic partition overwrite:
     * the reference deletes the execution date's rows then re-appends
     * (reference sql/cleanup_generic.sql + tasks/bigquery.py

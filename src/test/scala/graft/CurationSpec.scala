@@ -83,6 +83,19 @@ class CurationSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("semdedup: planted copies dropped, originals kept, nothing else flagged") {
+    val df = SparkEntry.queries("q_semdedup")(spark, sf).cache()
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    val nPlanted = graft.sources.Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(5)) === 0).count()
+    assert(df.count() == nVecs + nPlanted)
+    // every planted verbatim copy is the larger-id member of a cos=1
+    // pair → dropped; distinct originals never reach the threshold
+    assert(df.filter(col("vec_id") >= 1000000L && col("keep") === 1).count() == 0)
+    assert(df.filter(col("vec_id") < 1000000L && col("keep") === 0).count() == 0)
+    df.unpersist()
+  }
+
   test("dedup_bloom: plan applies the native bloom predicate before the join") {
     val plan = SparkEntry.queries("q_dedup_bloom")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -42,6 +42,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"rate join fell back to SMJ:\n$p")
   }
 
+  test("decontamination broadcasts the eval n-gram set; the corpus side never shuffles") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval set not broadcast:\n$p")
+  }
+
+  test("span dedup joins back shuffle-hash on the span key") {
+    val p = plan("q_dedup_spans")
+    assert(p.contains("ShuffledHashJoin"), s"span join-back lost its hint:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"span join-back fell back to SMJ:\n$p")
+  }
+
+  test("bloom dedup prunes the batch with the native predicate before the verify join") {
+    val p = plan("q_dedup_bloom")
+    assert(p.contains("might_contain"), s"bloom predicate missing:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"verify join lost its hint:\n$p")
+  }
+
+  test("semantic dedup pair generation is cluster-local (join keyed on label)") {
+    val p = plan("q_semdedup")
+    assert(p.contains("ShuffledHashJoin"), s"within-cluster join lost its hint:\n$p")
+  }
+
   test("filter predicates reach the parquet scan") {
     val p = plan("q_select_filter")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,

@@ -142,11 +142,70 @@ object Curation {
         when(col("__drop").isNull, 1).otherwise(0).cast("int").as("keep"))
   }
 
+  /** #77 TF-IDF top terms per document — the term-weighting step of
+    * retrieval-adjacent curation (doc keyword extraction, near-dup
+    * explanation, quality signals). Shapes: term frequencies are one
+    * hash agg off the token explode; document frequencies a second
+    * (map-side combined, distinct (doc,term) built row-locally with
+    * array_distinct before the explode); N is a broadcast scalar; the
+    * df join-back is SHUFFLE_HASH on the term; the per-doc top-3 is a
+    * window over each doc's own terms. idf = ln(N/df), both engines
+    * on the same double math, rounded 6. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = docs.select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df.hint("shuffle_hash"), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), round(col("tfidf"), 6).as("tfidf"))
+  }
+
+  /** #78 n-gram language-model COUNT table (the KenLM-style count
+    * step a data pipeline runs to score corpora): bigram and unigram
+    * counts over the whole corpus, conditional log-probability
+    * ln(C(w1,w2)/C(w1)) per bigram, top-50 bigrams by count. Both
+    * count aggs are map-side combined; the unigram join-back is
+    * SHUFFLE_HASH; only the top-50 ever reaches the driver. */
+  def ngramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val docs = Tables.documents(s, dir).select(toks.as("toks"))
+    val bigrams = docs.select(explode(
+      when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val unigrams = docs.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bigrams.join(unigrams.hint("shuffle_hash"), "w1")
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log(col("c2").cast("double") / col("c1").cast("double")), 6)
+          .as("logp"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_spans"   -> dedupSpans _,
     "q_decontaminate" -> decontaminate _,
     "q_dedup_bloom"   -> dedupBloom _,
-    "q_semdedup"      -> semDedup _
+    "q_semdedup"      -> semDedup _,
+    "q_tfidf"         -> tfidf _,
+    "q_ngram_lm"      -> ngramLm _
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,6 +259,38 @@ object Curation {
         |SELECT e.vec_id, e.label,
         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM e LEFT JOIN drops d ON e.vec_id = d.vec_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tfc AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+        |dfc AS (SELECT term, COUNT(*) AS df
+        |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+        |  GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM t),
+        |x AS (SELECT tfc.doc_id, tfc.term,
+        |  tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE)) AS tfidf
+        |  FROM tfc JOIN dfc USING (term), n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM x)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        |  ROUND(tfidf, 6) AS tfidf
+        |FROM r WHERE rank <= 3""".stripMargin,
+    "q_ngram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bgx AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)),
+        |           i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))
+        |    ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END) AS b
+        |  FROM t),
+        |bg AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c2
+        |  FROM bgx GROUP BY 1, 2),
+        |ug AS (SELECT w1, COUNT(*) AS c1
+        |  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1)
+        |SELECT bg.w1, bg.w2, bg.c2,
+        |  ROUND(ln(CAST(bg.c2 AS DOUBLE) / CAST(ug.c1 AS DOUBLE)), 6) AS logp
+        |FROM bg JOIN ug USING (w1)
+        |ORDER BY c2 DESC, w1, w2 LIMIT 50""".stripMargin,
     "q_dedup_bloom" ->
       """WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents),
         |batch AS (

@@ -96,6 +96,29 @@ class CurationSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("tfidf: at most 3 ranked terms per doc, weights non-negative") {
+    val df = SparkEntry.queries("q_tfidf")(spark, sf).cache()
+    val perDoc = df.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"), max(col("rank")).as("maxr"), min(col("rank")).as("minr"))
+    assert(perDoc.filter(col("n") > 3).count() == 0)
+    // ranks are contiguous from 1
+    assert(perDoc.filter(col("minr") =!= 1 || col("maxr") =!= col("n")).count() == 0)
+    // df <= N → ln(N/df) >= 0 → tfidf >= 0
+    assert(df.filter(col("tfidf") < 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("ngram_lm: conditional log-probs non-positive, counts consistent") {
+    val df = SparkEntry.queries("q_ngram_lm")(spark, sf).cache()
+    assert(df.count() == 50)
+    // every bigram occurrence implies a w1 occurrence → c2 <= c1 → logp <= 0
+    assert(df.filter(col("logp") > 0).count() == 0)
+    // descending by count
+    val counts = df.select(col("c2")).collect().map(_.getLong(0))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    df.unpersist()
+  }
+
   test("dedup_bloom: plan applies the native bloom predicate before the join") {
     val plan = SparkEntry.queries("q_dedup_bloom")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -40,6 +40,32 @@ object DocsStream {
       .drop("__band")
   }
 
+  /** Streaming DECONTAMINATION at ingest: drop stream documents
+    * sharing any 8-token n-gram with a held-out eval set — the edge
+    * complement of the batch `q_decontaminate`.
+    *
+    * STATELESS by construction: the eval n-gram set (small by
+    * definition — it is a benchmark) is collected ONCE at plan time
+    * and shipped in the closure like a broadcast variable; the
+    * membership test is then a row-local `exists` over each arriving
+    * document's gram array. No streaming state, no shuffle, so it
+    * composes freely before the stateful dedup (a stream-derived anti
+    * join here would be an unsupported stream-stream join — the
+    * row-local filter is the streaming-legal shape). For an eval set
+    * too large to test linearly, the same plan swaps in a bloom-
+    * filter literal built exactly as in `q_dedup_bloom`. */
+  def decontaminatedIngest(
+      docs: DataFrame, evalGrams: DataFrame, textCol: String): DataFrame = {
+    val evalSet = evalGrams.distinct().collect().map(_.getString(0)).toSeq
+    val N = 8
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= N,
+      transform(sequence(lit(1), size(toks) - (N - 1)),
+        i => array_join(slice(toks, i, lit(N)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.filter(!exists(grams, g => array_contains(typedLit(evalSet), g)))
+  }
+
   /** Curated ingest: the full quality-then-dedup gate applied AT THE
     * EDGE of a document stream. The quality rules
     * ([[graft.functions.TextAnalysis.qualityPass]]) are row-local

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -169,6 +170,29 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val kept = spark.table("ci").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L))
+  }
+
+  test("streaming decontamination drops docs overlapping the eval set, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // eval doc shares an 8-gram with the contaminated stream doc only
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val contaminated = "prefix words alpha beta gamma delta epsilon zeta eta theta more tail"
+    val clean = "totally unrelated content about distributed query engines and parquet files"
+    val evalGrams = Seq(evalDoc).toDF("text")
+      .select(explode(transform(
+        sequence(lit(1), size(split(col("text"), " ")) - 7),
+        i => array_join(slice(split(col("text"), " "), i, lit(8)), " "))).as("g"))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = graft.streaming.DocsStream.decontaminatedIngest(
+      mem.toDF().toDF("doc_id", "text", "ts"), evalGrams, "text")
+    val q = df.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decon").start()
+    mem.addData((1L, contaminated, ts(1)), (2L, clean, ts(1)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("decon").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
   }
 
   test("foreachBatch sink appends micro-batches to parquet") {

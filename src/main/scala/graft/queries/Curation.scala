@@ -199,13 +199,40 @@ object Curation {
       .limit(50)
   }
 
+  /** #79 URL NORMALIZATION + per-domain profile — the web-crawl
+    * canonicalization step (scheme/host case-folding, www-stripping,
+    * query/fragment removal, trailing-slash removal) that must run
+    * before any URL-keyed dedup. The corpus carries no URL column, so
+    * — the planted-probe pattern again — each doc gets a deterministic
+    * messy URL derived from its id, and the oracle replays the same
+    * plant + normalization. Normalization is row-local regex/string
+    * ops on the scan; the domain profile is one map-side-combined
+    * hash agg. */
+  def urlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(
+      lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(20)).cast("string"),
+      lit(".COM/Path/"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit("/?utm_source=x&id="), col("doc_id").cast("string"))
+    val lowered = lower(messy)
+    val noQuery = regexp_replace(lowered, "[?#].*$", "")
+    val noWww = regexp_replace(noQuery, "^(https?://)www\\.", "$1")
+    val norm = regexp_replace(noWww, "/$", "")
+    val domain = regexp_extract(norm, "^https?://([^/]+)", 1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("url_norm"), domain.as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("url_norm")).as("n_unique_urls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_spans"   -> dedupSpans _,
     "q_decontaminate" -> decontaminate _,
     "q_dedup_bloom"   -> dedupBloom _,
     "q_semdedup"      -> semDedup _,
     "q_tfidf"         -> tfidf _,
-    "q_ngram_lm"      -> ngramLm _
+    "q_ngram_lm"      -> ngramLm _,
+    "q_url_normalize" -> urlNormalize _
   )
 
   val oracles: Map[String, String] = Map(
@@ -291,6 +318,25 @@ object Curation {
         |  ROUND(ln(CAST(bg.c2 AS DOUBLE) / CAST(ug.c1 AS DOUBLE)), 6) AS logp
         |FROM bg JOIN ug USING (w1)
         |ORDER BY c2 DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.Site' || CAST(doc_id % 20 AS VARCHAR)
+        |    || '.COM/Path/' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) AS messy
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(lower(messy), '[?#].*$', ''),
+        |      '^(https?://)www\.', '\1'),
+        |    '/$', '') AS url_norm
+        |  FROM u),
+        |d AS (SELECT doc_id, url_norm,
+        |  regexp_extract(url_norm, '^https?://([^/]+)', 1) AS domain
+        |  FROM n)
+        |SELECT domain, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT url_norm) AS n_unique_urls
+        |FROM d GROUP BY 1""".stripMargin,
     "q_dedup_bloom" ->
       """WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents),
         |batch AS (

@@ -119,6 +119,18 @@ class CurationSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("url_normalize: canonical forms collapse case/www/query/slash variants") {
+    val df = SparkEntry.queries("q_url_normalize")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    // 20 planted domains; all normalized (lowercase, no www, no query)
+    assert(df.count() == math.min(20L, docs))
+    assert(df.filter(col("domain").rlike("[A-Z]|www\\.|\\?")).count() == 0)
+    // per-domain unique URLs bounded by the 7 path variants
+    assert(df.filter(col("n_unique_urls") > 7).count() == 0)
+    assert(df.agg(sum(col("n_urls"))).head().getLong(0) == docs)
+    df.unpersist()
+  }
+
   test("dedup_bloom: plan applies the native bloom predicate before the join") {
     val plan = SparkEntry.queries("q_dedup_bloom")(spark, sf)
       .queryExecution.executedPlan.toString

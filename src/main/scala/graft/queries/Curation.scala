@@ -11,9 +11,10 @@ import graft.sources.Tables
 import graft.similarity.Embeddings
 
 /** Corpus-curation operators beyond the dedup/mixture set in
-  * [[LlmData]] (SURVEY §2 #73-75): duplicated-span statistics,
-  * benchmark decontamination, and bloom-prefiltered incremental
-  * exact dedup.
+  * [[LlmData]] (SURVEY §2 #73-79): duplicated-span statistics,
+  * benchmark decontamination, bloom-prefiltered incremental exact
+  * dedup, semantic dedup, TF-IDF, n-gram LM counts, and URL
+  * canonicalization.
   */
 object Curation {
 
@@ -54,11 +55,9 @@ object Curation {
     * shuffles. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val N = 8
-    val toks = split(col("text"), " ")
-    val grams = when(size(toks) >= N,
-      transform(sequence(lit(1), size(toks) - (N - 1)),
-        i => array_join(slice(toks, i, lit(N)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // native codegen shingle kernel — identical semantics to the HOF
+    // transform/slice composition (incl. <N-token docs → empty array)
+    val grams = graft.plans.WordShingles(col("text"), N)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(grams).as("grams"))
     val evalGrams = docs.filter(pmod(col("doc_id"), lit(97)) === 0)

@@ -57,12 +57,7 @@ object DocsStream {
   def decontaminatedIngest(
       docs: DataFrame, evalGrams: DataFrame, textCol: String): DataFrame = {
     val evalSet = evalGrams.distinct().collect().map(_.getString(0)).toSeq
-    val N = 8
-    val toks = split(col(textCol), " ")
-    val grams = when(size(toks) >= N,
-      transform(sequence(lit(1), size(toks) - (N - 1)),
-        i => array_join(slice(toks, i, lit(N)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams = graft.plans.WordShingles(col(textCol), 8)
     docs.filter(!exists(grams, g => array_contains(typedLit(evalSet), g)))
   }
 

@@ -127,14 +127,13 @@ object VideoDecode {
   def meta(bytes: Array[Byte]): Option[VideoMeta] = detectFormat(bytes) match {
     case "avi" =>
       try {
-        var i = 12L
         // avih lives in LIST hdrl — find it with the same flat walk,
         // descending into LISTs
         var spans = List((12L, math.min(12L + le32(bytes, 4) - 4L, bytes.length.toLong)))
         while (spans.nonEmpty) {
           val (start, end) = spans.head
           spans = spans.tail
-          i = start
+          var i = start
           while (i + 8 <= end) {
             val o = i.toInt
             val id = fourcc(bytes, o)

@@ -2,10 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
-import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.sources.Tables
 import graft.similarity.Embeddings
@@ -74,21 +70,19 @@ object Curation {
   }
 
   /** #75 BLOOM-prefiltered incremental exact dedup — the
-    * daily-ingest membership check: a bloom filter over the corpus's
-    * content hashes is built DISTRIBUTED with Spark's native
-    * [[BloomFilterAggregate]] (the same sketch the engine's runtime
-    * row-group filters use; partial sketches merge map-side), reduced
-    * to one ~1 MB binary on the driver exactly like a broadcast-var
-    * build, and re-applied as a codegen'd [[BloomFilterMightContain]]
-    * literal over the batch. Batch rows the bloom rejects are
+    * daily-ingest membership check, via the reusable
+    * [[graft.dedup.BloomIndex]] component: the corpus's content-hash
+    * bloom is built distributed (native BloomFilterAggregate, partial
+    * sketches merging map-side) and applied to the batch as a codegen
+    * might_contain literal. Batch rows the bloom rejects are
     * DEFINITELY new (no false negatives) and skip the join entirely;
     * the survivors are confirmed by an exact hash join, so the output
     * is exact — the bloom only prunes. Daily cost: one corpus scan to
-    * build (amortizable — the sketch is storable), then a join whose
-    * probe side is only the batch rows that might match. The batch is
-    * the planted shape of #72: doc_id % 7 == 0 rows re-ingested
-    * verbatim (guaranteed duplicates), % 7 == 3 rows re-texted
-    * (guaranteed fresh). */
+    * build (amortizable — BloomIndex.save/load makes the sketch a
+    * stored artifact), then a join whose probe side is only the batch
+    * rows that might match. The batch is the planted shape of #72:
+    * doc_id % 7 == 0 rows re-ingested verbatim (guaranteed
+    * duplicates), % 7 == 3 rows re-texted (guaranteed fresh). */
   def dedupBloom(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(s, dir)
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
@@ -97,15 +91,8 @@ object Curation {
       .select((col("doc_id") + 2000000L).as("new_id"),
         md5(when(pmod(col("doc_id"), lit(7)) === 0, col("text"))
           .otherwise(concat(col("text"), lit(" fresh content")))).as("content_hash"))
-    val hashOf = (c: String) => new XxHash64(Seq(GraftBridge.expression(col(c))))
-    val bloomBytes = corpus
-      .select(GraftBridge.column(
-        new BloomFilterAggregate(hashOf("content_hash"), 1000000L)
-          .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val mightContain = GraftBridge.column(new BloomFilterMightContain(
-      Literal(bloomBytes, BinaryType), hashOf("content_hash")))
-    batch.filter(mightContain)
+    val index = graft.dedup.BloomIndex.build(corpus, "content_hash")
+    graft.dedup.BloomIndex.prune(batch, "content_hash", index)
       .join(corpus.hint("shuffle_hash"), "content_hash")
       .select(col("new_id"), col("doc_id").as("match_id"))
   }

@@ -131,6 +131,27 @@ class CurationSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("BloomIndex: save/load roundtrip, no false negatives, prune/definitelyNew partition") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val index = graft.dedup.BloomIndex.build(docs, "h", expectedItems = 10000L)
+    // storable artifact: byte-identical through disk
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    graft.dedup.BloomIndex.save(index, s"$tmp/idx/corpus.bloom")
+    val loaded = graft.dedup.BloomIndex.load(s"$tmp/idx/corpus.bloom")
+    assert(java.util.Arrays.equals(index, loaded))
+    // no false negatives: every indexed key passes prune
+    assert(graft.dedup.BloomIndex.prune(docs, "h", loaded).count() == docs.count())
+    // fresh keys: definitelyNew + prune partition the frame
+    val fresh = docs.select(md5(concat(col("h"), lit("x"))).as("h"))
+    val n = fresh.count()
+    val newN = graft.dedup.BloomIndex.definitelyNew(fresh, "h", loaded).count()
+    val mightN = graft.dedup.BloomIndex.prune(fresh, "h", loaded).count()
+    assert(newN + mightN == n)
+    // with a reasonably-sized sketch, false positives are rare
+    assert(mightN < n / 10)
+  }
+
   test("dedup_bloom: plan applies the native bloom predicate before the join") {
     val plan = SparkEntry.queries("q_dedup_bloom")(spark, sf)
       .queryExecution.executedPlan.toString

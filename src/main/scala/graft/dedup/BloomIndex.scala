@@ -38,9 +38,14 @@ object BloomIndex {
 
   /** Membership predicate for `keyCol` against a built index: true
     * means MIGHT be present (confirm with an exact join), false means
-    * definitely absent. */
+    * definitely absent. An EMPTY corpus builds a null sketch
+    * ([[BloomFilterAggregate]] over zero rows) — membership is then
+    * constant false (everything is new), not the null predicate a raw
+    * might_contain(null, …) would produce (which would silently drop
+    * every row from BOTH prune and definitelyNew). */
   def mightContain(index: Array[Byte], keyCol: String): Column =
-    GraftBridge.column(new BloomFilterMightContain(
+    if (index == null) org.apache.spark.sql.functions.lit(false)
+    else GraftBridge.column(new BloomFilterMightContain(
       Literal(index, BinaryType), hash(keyCol)))
 
   /** Keep only the rows whose key might be in the index (the rows

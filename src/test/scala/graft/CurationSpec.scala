@@ -150,6 +150,12 @@ class CurationSpec extends AnyFunSuite {
     assert(newN + mightN == n)
     // with a reasonably-sized sketch, false positives are rare
     assert(mightN < n / 10)
+    // EMPTY corpus → null sketch → everything is definitely new
+    // (not the null predicate, which would drop every row from both
+    // prune and definitelyNew)
+    val emptyIdx = graft.dedup.BloomIndex.build(docs.limit(0), "h")
+    assert(graft.dedup.BloomIndex.definitelyNew(fresh, "h", emptyIdx).count() == n)
+    assert(graft.dedup.BloomIndex.prune(fresh, "h", emptyIdx).count() == 0)
   }
 
   test("dedup_bloom: plan applies the native bloom predicate before the join") {

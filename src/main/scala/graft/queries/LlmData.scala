@@ -257,27 +257,11 @@ object LlmData {
     * value from 4 md5 hex digits, so kept fractions track the computed
     * rate to 1/65536 and are bit-reproducible across engines. */
   def domainMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curate
     val docs = Tables.documents(s, dir).select(
       col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("ntok"))
-    val perSrc = docs.groupBy(col("source")).agg(sum(col("ntok")).as("src_tokens"))
-    val total = perSrc.agg(sum(col("src_tokens")).as("total"))
-    val w = when(col("source") === "src0", 0.20)
-      .when(col("source") === "src1", 0.04)
-      .when(col("source") === "src2", 0.025)
-      .otherwise(0.015)
-    val rates = perSrc.crossJoin(broadcast(total)).select(
-      col("source"),
-      floor(least(lit(1.0),
-        w * col("total").cast("double") / col("src_tokens").cast("double"))
-        * 65536).cast("long").as("thresh"))
-    val h = md5(concat(col("doc_id").cast("string"), lit(":mix")))
-    val hex = "0123456789abcdef"
-    val bucket = (1 to 4).map(i =>
-      (instr(lit(hex), substring(h, i, 1)) - 1) * (1 << (4 * (4 - i))))
-      .reduce(_ + _)
-    docs.join(broadcast(rates), "source")
-      .filter(bucket < col("thresh"))
+    Curate.mixtureResample(docs, Curate.defaultWeight, "doc_id")
       .groupBy(col("source"), col("thresh"))
       .agg(count(lit(1)).as("kept_docs"),
         sum(col("ntok")).as("kept_tokens"))
@@ -291,21 +275,11 @@ object LlmData {
     * parallelism scales with shard count instead of serializing per
     * source — the window never sees more than one shard's rows. */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val B = 2048
     val docs = Tables.documents(s, dir).select(
       col("doc_id"), col("source"),
       pmod(col("doc_id"), lit(8)).cast("long").as("shard"),
       size(split(col("text"), " ")).cast("long").as("ntok"))
-    val w = Window.partitionBy(col("source"), col("shard"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("cum", sum(col("ntok")).over(w))
-      .withColumn("bin", floor((col("cum") - col("ntok")) / B).cast("long"))
-      .groupBy(col("source"), col("shard"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("ntok")).as("bin_tokens"),
-        round(sum(col("ntok")).cast("double") / B, 6).as("fill_ratio"))
+    graft.operators.Curate.packBins(docs, "doc_id", 2048)
   }
 
   /** #69 int8 scalar QUANTIZATION of embeddings + reconstruction
@@ -388,43 +362,15 @@ object LlmData {
     * packing is one sharded window. Companion of `q_dedup_pipeline`
     * (#36c) for the curation half of the surface. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val B = 2048
+    import graft.operators.Curate
     val kept0 = Tables.documents(s, dir)
       .filter(TextAnalysis.qualityPass(col("text")))
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val deduped = kept0
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val deduped = Curate.dedupKeepOne(kept0, "doc_id", "text")
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("ntok"))
-    val perSrc = deduped.groupBy(col("source")).agg(sum(col("ntok")).as("src_tokens"))
-    val total = perSrc.agg(sum(col("src_tokens")).as("total"))
-    val weight = when(col("source") === "src0", 0.20)
-      .when(col("source") === "src1", 0.04)
-      .when(col("source") === "src2", 0.025)
-      .otherwise(0.015)
-    val rates = perSrc.crossJoin(broadcast(total)).select(
-      col("source"),
-      floor(least(lit(1.0),
-        weight * col("total").cast("double") / col("src_tokens").cast("double"))
-        * 65536).cast("long").as("thresh"))
-    val h = md5(concat(col("doc_id").cast("string"), lit(":mix")))
-    val hex = "0123456789abcdef"
-    val bucket = (1 to 4).map(i =>
-      (instr(lit(hex), substring(h, i, 1)) - 1) * (1 << (4 * (4 - i))))
-      .reduce(_ + _)
-    val mixed = deduped.join(broadcast(rates), "source")
-      .filter(bucket < col("thresh"))
+    val mixed = Curate.mixtureResample(deduped, Curate.defaultWeight, "doc_id")
       .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("long"))
-    val wp = Window.partitionBy(col("source"), col("shard"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mixed.withColumn("cum", sum(col("ntok")).over(wp))
-      .withColumn("bin", floor((col("cum") - col("ntok")) / B).cast("long"))
-      .groupBy(col("source"), col("shard"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("ntok")).as("bin_tokens"),
-        round(sum(col("ntok")).cast("double") / B, 6).as("fill_ratio"))
+    Curate.packBins(mixed, "doc_id", 2048)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

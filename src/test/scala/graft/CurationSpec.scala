@@ -158,6 +158,26 @@ class CurationSpec extends AnyFunSuite {
     assert(graft.dedup.BloomIndex.prune(fresh, "h", emptyIdx).count() == 0)
   }
 
+  test("CurationJob: writes curated docs, packing table and bloom artifact; idempotent") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    val r1 = graft.pipelines.CurationJob.run(docs, out)
+    assert(r1.input == docs.count())
+    assert(r1.afterQuality <= r1.input && r1.afterDedup <= r1.afterQuality)
+    assert(r1.afterMix <= r1.afterDedup && r1.afterMix > 0 && r1.bins > 0)
+    // artifacts readable; curated is source-partitioned
+    val curated = spark.read.parquet(s"$out/curated")
+    assert(curated.count() == r1.afterDedup)
+    assert(curated.columns.contains("source"))
+    // the bloom artifact admits every curated doc (no false negatives)
+    val idx = graft.dedup.BloomIndex.load(s"$out/corpus.bloom")
+    val hashes = curated.select(md5(col("text")).as("h"))
+    assert(graft.dedup.BloomIndex.prune(hashes, "h", idx).count() == r1.afterDedup)
+    // re-run overwrites to the same counts (idempotent)
+    val r2 = graft.pipelines.CurationJob.run(docs, out)
+    assert(r2 == r1)
+  }
+
   test("dedup_bloom: plan applies the native bloom predicate before the join") {
     val plan = SparkEntry.queries("q_dedup_bloom")(spark, sf)
       .queryExecution.executedPlan.toString

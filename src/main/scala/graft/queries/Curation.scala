@@ -211,6 +211,28 @@ object Curation {
         count_distinct(col("url_norm")).as("n_unique_urls"))
   }
 
+  /** #80 BPE MERGE-STEP pair counting — one iteration of byte-pair-
+    * encoding tokenizer training, the distributable inner loop: word
+    * frequencies (one map-side-combined agg over the token explode),
+    * then adjacent symbol-pair counts weighted by word frequency,
+    * top-20 merge candidates. The word-frequency table is tiny
+    * relative to the corpus (vocabulary-sized), so every later stage
+    * is cheap — exactly why real BPE trainers count words first.
+    * Pair enumeration is `Column.substr` over a sequence — identical
+    * 1-based semantics in DuckDB's substr. */
+  def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    words.filter(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_spans"   -> dedupSpans _,
     "q_decontaminate" -> decontaminate _,
@@ -218,7 +240,8 @@ object Curation {
     "q_semdedup"      -> semDedup _,
     "q_tfidf"         -> tfidf _,
     "q_ngram_lm"      -> ngramLm _,
-    "q_url_normalize" -> urlNormalize _
+    "q_url_normalize" -> urlNormalize _,
+    "q_bpe_merge_step" -> bpeMergeStep _
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,6 +346,15 @@ object Curation {
         |SELECT domain, COUNT(*) AS n_urls,
         |  COUNT(DISTINCT url_norm) AS n_unique_urls
         |FROM d GROUP BY 1""".stripMargin,
+    "q_bpe_merge_step" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+        |x AS (SELECT word, freq, unnest(range(1, length(word))) AS i
+        |  FROM f WHERE length(word) >= 2),
+        |p AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq FROM x)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_dedup_bloom" ->
       """WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents),
         |batch AS (

@@ -138,6 +138,18 @@ object EventsStream {
         col("click_value"), col("purchase_value"))
   }
 
+  /** STREAM-STATIC dimension enrichment: join the event stream
+    * against a static dimension frame (country/tracker/market tables
+    * — the reference's per-day dim joins, continuous). The static
+    * side is re-planned per micro-batch and BROADCAST, so the
+    * stream side never shuffles and no streaming state is created —
+    * this composes with watermarks/aggregations downstream without
+    * restriction (unlike stream-stream joins). Left join: events
+    * with no dim row pass through with nulls, the same IFNULL
+    * posture as the batch attribution join. */
+  def enrichWithDims(stream: DataFrame, dims: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dims), Seq(key), "left")
+
   /** foreachBatch sink: applies the batch writer to each micro-batch —
     * the streaming analogue of the reference's per-day load step
     * (daily partitioned append becomes continuous micro-batch

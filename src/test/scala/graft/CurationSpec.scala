@@ -178,6 +178,14 @@ class CurationSpec extends AnyFunSuite {
     assert(r2 == r1)
   }
 
+  test("bpe_merge_step: 2-char pairs, counts descending") {
+    val rows = SparkEntry.queries("q_bpe_merge_step")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("dedup_bloom: plan applies the native bloom predicate before the join") {
     val plan = SparkEntry.queries("q_dedup_bloom")(spark, sf)
       .queryExecution.executedPlan.toString

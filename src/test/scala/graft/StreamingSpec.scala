@@ -195,6 +195,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L))
   }
 
+  test("stream-static dim enrichment broadcasts the static side, no state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq(("us", "America/New_York"), ("de", "Europe/Berlin"))
+      .toDF("country", "tz")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = EventsStream.enrichWithDims(
+      mem.toDF().toDF("user_id", "country", "ts"), dims, "country")
+    val q = df.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dimjoin").start()
+    mem.addData((1L, "us", ts(1)), (2L, "de", ts(1)), (3L, "xx", ts(1)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dimjoin").collect()
+      .map(r => r.getAs[Long]("user_id") -> Option(r.getAs[String]("tz"))).toMap
+    assert(rows(1L).contains("America/New_York"))
+    assert(rows(2L).contains("Europe/Berlin"))
+    assert(rows(3L).isEmpty) // left join: unknown dim passes through with null
+  }
+
   test("foreachBatch sink appends micro-batches to parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -233,6 +233,65 @@ object Curation {
       .limit(20)
   }
 
+  /** #81 CONTAINMENT similarity — the ASYMMETRIC near-dup metric
+    * (|A∩B| / |A|): high when doc A is a quote/subset of doc B even
+    * if B is much longer, which Jaccard misses by construction (the
+    * union in its denominator punishes size difference). The standard
+    * tool for finding embedded duplicates. Same inverted-index
+    * candidate shape as `q_dedup_ngram_jaccard` — pair generation is
+    * shingle-local, never all-pairs; planted probes (every 9th doc
+    * re-ingested as its own first 16 tokens) guarantee high-
+    * containment pairs at any SF. Top-20 by containment. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val excerpts = base.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 16), " ").as("text"))
+    val all = base.unionByName(excerpts)
+    val sh = all.select(col("doc_id"),
+      array_distinct(graft.plans.WordShingles(col("text"), 3)).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
+        explode(col("shs")).as("sh"))
+    sh.as("a")
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"), max(col("a.sz")).as("sz_a"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / col("sz_a"), 6).as("containment"))
+      .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** #81b the INVERSE view of #74 — the per-EVAL-document leak
+    * report an evaluation owner actually reads: for each held-out
+    * doc, how many corpus documents share an 8-gram with it and how
+    * much of the eval doc is exposed. Same broadcast shape as #74
+    * with the roles swapped: the corpus gram explode probes the
+    * broadcast eval grams, then aggregates by eval doc. */
+  def contaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val grams = graft.plans.WordShingles(col("text"), 8)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(grams).as("grams"))
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val evalGrams = evalDocs
+      .select(col("doc_id").as("eval_id"), explode(col("grams")).as("g"))
+    val corpusGrams = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id").as("corpus_id"), explode(col("grams")).as("g"))
+    val hits = corpusGrams.join(broadcast(evalGrams), "g")
+      .groupBy(col("eval_id"))
+      .agg(count_distinct(col("corpus_id")).as("n_leaking_docs"),
+        count_distinct(col("g")).as("n_leaked_grams"))
+    evalDocs.select(col("doc_id").as("eval_id"),
+        size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        round(coalesce(col("n_leaked_grams"), lit(0L)) /
+          greatest(col("n_grams"), lit(1L)), 6).as("leak_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_spans"   -> dedupSpans _,
     "q_decontaminate" -> decontaminate _,
@@ -241,7 +300,9 @@ object Curation {
     "q_tfidf"         -> tfidf _,
     "q_ngram_lm"      -> ngramLm _,
     "q_url_normalize" -> urlNormalize _,
-    "q_bpe_merge_step" -> bpeMergeStep _
+    "q_bpe_merge_step" -> bpeMergeStep _,
+    "q_containment"   -> containment _,
+    "q_contamination_report" -> contaminationReport _
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,6 +407,52 @@ object Curation {
         |SELECT domain, COUNT(*) AS n_urls,
         |  COUNT(DISTINCT url_norm) AS n_unique_urls
         |FROM d GROUP BY 1""".stripMargin,
+    "q_containment" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    array_to_string(string_split(text, ' ')[1:16], ' ')
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM t0),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END AS sh
+        |  FROM t),
+        |ex AS (SELECT DISTINCT doc_id, unnest(sh) AS sh FROM s),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q_contamination_report" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(toks) >= 8
+        |    THEN list_transform(range(1, len(toks) - 6),
+        |           i -> array_to_string(toks[i:(i+7)], ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS grams
+        |  FROM t),
+        |ev AS (SELECT doc_id AS eval_id, grams FROM g WHERE doc_id % 97 = 0),
+        |evx AS (SELECT eval_id, unnest(grams) AS gr FROM ev),
+        |cx AS (SELECT doc_id AS corpus_id, unnest(grams) AS gr
+        |  FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT eval_id,
+        |  COUNT(DISTINCT corpus_id) AS n_leaking_docs,
+        |  COUNT(DISTINCT gr) AS n_leaked_grams
+        |  FROM cx JOIN evx USING (gr) GROUP BY 1)
+        |SELECT e.eval_id, CAST(len(e.grams) AS BIGINT) AS n_grams,
+        |  COALESCE(h.n_leaking_docs, 0) AS n_leaking_docs,
+        |  COALESCE(h.n_leaked_grams, 0) AS n_leaked_grams,
+        |  ROUND(CAST(COALESCE(h.n_leaked_grams, 0) AS DOUBLE)
+        |    / greatest(len(e.grams), 1), 6) AS leak_frac
+        |FROM ev e LEFT JOIN hits h ON e.eval_id = h.eval_id""".stripMargin,
     "q_bpe_merge_step" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |f AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),

@@ -186,6 +186,41 @@ class CurationSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("containment: planted excerpts fully contained in their originals") {
+    val rows = SparkEntry.queries("q_containment")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("containment"); c > 0 && c <= 1.0 })
+    // full containment exists (planted excerpts guarantee it even on a
+    // corpus with no natural subset pairs) and the list is sorted desc
+    assert(rows.head.getAs[Double]("containment") == 1.0)
+    val vals = rows.map(_.getAs[Double]("containment"))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+    // asymmetry: an excerpt is fully contained in its original —
+    // verified directly on one planted pair
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val orig = docs.filter(pmod(col("doc_id"), lit(9)) === 0).limit(1)
+      .select(col("doc_id"),
+        array_distinct(graft.plans.WordShingles(col("text"), 3)).as("shs"),
+        array_distinct(graft.plans.WordShingles(
+          array_join(slice(split(col("text"), " "), 1, 16), " "), 3)).as("ex_shs"))
+      .head()
+    val shs = orig.getAs[Seq[String]]("shs").toSet
+    val exShs = orig.getAs[Seq[String]]("ex_shs").toSet
+    assert(exShs.nonEmpty && exShs.subsetOf(shs))
+  }
+
+  test("contamination_report: one row per eval doc, leak bounded by gram count") {
+    val df = SparkEntry.queries("q_contamination_report")(spark, sf).cache()
+    val nEval = graft.sources.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(97)) === 0).count()
+    assert(df.count() == nEval)
+    assert(df.filter(col("n_leaked_grams") > col("n_grams")).count() == 0)
+    assert(df.filter(col("leak_frac") < 0 || col("leak_frac") > 1).count() == 0)
+    df.unpersist()
+  }
+
   test("dedup_bloom: plan applies the native bloom predicate before the join") {
     val plan = SparkEntry.queries("q_dedup_bloom")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -29,12 +29,20 @@ object BloomIndex {
   /** Build the index over `df(keyCol)`. `expectedItems` sizes the
     * sketch (overestimating costs bytes, underestimating costs false-
     * positive rate — both degrade gracefully, correctness never
-    * depends on it). */
+    * depends on it). SIZE FROM A COUNT at scale: a sketch sized for
+    * 1M keys over a billion-doc corpus saturates and prunes nothing —
+    * use [[buildSized]] (one extra count aggregate) unless the caller
+    * already knows the cardinality. */
   def build(df: DataFrame, keyCol: String, expectedItems: Long = 1000000L): Array[Byte] =
     df.select(GraftBridge.column(
         new BloomFilterAggregate(hash(keyCol), expectedItems)
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
+
+  /** Build sized from the frame's own cardinality (one count
+    * aggregate — negligible next to the sketch scan itself). */
+  def buildSized(df: DataFrame, keyCol: String): Array[Byte] =
+    build(df, keyCol, math.max(df.count(), 1L))
 
   /** Membership predicate for `keyCol` against a built index: true
     * means MIGHT be present (confirm with an exact join), false means
@@ -58,13 +66,20 @@ object BloomIndex {
   def definitelyNew(df: DataFrame, keyCol: String, index: Array[Byte]): DataFrame =
     df.filter(!mightContain(index, keyCol))
 
+  /** A null sketch (empty corpus) round-trips as a ZERO-byte file —
+    * save/load stay symmetric with [[mightContain]]'s constant-false
+    * handling instead of NPE-ing after sibling artifacts are already
+    * written. */
   def save(index: Array[Byte], path: String): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.write(p, index)
+    Files.write(p, if (index == null) Array.empty[Byte] else index)
   }
 
-  def load(path: String): Array[Byte] = Files.readAllBytes(Paths.get(path))
+  def load(path: String): Array[Byte] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    if (bytes.isEmpty) null else bytes
+  }
 
   private def hash(c: String) = new XxHash64(Seq(GraftBridge.expression(col(c))))
 }

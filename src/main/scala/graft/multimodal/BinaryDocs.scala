@@ -135,16 +135,17 @@ object BinaryDocs {
     bin.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          VideoDecode.decode(bytes) match {
+          // stride is pushed INTO the decode: unsampled frames are
+          // never pixel-decoded (at stride 32 that is ~32x less work)
+          VideoDecode.decodeSampled(bytes, stride) match {
             case Some(frames) =>
-              frames.iterator.zipWithIndex.collect {
-                case (p, i) if i % stride == 0 =>
-                  DecodedFrame(id, i.toLong, p.width.toLong, p.height.toLong,
-                    math.rint(p.meanR * 1e6) / 1e6,
-                    math.rint(p.meanG * 1e6) / 1e6,
-                    math.rint(p.meanB * 1e6) / 1e6, decoded = true)
+              frames.iterator.map { case (i, p) =>
+                DecodedFrame(id, i.toLong, p.width.toLong, p.height.toLong,
+                  math.rint(p.meanR * 1e6) / 1e6,
+                  math.rint(p.meanG * 1e6) / 1e6,
+                  math.rint(p.meanB * 1e6) / 1e6, decoded = true)
               }
-            case None =>
+            case None => // incl. null blobs — never a task death
               Iterator.single(
                 DecodedFrame(id, 0L, 0L, 0L, 0.0, 0.0, 0.0, decoded = false))
           }
@@ -183,7 +184,8 @@ object BinaryDocs {
     import spark.implicits._
     bin.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, null) => MediaMeta(id, 0L, "", 0L, 0L)
+          case (id, bytes) =>
           val len   = bytes.length.toLong
           val magic = bytes.take(4).map("%02x".format(_)).mkString
           MediaCodecs.decodeImage(bytes) match {

@@ -32,25 +32,34 @@ object CurationJob {
 
   def run(docs: DataFrame, outPrefix: String, budget: Int = 2048): Report = {
     val input = docs.count()
-    val kept = docs.filter(TextAnalysis.qualityPass(col("text")))
-    val deduped = Curate.dedupKeepOne(kept, "doc_id", "text").persist()
+    // kept is persisted too: afterQuality and the dedup derivation
+    // would otherwise each re-scan and re-filter the full input
+    val kept = docs.filter(TextAnalysis.qualityPass(col("text"))).persist()
     try {
-      deduped.write.mode(SaveMode.Overwrite)
-        .partitionBy("source").parquet(s"$outPrefix/curated")
-      val index = BloomIndex.build(
-        deduped.select(md5(col("text")).as("content_hash")), "content_hash")
-      BloomIndex.save(index, s"$outPrefix/corpus.bloom")
-      val sized = deduped.select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("ntok"))
-      val mixed = Curate.mixtureResample(sized, Curate.defaultWeight, "doc_id")
-        .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("long"))
-        .persist()
+      val afterQuality = kept.count()
+      val deduped = Curate.dedupKeepOne(kept, "doc_id", "text").persist()
       try {
-        val bins = Curate.packBins(mixed, "doc_id", budget)
-        bins.write.mode(SaveMode.Overwrite).parquet(s"$outPrefix/bins")
-        Report(input, kept.count(), deduped.count(), mixed.count(),
-          docs.sparkSession.read.parquet(s"$outPrefix/bins").count())
-      } finally mixed.unpersist()
-    } finally deduped.unpersist()
+        val afterDedup = deduped.count()
+        deduped.write.mode(SaveMode.Overwrite)
+          .partitionBy("source").parquet(s"$outPrefix/curated")
+        // sized from the known cardinality — a fixed-size sketch would
+        // saturate on a large corpus and prune nothing
+        val index = BloomIndex.build(
+          deduped.select(md5(col("text")).as("content_hash")), "content_hash",
+          math.max(afterDedup, 1L))
+        BloomIndex.save(index, s"$outPrefix/corpus.bloom")
+        val sized = deduped.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        val mixed = Curate.mixtureResample(sized, Curate.defaultWeight, "doc_id")
+          .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("long"))
+          .persist()
+        try {
+          val bins = Curate.packBins(mixed, "doc_id", budget)
+          bins.write.mode(SaveMode.Overwrite).parquet(s"$outPrefix/bins")
+          Report(input, afterQuality, afterDedup, mixed.count(),
+            docs.sparkSession.read.parquet(s"$outPrefix/bins").count())
+        } finally mixed.unpersist()
+      } finally deduped.unpersist()
+    } finally kept.unpersist()
   }
 }

@@ -91,7 +91,7 @@ object Curation {
       .select((col("doc_id") + 2000000L).as("new_id"),
         md5(when(pmod(col("doc_id"), lit(7)) === 0, col("text"))
           .otherwise(concat(col("text"), lit(" fresh content")))).as("content_hash"))
-    val index = graft.dedup.BloomIndex.build(corpus, "content_hash")
+    val index = graft.dedup.BloomIndex.buildSized(corpus, "content_hash")
     graft.dedup.BloomIndex.prune(batch, "content_hash", index)
       .join(corpus.hint("shuffle_hash"), "content_hash")
       .select(col("new_id"), col("doc_id").as("match_id"))

@@ -58,7 +58,9 @@ object DocsStream {
       docs: DataFrame, evalGrams: DataFrame, textCol: String): DataFrame = {
     val evalSet = evalGrams.distinct().collect().map(_.getString(0)).toSeq
     val grams = graft.plans.WordShingles(col(textCol), 8)
-    docs.filter(!exists(grams, g => array_contains(typedLit(evalSet), g)))
+    // arrays_overlap, not exists+array_contains: one hash-set probe of
+    // the smaller side per row instead of |grams| x |eval| comparisons
+    docs.filter(!arrays_overlap(grams, typedLit(evalSet)))
   }
 
   /** Curated ingest: the full quality-then-dedup gate applied AT THE

@@ -186,6 +186,24 @@ class CurationSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("CurationJob: empty-after-quality input completes with empty artifacts") {
+    // nothing passes the quality gate → deduped corpus empty → the
+    // bloom sketch is null; the job must finish, not NPE after the
+    // curated write
+    val junk = spark.range(3).select(col("id").as("doc_id"),
+      lit("spam spam spam spam spam spam spam spam spam spam spam spam").as("text"),
+      lit("en").as("lang"), lit("src0").as("source"), lit(60L).as("n_chars"))
+    val out = java.nio.file.Files.createTempDirectory("graft-curation-empty").toString
+    val r = graft.pipelines.CurationJob.run(junk, out)
+    assert(r.input == 3 && r.afterQuality == 0 && r.afterDedup == 0)
+    assert(r.afterMix == 0 && r.bins == 0)
+    // null sketch round-trips as a zero-byte artifact → constant-false
+    val idx = graft.dedup.BloomIndex.load(s"$out/corpus.bloom")
+    assert(idx == null)
+    val probe = spark.range(2).select(md5(col("id").cast("string")).as("h"))
+    assert(graft.dedup.BloomIndex.definitelyNew(probe, "h", idx).count() == 2)
+  }
+
   test("containment: planted excerpts fully contained in their originals") {
     val rows = SparkEntry.queries("q_containment")(spark, sf).collect()
     assert(rows.length == 20)

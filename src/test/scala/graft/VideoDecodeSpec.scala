@@ -93,6 +93,45 @@ class VideoDecodeSpec extends AnyFunSuite {
     assert(m.format == "avi" && m.width == 16 && m.height == 12 && m.nFrames == 2)
   }
 
+  test("interleaved AVI (frames in rec LISTs) keeps document frame order") {
+    // the standard interleaved layout: each frame wrapped in its own
+    // 'rec ' LIST inside movi — a collect-then-descend walk would
+    // reverse these
+    val f = Seq(0xff0000, 0x00ff00, 0x0000ff).map(c => jpegBytes(solid(8, 8, c)))
+    val movi = list("movi",
+      f.flatMap(p => list("rec ", chunk("00dc", p))).toArray)
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(33366).putInt(0).putInt(0).putInt(0).putInt(3)
+    avih.putInt(0).putInt(1).putInt(0).putInt(8).putInt(8)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih.array())) ++ movi
+    val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    val px = VideoDecode.aviFrames(out.array()).get
+    assert(px.length == 3)
+    assert(px(0).meanR > 200 && px(1).meanG > 200 && px(2).meanB > 200)
+    // mixed layout: bare chunk, then a rec group, then another bare
+    val mixed = list("movi",
+      chunk("00dc", f(0)) ++ list("rec ", chunk("00dc", f(1))) ++ chunk("00dc", f(2)))
+    val body2 = "AVI ".getBytes("US-ASCII") ++ mixed
+    val out2 = ByteBuffer.allocate(8 + body2.length).order(ByteOrder.LITTLE_ENDIAN)
+    out2.put("RIFF".getBytes("US-ASCII")).putInt(body2.length).put(body2)
+    val px2 = VideoDecode.aviFrames(out2.array()).get
+    assert(px2.length == 3)
+    assert(px2(0).meanR > 200 && px2(1).meanG > 200 && px2(2).meanB > 200)
+  }
+
+  test("sampling skips the decode of unsampled frames; meta never decodes pixels") {
+    val gif4 = gifBytes(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), 4, 4)
+    val sampled = VideoDecode.decodeSampled(gif4, 2).get
+    assert(sampled.map(_._1) == Vector(0, 2))
+    assert(sampled(0)._2.meanR == 255.0 && sampled(1)._2.meanB == 255.0)
+    assert(VideoDecode.gifFrameCount(gif4).contains(4))
+    // null blobs: total, everywhere
+    assert(VideoDecode.detectFormat(null) == "unknown")
+    assert(VideoDecode.decode(null).isEmpty && VideoDecode.meta(null).isEmpty)
+  }
+
   test("decodeVideo samples every stride-th frame in the distributed path") {
     import spark.implicits._
     val gif4 = gifBytes(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), 4, 4)
@@ -100,7 +139,8 @@ class VideoDecodeSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, gif4),
       (2L, avi2),
-      (3L, "h264 would live here".getBytes("UTF-8")))
+      (3L, "h264 would live here".getBytes("UTF-8")),
+      (4L, null: Array[Byte]))
     val out = BinaryDocs.decodeVideo(rows.toDF("doc_id", "media"), stride = 2)
       .collect().groupBy(_.getAs[Long]("doc_id"))
     // 4-frame GIF at stride 2 → frames 0 and 2
@@ -116,6 +156,9 @@ class VideoDecodeSpec extends AnyFunSuite {
     // unsupported codec → one decoded=false row, task survives
     val u = out(3L)
     assert(u.length == 1 && !u(0).getAs[Boolean]("decoded"))
+    // null media blob (failed upstream fetch) → same contract
+    val nl = out(4L)
+    assert(nl.length == 1 && !nl(0).getAs[Boolean]("decoded"))
   }
 
   test("extractMeta picks up video headers in the fallback chain") {

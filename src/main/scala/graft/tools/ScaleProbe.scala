@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Corpus-scaling probe: replicates the documents/embeddings tables
+  * Nx with shifted ids and a per-replica marker appended to EVERY
+  * token (token counts and text sizes stay ~identical, but replicas
+  * share no shingles with each other or the originals — corpus size
+  * grows, near-dup DENSITY stays constant; a plain suffix would
+  * densify the dup graph and measure the data, not the plan), then
+  * times the heavy curation/dedup queries at each scale. The point is
+  * the GROWTH CURVE, not the absolute numbers — a bucket-local plan
+  * should scale near-linearly in corpus size; a hidden all-pairs or
+  * driver-side step shows up as super-linear blowup long before
+  * 100 TB would.
+  *
+  * Writes scaled corpora under /tmp (never touches the driver's
+  * testdata) and prints one table row per (query, scale).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val queries = Seq("q_dedup_pipeline", "q_curation_pipeline", "q_dedup_spans",
+      "q_tfidf", "q_dedup_minhash_pairs", "q_decontaminate")
+    val scales = Seq(1, 4, 16)
+
+    def scaled(n: Int): String = {
+      val dir = s"/tmp/graft-scale/x$n"
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val out = (0 until n).map { k =>
+        if (k == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      out.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      val embOut = (0 until n).map { k =>
+        if (k == 0) emb
+        else emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      embOut.write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    println(f"${"query"}%-24s ${scales.map(s => f"x$s%8s").mkString} ratio(16x/1x)")
+    val dirs = scales.map(n => n -> scaled(n)).toMap
+    for (q <- queries) {
+      val times = scales.map { n =>
+        val fn = SparkEntry.queries(q)
+        // warm once at 1x for JIT/codegen, then min of 2 timed passes
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dirs(n)).write.mode(SaveMode.Overwrite)
+            .format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        t
+      }
+      val ratio = times.last / times.head
+      println(f"$q%-24s ${times.map(t => f"$t%7.2fs").mkString} ${ratio}%6.1fx")
+    }
+    spark.stop()
+  }
+}

@@ -397,8 +397,24 @@ object LlmData {
     "q_embedding_quant"     -> embeddingQuant _,
     "q_pii_scrub"           -> piiScrub _,
     "q_curation_pipeline"   -> curationPipeline _,
-    "q_dedup_incremental"   -> dedupIncremental _
+    "q_dedup_incremental"   -> dedupIncremental _,
+    "q_dedup_report"        -> dedupReport _
   )
+
+  /** #36d the DEDUP REPORT — the profile an ops team reads after a
+    * dedup run: cluster-size histogram of the full pipeline's output
+    * (how many clusters of each size, how many documents they hold,
+    * how many would be dropped). Composes the oracle-verified #36c
+    * labeling with two tiny hash aggs; the histogram is at most
+    * max-cluster-size rows. */
+  def dedupReport(s: SparkSession, dir: String): DataFrame =
+    dedupPipeline(s, dir)
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
 
   private val shingleCte =
     """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
@@ -430,7 +446,59 @@ object LlmData {
        |  / (sqrt(list_sum(list_transform($a, x -> x*x)))
        |     * sqrt(list_sum(list_transform($b, x -> x*x))))""".stripMargin
 
+  /** Shared by q_dedup_pipeline and q_dedup_report (which wraps it). */
+  private def dedupPipelineOracle: String =
+    ("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM t),
+       |sig AS (SELECT doc_id, """.stripMargin +
+      (0 until 8).map(h =>
+        s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+      """ FROM s),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sig
+        |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+        |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |shd AS (SELECT doc_id, list_distinct(sh) AS shs FROM s),
+        |verified AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN shd sa ON sa.doc_id = doc_a
+        |  JOIN shd sb ON sb.doc_id = doc_b
+        |  WHERE ROUND(len(list_intersect(sa.shs, sb.shs)) /
+        |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM verified
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM verified),
+        |reach(doc_id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |labels AS (SELECT doc_id, MIN(r) AS canonical_id FROM reach GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(l.canonical_id, d.doc_id) AS canonical_id,
+        |  CAST(CASE WHEN COALESCE(l.canonical_id, d.doc_id) = d.doc_id
+        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin)
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_report" ->
+      (s"WITH labeled AS (\n$dedupPipelineOracle\n)\n" +
+        """, cs AS (SELECT canonical_id, COUNT(*) AS cluster_size
+          |  FROM labeled GROUP BY 1)
+          |SELECT cluster_size, COUNT(*) AS n_clusters,
+          |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_dropped
+          |FROM cs GROUP BY 1""".stripMargin),
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS dup_count,
         |  MIN(doc_id) AS canonical_id

@@ -239,6 +239,17 @@ class CurationSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("dedup_report: histogram accounts for every document exactly once") {
+    val df = SparkEntry.queries("q_dedup_report")(spark, sf).cache()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(df.agg(sum(col("n_docs"))).head().getLong(0) == total)
+    assert(df.filter(
+      col("n_dropped") =!= col("n_docs") - col("n_clusters")).count() == 0)
+    // singleton clusters exist (most docs are not near-dups)
+    assert(df.filter(col("cluster_size") === 1).count() == 1)
+    df.unpersist()
+  }
+
   test("dedup_bloom: plan applies the native bloom predicate before the join") {
     val plan = SparkEntry.queries("q_dedup_bloom")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * --source / --dest args routed to a task main).
   *
   * Usage:
-  *   runMain graft.Main --task <queryName|daily|all|backfill> \
+  *   runMain graft.Main --task <queryName|daily|all|backfill|curate> \
   *     [--dir /root/testdata/sf0.01] [--out /tmp/graft_out] \
   *     [--start 2024-01-01 --end 2024-01-04]   (backfill range, half-open)
   */
@@ -43,11 +43,16 @@ object Main {
         pipelines.Backfill.run(
           sources.Tables.events(spark, dir), "ts", start, end, dest, "staging", "events", "t")
         println(s"backfilled [$start, $end) to $dest")
+      case "curate" =>
+        val dest = out.getOrElse(sys.error("curate needs --out"))
+        val r = pipelines.CurationJob.run(sources.Tables.documents(spark, dir), dest)
+        println(s"curated: input=${r.input} quality=${r.afterQuality} " +
+          s"dedup=${r.afterDedup} mix=${r.afterMix} bins=${r.bins} → $dest")
       case "all" =>
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) => emit(n, fn(spark, dir)) }
       case name =>
         val fn = SparkEntry.queries.getOrElse(name,
-          sys.error(s"unknown task '$name'; valid: daily, all, ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+          sys.error(s"unknown task '$name'; valid: daily, all, backfill, curate, ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
         emit(name, fn(spark, dir))
     }
     spark.stop()

@@ -398,8 +398,37 @@ object LlmData {
     "q_pii_scrub"           -> piiScrub _,
     "q_curation_pipeline"   -> curationPipeline _,
     "q_dedup_incremental"   -> dedupIncremental _,
-    "q_dedup_report"        -> dedupReport _
+    "q_dedup_report"        -> dedupReport _,
+    "q_minhash_accuracy"    -> minhashAccuracy _
   )
+
+  /** #36e MinHash ESTIMATOR ACCURACY — the evaluation a pipeline
+    * owner runs before trusting LSH thresholds: for every candidate
+    * pair of the planted #36b corpus, the signature-agreement Jaccard
+    * estimate (agreeing slots / k) next to the EXACT shingle Jaccard
+    * and the absolute error. Signature agreement is row-local on the
+    * joined pair; the exact side reuses [[TextDedup.verifyJaccard]]
+    * (row-local array_intersect). Null signature slots (sub-shingle
+    * docs) count as disagreement in both engines. */
+  def minhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" near dup probe")).as("text"))
+    val all = base.unionByName(variants)
+    val sigs = TextDedup.minhashSignatures(all, "doc_id", "text")
+    val cand = TextDedup.lshCandidates(sigs, "doc_id")
+    val agree = (0 until 8).map(h =>
+      when(col(s"sa.sig_$h") === col(s"sb.sig_$h"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb").hint("shuffle_hash"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), round(agree / 8.0, 6).as("est"))
+    val exact = TextDedup.verifyJaccard(cand, all, "doc_id", "text")
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est"), col("jaccard"),
+        round(abs(col("est") - col("jaccard")), 6).as("abs_err"))
+  }
 
   /** #36d the DEDUP REPORT — the profile an ops team reads after a
     * dedup run: cluster-size histogram of the full pipeline's output
@@ -491,6 +520,49 @@ object LlmData {
         |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q_minhash_accuracy" ->
+      ("""WITH t0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' near dup probe' FROM documents),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM t0),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM t),
+         |sig AS (SELECT doc_id, """.stripMargin +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        """ FROM s),
+          |bands AS (
+          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sig
+          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sig
+          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sig
+          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sig),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          |shd AS (SELECT doc_id, list_distinct(sh) AS shs FROM s),
+          |j AS (
+          |  SELECT doc_a, doc_b,
+          |    ROUND((""".stripMargin +
+        (0 until 8).map(h =>
+          s"CASE WHEN sa.sig_$h = sb.sig_$h THEN 1 ELSE 0 END").mkString(" + ") +
+        """) / 8.0, 6) AS est,
+          |    ROUND(len(list_intersect(sa2.shs, sb2.shs)) /
+          |      (len(sa2.shs) + len(sb2.shs) - len(list_intersect(sa2.shs, sb2.shs))),
+          |      6) AS jaccard
+          |  FROM cand
+          |  JOIN sig sa ON sa.doc_id = doc_a
+          |  JOIN sig sb ON sb.doc_id = doc_b
+          |  JOIN shd sa2 ON sa2.doc_id = doc_a
+          |  JOIN shd sb2 ON sb2.doc_id = doc_b)
+          |SELECT doc_a, doc_b, est, jaccard,
+          |  ROUND(ABS(est - jaccard), 6) AS abs_err
+          |FROM j""".stripMargin),
     "q_dedup_report" ->
       (s"WITH labeled AS (\n$dedupPipelineOracle\n)\n" +
         """, cs AS (SELECT canonical_id, COUNT(*) AS cluster_size

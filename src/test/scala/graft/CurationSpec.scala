@@ -250,6 +250,20 @@ class CurationSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("minhash_accuracy: estimates bounded, error consistent, estimator informative") {
+    val df = SparkEntry.queries("q_minhash_accuracy")(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("est") < 0 || col("est") > 1).count() == 0)
+    assert(df.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    assert(df.filter(
+      abs(abs(col("est") - col("jaccard")) - col("abs_err")) > 1e-6).count() == 0)
+    // the estimator must be informative on LSH candidates: mean error
+    // well under chance (candidates share bands, so both est and true
+    // jaccard are high — a broken estimator would show ~0.5 error)
+    assert(df.agg(avg(col("abs_err"))).head().getDouble(0) < 0.3)
+    df.unpersist()
+  }
+
   test("dedup_bloom: plan applies the native bloom predicate before the join") {
     val plan = SparkEntry.queries("q_dedup_bloom")(spark, sf)
       .queryExecution.executedPlan.toString

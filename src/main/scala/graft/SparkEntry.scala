@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CohortQueries, Curation, Extras, LlmData, Relational, RelationalB}
+import graft.queries.{Analytics, CohortQueries, Curation, CurationB, Extras, LlmData, Relational, RelationalB}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RelationalB.queries ++ CohortQueries.queries ++
-      Analytics.queries ++ LlmData.queries ++ Extras.queries ++ Curation.queries
+      Analytics.queries ++ LlmData.queries ++ Extras.queries ++ Curation.queries ++
+      CurationB.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalB.oracles ++ CohortQueries.oracles ++
-      Analytics.oracles ++ LlmData.oracles ++ Extras.oracles ++ Curation.oracles
+      Analytics.oracles ++ LlmData.oracles ++ Extras.oracles ++ Curation.oracles ++
+      CurationB.oracles
 }

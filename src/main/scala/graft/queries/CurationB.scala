@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Second curation batch (SURVEY §2 #83-86): Gopher-style repetition
+  * filtering, corpus-LM document scoring, winnowing fingerprints, and
+  * temperature-scaled domain mixture weights.
+  */
+object CurationB {
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+
+  /** Adjacent-bigram array, empty for sub-2-token docs. */
+  private def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** #83 REPETITION filter (Rae et al. 2021 "Gopher" §A1.1 repetition
+    * rules, the half of quality filtering that #65 does not cover):
+    * per document, the fraction of all adjacent bigrams taken by the
+    * single most frequent bigram, and the fraction of non-overlapping
+    * 8-token segments that occur more than once within the doc. Both
+    * signals are per-doc aggregations over row-local enumeration —
+    * the two hash aggs are keyed by doc_id, map-side combined, and
+    * nothing corpus-wide is ever built, so the plan scales linearly
+    * with the scan. Thresholds (top bigram ≤ 0.2, duplicated segments
+    * ≤ 0.2) mirror the published rule shape. */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = tokenized(s, dir)
+    val bi = docs
+      .select(col("doc_id"), explode(bigrams(col("toks"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6)
+          .as("top_bigram_frac"))
+    val nSeg = ceil(size(col("toks")).cast("double") / 8).cast("int")
+    val segs = transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "))
+    val sg = docs
+      .select(col("doc_id"), explode(segs).as("seg"))
+      .groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_segs"),
+        round(sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .cast("double") / sum(col("c")), 6).as("dup_seg_frac"))
+    docs.select(col("doc_id"))
+      .join(bi, Seq("doc_id"), "left")
+      .join(sg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_seg_frac"), lit(0.0)).as("dup_seg_frac"),
+        when(coalesce(col("top_bigram_frac"), lit(0.0)) <= 0.2 &&
+          coalesce(col("dup_seg_frac"), lit(0.0)) <= 0.2, 1L).otherwise(0L)
+          .as("rep_pass"))
+  }
+
+  /** #84 corpus-LM DOCUMENT SCORING (the CCNet-style "score every doc
+    * with a language model trained on the corpus itself" step, here
+    * with the #78 bigram LM): conditional log-prob ln(C(w1,w2)/C(w1,*))
+    * per bigram, averaged per document. Count tables come from two
+    * map-side-combined hash aggs over the same row-local bigram
+    * explode; the per-doc scoring join is SHUFFLE_HASH on the bigram
+    * key so the count table never broadcasts (at 100 TB it is large)
+    * and the exchange on (w1,w2) is shared with the count build.
+    * Sub-2-token docs score 0 over 0 bigrams rather than dropping. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = tokenized(s, dir)
+    val bg = docs
+      .select(col("doc_id"), explode(bigrams(col("toks"))).as("bg"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("w1"), col("bg").as("bg2"))
+    val c2 = bg.groupBy(col("bg2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lm = c2
+      .withColumn("w1", substring_index(col("bg2"), " ", 1))
+      .join(c1.hint("shuffle_hash"), "w1")
+      .select(col("bg2"),
+        log(col("c2").cast("double") / col("c1")).as("logp"))
+    val scored = bg.join(lm.hint("shuffle_hash"), "bg2")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("avg_logp"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
+  }
+
+  /** #85 WINNOWING fingerprints (Schleimer et al. 2003, the MOSS
+    * local-fingerprinting scheme): md5 each 3-word shingle, slide a
+    * window of 4 hashes, keep the window minimum, dedup — the
+    * guarantee is that any shared run of ≥6 words between two docs
+    * shares a fingerprint. Entirely ROW-LOCAL (shingle kernel +
+    * transform/slice/array_min HOFs on the scan, zero shuffles), so
+    * at 100 TB it rides the parquet read like #45. Docs shorter than
+    * the window keep all their hashes. */
+  def winnow(s: SparkSession, dir: String): DataFrame = {
+    val h = transform(graft.plans.WordShingles(col("text"), 3),
+      x => md5(x))
+    val fps = when(size(h) >= 4,
+      array_distinct(transform(sequence(lit(1), size(h) - 3),
+        i => array_min(slice(h, i, lit(4))))))
+      .otherwise(array_distinct(h))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+  }
+
+  /** #86 TEMPERATURE-scaled domain mixture (the multilingual /
+    * multi-domain sampling rule p_d ∝ share_d^α, α=0.5, used to
+    * up-weight small domains when building a training mix — the
+    * companion knob to #67's absolute token targets): per-source
+    * token share and the renormalized temperature weight. Two scalar
+    * aggregates broadcast back over the tiny per-source frame; the
+    * corpus is scanned once and never shuffled beyond the per-source
+    * hash agg. */
+  def domainTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("t_all"))
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("share", col("tokens").cast("double") / col("t_all"))
+      .withColumn("w", pow(col("share"), 0.5))
+    val wsum = w.agg(sum(col("w")).as("w_all"))
+    w.crossJoin(broadcast(wsum))
+      .select(col("source"), col("tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("w") / col("w_all"), 6).as("temp_weight"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition_filter" -> repetitionFilter _,
+    "q_lm_score"          -> lmScore _,
+    "q_winnow"            -> winnow _,
+    "q_domain_temperature" -> domainTemperature _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+        |bf AS (SELECT doc_id, sum(c) AS n_bigrams,
+        |  ROUND(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+        |  FROM bc GROUP BY 1),
+        |sg AS (SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+        |    i -> array_to_string(toks[i*8+1:i*8+8], ' '))) AS seg FROM t),
+        |sc AS (SELECT doc_id, seg, count(*) AS c FROM sg GROUP BY 1, 2),
+        |sf AS (SELECT doc_id, sum(c) AS n_segs,
+        |  ROUND(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6)
+        |    AS dup_seg_frac
+        |  FROM sc GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(bf.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  COALESCE(bf.top_bigram_frac, 0.0) AS top_bigram_frac,
+        |  COALESCE(sf.dup_seg_frac, 0.0) AS dup_seg_frac,
+        |  CAST(CASE WHEN COALESCE(bf.top_bigram_frac, 0.0) <= 0.2
+        |    AND COALESCE(sf.dup_seg_frac, 0.0) <= 0.2 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS rep_pass
+        |FROM t LEFT JOIN bf ON t.doc_id = bf.doc_id
+        |       LEFT JOIN sf ON t.doc_id = sf.doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t),
+        |b AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bi),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |lm AS (SELECT c2.bg, ln(CAST(c2.c2 AS DOUBLE) / c1.c1) AS logp
+        |  FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+        |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+        |  ROUND(avg(lm.logp), 6) AS avg_logp
+        |  FROM b JOIN lm ON b.bg = lm.bg GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  COALESCE(sc.avg_logp, 0.0) AS avg_logp
+        |FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id""".stripMargin,
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1),
+        |           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS h FROM t),
+        |f AS (SELECT doc_id, CASE WHEN len(h) >= 4
+        |    THEN list_distinct(list_transform(range(1, len(h) - 2),
+        |           i -> list_min(h[i:i+3])))
+        |    ELSE list_distinct(h) END AS fps FROM s)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM f""".stripMargin,
+    "q_domain_temperature" ->
+      """WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    AS tokens FROM documents GROUP BY 1),
+        |w AS (SELECT source, tokens,
+        |  CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS share,
+        |  pow(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 0.5) AS w
+        |  FROM per)
+        |SELECT source, tokens, ROUND(share, 6) AS share,
+        |  ROUND(w / sum(w) OVER (), 6) AS temp_weight
+        |FROM w""".stripMargin
+  )
+}

@@ -25,6 +25,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing rides the scan (zero shuffles)") {
+    val p = plan("q_winnow")
+    assert(exchanges(p) == 0, s"q_winnow grew a shuffle:\n$p")
+  }
+
+  test("LM scoring joins shuffle-hash on the bigram key (LM never broadcast)") {
+    val p = plan("q_lm_score")
+    assert(p.contains("ShuffledHashJoin"), s"scoring join lost its hint:\n$p")
+  }
+
   test("star join broadcasts its dims (no sort-merge join)") {
     val p = plan("q_join_broadcast")
     assert(p.contains("BroadcastHashJoin"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.similarity.Embeddings
 
 /** Second curation batch (SURVEY §2 #83-86): Gopher-style repetition
   * filtering, corpus-LM document scoring, winnowing fingerprints, and
@@ -142,11 +143,93 @@ object CurationB {
         round(col("w") / col("w_all"), 6).as("temp_weight"))
   }
 
+  /** #86 K-MEANS Lloyd ITERATION (the centroid-training step that
+    * feeds #57's IVF index and #76's SemDeDup clustering): seed
+    * centroids = vectors with vec_id < 8, assign every vector to its
+    * max-cosine centroid, emit the recomputed means. The seed set is
+    * BROADCAST against the corpus scan; assignment is a map-side
+    * max_by hash agg with the (score desc, cid asc) tie-break of #57;
+    * the mean recompute is [[graft.plans.VecSumAgg]] — one (sums, n)
+    * row per centroid crosses the shuffle, never per-dimension rows.
+    * Iterating = re-feeding the output as the next seed frame; one
+    * iteration is gated here because the oracle replays it exactly. */
+  def kmeansIter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    val scored = e.crossJoin(broadcast(seeds))
+      .withColumn("ccos", round(Embeddings.cosine(col("v"), col("cv")), 6))
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("v")),
+        struct(col("ccos"), negate(col("cid")))).as("a"))
+      .select(col("a.cid").as("cid"), col("a.v").as("v"))
+    assigned.as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.plans.VecSumAgg.toColumn)
+      .flatMap { case (cid, acc) =>
+        acc.sum.zipWithIndex.map { case (sm, i) =>
+          (cid, (i + 1).toLong, sm / acc.n, acc.n)
+        }
+      }
+      .toDF("cid", "dim", "centroid", "n_assigned")
+      .withColumn("centroid", round(col("centroid"), 6))
+  }
+
+  /** #87 VOCABULARY COVERAGE (tokenizer-training prep): the term
+    * frequency table ranked by count with the cumulative token
+    * fraction each prefix of the vocabulary covers — the curve read
+    * to size a vocab ("how many types cover 95% of the corpus").
+    * The corpus-side work is one map-side-combined hash agg; the
+    * ordered window then runs over the VOCABULARY (types, not
+    * tokens), which is orders of magnitude smaller than the corpus
+    * and bounded by Heaps' law — the single-partition sort is a
+    * deliberate, documented exception to the no-global-window rule.
+    * Only the top-100 rows leave the plan. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    val tot = tf.agg(sum(col("cnt")).as("tot"))
+    tf.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .filter(col("rank") <= 100)
+      .select(col("term"), col("cnt"), col("rank"),
+        round(col("cum").cast("double") / col("tot"), 6).as("cum_frac"))
+  }
+
+  /** #88 per-source TOKEN ENTROPY + type/token profile (the corpus
+    * diversity diagnostic read next to #67/#86 when composing a
+    * training mix): unigram Shannon entropy per source via the
+    * one-pass identity H = ln T − (Σ c·ln c)/T, so the whole query is
+    * two map-side-combined hash aggs — no per-term probabilities ever
+    * materialize corpus-wide. */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(log(col("n_tokens").cast("double")) -
+          col("clnc") / col("n_tokens"), 6).as("entropy"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition_filter" -> repetitionFilter _,
     "q_lm_score"          -> lmScore _,
     "q_winnow"            -> winnow _,
-    "q_domain_temperature" -> domainTemperature _
+    "q_domain_temperature" -> domainTemperature _,
+    "q_kmeans_iter"       -> kmeansIter _,
+    "q_vocab_coverage"    -> vocabCoverage _,
+    "q_token_entropy"     -> tokenEntropy _
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +289,43 @@ object CurationB {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM f""".stripMargin,
+    "q_kmeans_iter" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+        |      / (sqrt(list_sum(list_transform(e.v, y -> y*y)))
+        |         * sqrt(list_sum(list_transform(c.cv, y -> y*y)))), 6) AS ccos
+        |  FROM e, c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM scored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+        |x AS (SELECT cid, CAST(i AS BIGINT) AS dim, v[i] AS val
+        |  FROM assigned, UNNEST(range(1, 65)) AS t(i))
+        |SELECT cid, dim, ROUND(AVG(val), 6) AS centroid,
+        |  COUNT(*) AS n_assigned
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM tf GROUP BY 1),
+        |r AS (SELECT term, cnt,
+        |  ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank,
+        |  SUM(cnt) OVER (ORDER BY cnt DESC, term) AS cum,
+        |  SUM(cnt) OVER () AS tot FROM c)
+        |SELECT term, cnt, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(CAST(cum AS DOUBLE) / tot, 6) AS cum_frac
+        |FROM r WHERE rank <= 100""".stripMargin,
+    "q_token_entropy" ->
+      """WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT source, term, count(*) AS c FROM tc GROUP BY 1, 2),
+        |p AS (SELECT source, sum(c) AS n_tokens, count(*) AS vocab,
+        |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(vocab AS BIGINT) AS vocab,
+        |  ROUND(ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens, 6) AS entropy
+        |FROM p""".stripMargin,
     "q_domain_temperature" ->
       """WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
         |    AS tokens FROM documents GROUP BY 1),

@@ -82,6 +82,56 @@ class CurationBSpec extends AnyFunSuite {
     assert(rows(1L).intersect(rows(2L)).nonEmpty)
   }
 
+  test("kmeans_iter: every vector assigned exactly once, 64 dims per centroid") {
+    val df = SparkEntry.queries("q_kmeans_iter")(spark, sf).cache()
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    // Σ n_assigned over any one dim == corpus size (each vector in one cluster)
+    val assignedTotal = df.filter(col("dim") === 1)
+      .agg(sum(col("n_assigned"))).head().getLong(0)
+    assert(assignedTotal == nVecs)
+    // long format: each surviving centroid carries all 64 dims
+    val dimCounts = df.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= 64)
+    assert(dimCounts.count() == 0)
+    df.unpersist()
+  }
+
+  test("kmeans_iter: iterating moves means toward assignment stability") {
+    // the recomputed centroid of a cluster must be a valid mean:
+    // within the min/max envelope of the corpus on every dimension
+    val df = SparkEntry.queries("q_kmeans_iter")(spark, sf)
+    val env = graft.sources.Tables.embeddings(spark, sf)
+      .select(posexplode(graft.similarity.Embeddings.asDouble(col("embedding"))))
+      .groupBy((col("pos") + 1).as("dim"))
+      .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+    val out = df.join(env, "dim")
+      .filter(col("centroid") < col("lo") - 1e-6 ||
+        col("centroid") > col("hi") + 1e-6)
+    assert(out.count() == 0)
+  }
+
+  test("vocab_coverage: cumulative fraction is monotone and ends <= 1") {
+    val rows = SparkEntry.queries("q_vocab_coverage")(spark, sf)
+      .orderBy(col("rank")).collect()
+    assert(rows.nonEmpty)
+    val fracs = rows.map(_.getAs[Double]("cum_frac"))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => b >= a })
+    assert(fracs.last <= 1.0 + 1e-9)
+    // counts must be non-increasing down the ranking
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("token_entropy: bounded by ln(vocab), positive for mixed sources") {
+    val df = SparkEntry.queries("q_token_entropy")(spark, sf).cache()
+    // 0 <= H <= ln(vocab) always
+    assert(df.filter(col("entropy") < -1e-9).count() == 0)
+    assert(df.filter(col("entropy") >
+      log(col("vocab").cast("double")) + 1e-9).count() == 0)
+    assert(df.filter(col("entropy") > 0).count() > 0)
+    df.unpersist()
+  }
+
   test("domain_temperature: weights normalize and up-weight small domains") {
     val df = SparkEntry.queries("q_domain_temperature")(spark, sf).cache()
     val sums = df.agg(sum(col("share")).as("s"), sum(col("temp_weight")).as("w"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.similarity.Embeddings
 
-/** Second curation batch (SURVEY §2 #83-86): Gopher-style repetition
+/** Third curation batch (SURVEY §2 #82-88): Gopher-style repetition
   * filtering, corpus-LM document scoring, winnowing fingerprints, and
   * temperature-scaled domain mixture weights.
   */
@@ -14,73 +14,94 @@ object CurationB {
 
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
 
-  /** Adjacent-bigram array, empty for sub-2-token docs. */
-  private def bigrams(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+  /** Adjacent-bigram array via the native codegen shingle kernel
+    * (n=2) — identical semantics to the transform/element_at HOF
+    * composition (incl. sub-2-token docs → empty array), and shingling
+    * is the dominant scan-stage cost, so it must not fall out of
+    * codegen. */
+  private def bigrams(text: Column): Column =
+    graft.plans.WordShingles(text, 2)
 
-  /** #83 REPETITION filter (Rae et al. 2021 "Gopher" §A1.1 repetition
+  /** Longest adjacent-equal run in a SORTED string array = the
+    * multiplicity of its most frequent element, as a single
+    * left-fold — the row-local replacement for explode + groupBy +
+    * max(count). */
+  private def maxMultiplicity(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** #82 REPETITION filter (Rae et al. 2021 "Gopher" §A1.1 repetition
     * rules, the half of quality filtering that #65 does not cover):
     * per document, the fraction of all adjacent bigrams taken by the
     * single most frequent bigram, and the fraction of non-overlapping
     * 8-token segments that occur more than once within the doc. Both
-    * signals are per-doc aggregations over row-local enumeration —
-    * the two hash aggs are keyed by doc_id, map-side combined, and
-    * nothing corpus-wide is ever built, so the plan scales linearly
-    * with the scan. Thresholds (top bigram ≤ 0.2, duplicated segments
-    * ≤ 0.2) mirror the published rule shape. */
+    * signals are PER-DOC properties, so they are computed entirely
+    * ROW-LOCALLY: sort the bigram/segment arrays and read
+    * multiplicities off adjacent runs — zero shuffles, the filter
+    * rides the parquet scan (the explode + doc_id-keyed groupBy
+    * formulation would shuffle the whole corpus twice for what a
+    * per-row fold can answer). Thresholds (top bigram ≤ 0.2,
+    * duplicated segments ≤ 0.2) mirror the published rule shape. */
   def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
-    val docs = tokenized(s, dir)
-    val bi = docs
-      .select(col("doc_id"), explode(bigrams(col("toks"))).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        round(max(col("c")).cast("double") / sum(col("c")), 6)
-          .as("top_bigram_frac"))
+    val bg = array_sort(bigrams(col("text")))
+    val nBg = size(bg)
+    val topFrac = when(nBg === 0, 0.0)
+      .otherwise(round(maxMultiplicity(bg).cast("double") / nBg, 6))
     val nSeg = ceil(size(col("toks")).cast("double") / 8).cast("int")
-    val segs = transform(sequence(lit(0), nSeg - 1),
-      i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "))
-    val sg = docs
-      .select(col("doc_id"), explode(segs).as("seg"))
-      .groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_segs"),
-        round(sum(when(col("c") > 1, col("c")).otherwise(0L))
-          .cast("double") / sum(col("c")), 6).as("dup_seg_frac"))
-    docs.select(col("doc_id"))
-      .join(bi, Seq("doc_id"), "left")
-      .join(sg, Seq("doc_id"), "left")
+    val segs = array_sort(transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " ")))
+    val m = size(segs)
+    // a sorted element occurs exactly once iff it differs from both
+    // neighbours; duplicated occurrences = m - singletons
+    val singletons = size(filter(sequence(lit(1), m), i =>
+      (i === 1 || element_at(segs, i) =!= element_at(segs, i - 1)) &&
+        (i === m || element_at(segs, i) =!= element_at(segs, i + 1))))
+    val dupFrac = round((m - singletons).cast("double") / m, 6)
+    tokenized(s, dir)
       .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
-        coalesce(col("dup_seg_frac"), lit(0.0)).as("dup_seg_frac"),
-        when(coalesce(col("top_bigram_frac"), lit(0.0)) <= 0.2 &&
-          coalesce(col("dup_seg_frac"), lit(0.0)) <= 0.2, 1L).otherwise(0L)
-          .as("rep_pass"))
+        nBg.cast("long").as("n_bigrams"),
+        topFrac.as("top_bigram_frac"),
+        dupFrac.as("dup_seg_frac"))
+      .withColumn("rep_pass",
+        when(col("top_bigram_frac") <= 0.2 && col("dup_seg_frac") <= 0.2, 1L)
+          .otherwise(0L))
   }
 
-  /** #84 corpus-LM DOCUMENT SCORING (the CCNet-style "score every doc
-    * with a language model trained on the corpus itself" step, here
-    * with the #78 bigram LM): conditional log-prob ln(C(w1,w2)/C(w1,*))
-    * per bigram, averaged per document. Count tables come from two
-    * map-side-combined hash aggs over the same row-local bigram
-    * explode; the per-doc scoring join is SHUFFLE_HASH on the bigram
-    * key so the count table never broadcasts (at 100 TB it is large)
-    * and the exchange on (w1,w2) is shared with the count build.
-    * Sub-2-token docs score 0 over 0 bigrams rather than dropping. */
+  /** #83 corpus-LM DOCUMENT SCORING (the CCNet-style "score every doc
+    * with a language model trained on the corpus itself" step, with a
+    * bigram LM like #78's count table): conditional log-prob
+    * ln(C(w1,w2)/C(w1,·)) per bigram, averaged per document. NOTE the
+    * denominator is the bigram-PREFIX count C(w1,·) — the standard
+    * conditional-probability estimate whose per-w1 probabilities sum
+    * to 1 — not #78's raw unigram count C(w1), which also counts
+    * doc-final occurrences of w1; the two differ for any w1 that ends
+    * a document. The bigram count table C2 is one map-side-combined
+    * hash agg over the row-local bigram explode; C1 is DERIVED from
+    * C2 (C(w1,·) = Σ_w2 C(w1,w2)) by re-aggregating the
+    * vocabulary-sized count table, so the corpus is never exploded a
+    * second time for the denominator. Every join (including the
+    * keep-every-doc join-back, where both sides are corpus-sized at
+    * 100 TB) is SHUFFLE_HASH so the corpus-derived LM never
+    * broadcasts. Sub-2-token docs score 0 over 0 bigrams rather than
+    * dropping. */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     val docs = tokenized(s, dir)
     val bg = docs
-      .select(col("doc_id"), explode(bigrams(col("toks"))).as("bg"))
-      .select(col("doc_id"),
-        substring_index(col("bg"), " ", 1).as("w1"), col("bg").as("bg2"))
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+      .select(col("doc_id"), col("bg").as("bg2"))
     val c2 = bg.groupBy(col("bg2")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c1 = c2
+      .groupBy(substring_index(col("bg2"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
     val lm = c2
       .withColumn("w1", substring_index(col("bg2"), " ", 1))
       .join(c1.hint("shuffle_hash"), "w1")
@@ -91,13 +112,13 @@ object CurationB {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("logp")), 6).as("avg_logp"))
     docs.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
+      .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
   }
 
-  /** #85 WINNOWING fingerprints (Schleimer et al. 2003, the MOSS
+  /** #84 WINNOWING fingerprints (Schleimer et al. 2003, the MOSS
     * local-fingerprinting scheme): md5 each 3-word shingle, slide a
     * window of 4 hashes, keep the window minimum, dedup — the
     * guarantee is that any shared run of ≥6 words between two docs
@@ -120,7 +141,7 @@ object CurationB {
         array_max(col("fps")).as("max_fp"))
   }
 
-  /** #86 TEMPERATURE-scaled domain mixture (the multilingual /
+  /** #85 TEMPERATURE-scaled domain mixture (the multilingual /
     * multi-domain sampling rule p_d ∝ share_d^α, α=0.5, used to
     * up-weight small domains when building a training mix — the
     * companion knob to #67's absolute token targets): per-source
@@ -205,7 +226,7 @@ object CurationB {
   }
 
   /** #88 per-source TOKEN ENTROPY + type/token profile (the corpus
-    * diversity diagnostic read next to #67/#86 when composing a
+    * diversity diagnostic read next to #67/#85 when composing a
     * training mix): unigram Shannon entropy per source via the
     * one-pass identity H = ln T − (Σ c·ln c)/T, so the whole query is
     * two map-side-combined hash aggs — no per-term probabilities ever

@@ -19,7 +19,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("row-local curation operators run entirely on the scan (zero shuffles)") {
     for (q <- Seq("q_quality_filter", "q_pii_scrub", "q_embedding_quant",
-      "q_doc_chunks", "q_text_stats", "q_token_count", "q_fingerprint")) {
+      "q_doc_chunks", "q_text_stats", "q_token_count", "q_fingerprint",
+      "q_repetition_filter")) {
       val p = plan(q)
       assert(exchanges(p) == 0, s"$q grew a shuffle:\n$p")
     }
@@ -33,6 +34,9 @@ class PlanShapeSpec extends AnyFunSuite {
   test("LM scoring joins shuffle-hash on the bigram key (LM never broadcast)") {
     val p = plan("q_lm_score")
     assert(p.contains("ShuffledHashJoin"), s"scoring join lost its hint:\n$p")
+    // the LM is corpus-derived: ANY broadcast join in this plan means
+    // a corpus-sized side got broadcast (huge at 100 TB)
+    assert(!p.contains("BroadcastHashJoin"), s"LM side got broadcast:\n$p")
   }
 
   test("star join broadcasts its dims (no sort-merge join)") {

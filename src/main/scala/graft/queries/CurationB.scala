@@ -243,6 +243,37 @@ object CurationB {
         round(log(col("n_tokens").cast("double")) -
           col("clnc") / col("n_tokens"), 6).as("entropy"))
 
+  /** #89 IVF RECALL report (the index-quality evaluation an ANN owner
+    * runs before trusting #57's bucketed search — the vector-index
+    * counterpart of #36e's MinHash estimator check): per query,
+    * recall@3 of the nprobe=2 IVF result against the exact
+    * brute-force top-3. Reuses the production operators for both
+    * sides ([[Embeddings.ivfTopK]], [[Embeddings.bruteForceTopK]]);
+    * the comparison itself is one tiny join over (queries × k) rows,
+    * so the evaluation costs no more than running the two searches. */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Embeddings.asDouble(col("embedding")).as("qv"))
+    val c = e.select(col("vec_id").as("n_id"),
+      Embeddings.asDouble(col("embedding")).as("nv"))
+    val truth = Embeddings.bruteForceTopK(q, c, 3)
+      .select(col("q_id"), col("n_id"))
+    val vecs = e.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val approx = Embeddings
+      .ivfTopK(vecs, Extras.embeddingCentroids(s, dir),
+        queryMaxId = 5L, k = 3, nprobe = 2)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_true"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition_filter" -> repetitionFilter _,
     "q_lm_score"          -> lmScore _,
@@ -250,7 +281,8 @@ object CurationB {
     "q_domain_temperature" -> domainTemperature _,
     "q_kmeans_iter"       -> kmeansIter _,
     "q_vocab_coverage"    -> vocabCoverage _,
-    "q_token_entropy"     -> tokenEntropy _
+    "q_token_entropy"     -> tokenEntropy _,
+    "q_ivf_recall"        -> ivfRecall _
   )
 
   val oracles: Map[String, String] = Map(
@@ -310,6 +342,53 @@ object CurationB {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM f""".stripMargin,
+    "q_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT true_label AS label, CAST(i AS BIGINT) AS dim, v[i] AS val
+        |  FROM e, UNNEST(range(1, 65)) AS t(i)),
+        |cent AS (
+        |  SELECT label, dim, ROUND(AVG(val), 6) AS centroid FROM x GROUP BY 1, 2),
+        |ca AS (
+        |  SELECT label, list(centroid ORDER BY dim) AS cv FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, ca.label,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * ca.cv[i]))
+        |      / (sqrt(list_sum(list_transform(e.v, y -> y*y)))
+        |         * sqrt(list_sum(list_transform(ca.cv, y -> y*y)))), 6) AS ccos
+        |  FROM e, ca),
+        |assigned AS (
+        |  SELECT vec_id, v, label AS bucket FROM scored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, label AS bucket FROM scored
+        |  WHERE vec_id < 5
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) <= 2),
+        |pairs AS (
+        |  SELECT p.q_id, c.vec_id AS n_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> qe.v[i] * c.v[i]))
+        |      / (sqrt(list_sum(list_transform(qe.v, y -> y*y)))
+        |         * sqrt(list_sum(list_transform(c.v, y -> y*y)))), 6) AS cos
+        |  FROM probes p
+        |  JOIN e qe ON qe.vec_id = p.q_id
+        |  JOIN assigned c ON c.bucket = p.bucket AND c.vec_id <> p.q_id),
+        |ivf AS (
+        |  SELECT q_id, n_id FROM pairs
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3),
+        |bf AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (sqrt(list_sum(list_transform(a.v, y -> y*y)))
+        |         * sqrt(list_sum(list_transform(b.v, y -> y*y)))), 6) AS cos
+        |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY cos DESC, b.vec_id) <= 3)
+        |SELECT bf.q_id, COUNT(*) AS n_true,
+        |  CAST(SUM(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  ROUND(CAST(SUM(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS recall
+        |FROM bf LEFT JOIN ivf i ON bf.q_id = i.q_id AND bf.n_id = i.n_id
+        |GROUP BY 1""".stripMargin,
     "q_kmeans_iter" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -132,6 +132,19 @@ class CurationBSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("ivf_recall: one row per query, recall = hits/true, nonzero overall") {
+    val df = SparkEntry.queries("q_ivf_recall")(spark, sf).cache()
+    assert(df.count() == 5)
+    assert(df.filter(col("n_true") =!= 3).count() == 0)
+    assert(df.filter(col("recall") < 0 || col("recall") > 1).count() == 0)
+    assert(df.filter(
+      abs(col("recall") - col("n_hits").cast("double") / col("n_true")) > 1e-6)
+      .count() == 0)
+    // the index must retrieve SOMETHING across the probe set
+    assert(df.agg(sum(col("n_hits"))).head().getLong(0) > 0)
+    df.unpersist()
+  }
+
   test("domain_temperature: weights normalize and up-weight small domains") {
     val df = SparkEntry.queries("q_domain_temperature")(spark, sf).cache()
     val sums = df.agg(sum(col("share")).as("s"), sum(col("temp_weight")).as("w"))

@@ -13,19 +13,27 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FULL-evaluation action: noop-format write materializes every
+    // output column. count() would let Catalyst prune all computed
+    // columns and, for scan-shaped queries, reduce the job to a parquet
+    // row-count — timing the metadata, not the operator.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      fn(spark, dir).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("noop").save()
     // Warmup at the smallest SF: identical plans → whole-stage codegen
     // classes, shuffle machinery and JIT are hot before timing, so the
     // measurement reflects data-processing throughput, not JVM startup.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try run(fn, warmDir) catch { case _: Throwable => () }
     }
     // two timed passes, report per-query min: single-pass numbers on a
     // shared machine carry ±80% scheduler noise; min-of-2 is the
     // repeatable steady-state figure
     def timed(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn, sfDir) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (r1, r2) = (timed(), timed())

@@ -26,11 +26,14 @@ object Curation {
     * reused. At 100 TB nothing driver-side ever sees a span. */
   def dedupSpans(s: SparkSession, dir: String): DataFrame = {
     val W = 16
-    val toks = split(col("text"), " ")
+    // toks materialized as a column: referenced inside the span lambda,
+    // an expression would be re-split per span (quadratic in doc length)
+    val toks = col("toks")
     val nSpans = ceil(size(toks).cast("double") / W).cast("int")
     val spans = transform(sequence(lit(0), nSpans - 1),
       i => array_join(slice(toks, i * W + 1, lit(W)), " "))
     val sp = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(spans).as("span"))
       .select(col("doc_id"), md5(col("span")).as("span_hash"))
     val df = sp.groupBy(col("span_hash")).agg(count(lit(1)).as("span_df"))

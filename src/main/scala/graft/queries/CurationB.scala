@@ -52,21 +52,28 @@ object CurationB {
     * per-row fold can answer). Thresholds (top bigram ≤ 0.2,
     * duplicated segments ≤ 0.2) mirror the published rule shape. */
   def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
-    val bg = array_sort(bigrams(col("text")))
-    val nBg = size(bg)
-    val topFrac = when(nBg === 0, 0.0)
-      .otherwise(round(maxMultiplicity(bg).cast("double") / nBg, 6))
+    // materialize the sorted arrays as COLUMNS before the run-length
+    // sweeps: an expression referenced inside an HOF lambda is
+    // re-evaluated per element (quadratic); an attribute is a row read
     val nSeg = ceil(size(col("toks")).cast("double") / 8).cast("int")
-    val segs = array_sort(transform(sequence(lit(0), nSeg - 1),
-      i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " ")))
-    val m = size(segs)
+    val prepped = tokenized(s, dir).select(
+      col("doc_id"),
+      array_sort(bigrams(col("text"))).as("bg"),
+      array_sort(transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " ")))
+        .as("segs"))
+    val nBg = size(col("bg"))
+    val topFrac = when(nBg === 0, 0.0)
+      .otherwise(round(maxMultiplicity(col("bg")).cast("double") / nBg, 6))
+    val m = size(col("segs"))
     // a sorted element occurs exactly once iff it differs from both
     // neighbours; duplicated occurrences = m - singletons
+    val segAt = (i: Column) => element_at(col("segs"), i)
     val singletons = size(filter(sequence(lit(1), m), i =>
-      (i === 1 || element_at(segs, i) =!= element_at(segs, i - 1)) &&
-        (i === m || element_at(segs, i) =!= element_at(segs, i + 1))))
+      (i === 1 || segAt(i) =!= segAt(i - 1)) &&
+        (i === m || segAt(i) =!= segAt(i + 1))))
     val dupFrac = round((m - singletons).cast("double") / m, 6)
-    tokenized(s, dir)
+    prepped
       .select(col("doc_id"),
         nBg.cast("long").as("n_bigrams"),
         topFrac.as("top_bigram_frac"),
@@ -127,13 +134,20 @@ object CurationB {
     * at 100 TB it rides the parquet read like #45. Docs shorter than
     * the window keep all their hashes. */
   def winnow(s: SparkSession, dir: String): DataFrame = {
-    val h = transform(graft.plans.WordShingles(col("text"), 3),
-      x => md5(x))
+    // materialize the hash array as a COLUMN before the windowed scan:
+    // an expression referenced inside a higher-order-function lambda is
+    // re-evaluated per element (here: the whole md5-transform, turning
+    // the window sweep quadratic); an attribute reference is a row read
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        transform(graft.plans.WordShingles(col("text"), 3), x => md5(x))
+          .as("h"))
+    val h = col("h")
     val fps = when(size(h) >= 4,
       array_distinct(transform(sequence(lit(1), size(h) - 3),
         i => array_min(slice(h, i, lit(4))))))
       .otherwise(array_distinct(h))
-    Tables.documents(s, dir)
+    hashed
       .select(col("doc_id"), fps.as("fps"))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),

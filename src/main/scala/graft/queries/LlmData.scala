@@ -235,11 +235,14 @@ object LlmData {
     * small rows, not duplicated text. */
   def docChunks(s: SparkSession, dir: String): DataFrame = {
     val W = 32
-    val toks = split(col("text"), " ")
+    // toks materialized as a column: referenced inside the chunk lambda,
+    // an expression would be re-split per chunk (quadratic in doc length)
+    val toks = col("toks")
     val nChunks = ceil(size(toks).cast("double") / W).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1),
       i => array_join(slice(toks, i * W + 1, lit(W)), " "))
     Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(chunks))
       .select(
         col("doc_id"),

@@ -288,6 +288,22 @@ object CurationB {
         round(col("n_hits").cast("double") / col("n_true"), 6))
   }
 
+  /** #90 LANGUAGE MIXTURE report over the corpus's declared `lang`
+    * column (the per-language composition table read next to #85/#88
+    * when balancing a multilingual mix — declared metadata here,
+    * where #43 infers it from text): per-language doc/token counts
+    * and token share. One map-side hash agg + a broadcast scalar. */
+  def langMix(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("t_all"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("t_all"), 6).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition_filter" -> repetitionFilter _,
     "q_lm_score"          -> lmScore _,
@@ -296,7 +312,8 @@ object CurationB {
     "q_kmeans_iter"       -> kmeansIter _,
     "q_vocab_coverage"    -> vocabCoverage _,
     "q_token_entropy"     -> tokenEntropy _,
-    "q_ivf_recall"        -> ivfRecall _
+    "q_ivf_recall"        -> ivfRecall _,
+    "q_lang_mix"          -> langMix _
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,6 +373,13 @@ object CurationB {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM f""".stripMargin,
+    "q_lang_mix" ->
+      """WITH per AS (SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, tokens,
+        |  ROUND(CAST(tokens AS DOUBLE) / SUM(tokens) OVER (), 6) AS share
+        |FROM per""".stripMargin,
     "q_ivf_recall" ->
       """WITH e AS (SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (

@@ -66,6 +66,27 @@ object LlmData {
       .withColumn("keep", (col("doc_id") === col("canonical_id")).cast("int"))
   }
 
+  /** #36f dedup SAVINGS report — the one-row summary a pipeline owner
+    * quotes ("dedup drops X% of tokens"): document and token totals
+    * before/after #36c's keep-one labeling. One corpus-keyed join
+    * (both sides doc-sized, the label frame reuses the verified
+    * pipeline) and a single global aggregate. */
+  def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    dedupPipeline(s, dir).join(tok, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("kept_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("keep") === 1, col("n_tok")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(col("n_docs"), col("kept_docs"),
+        col("total_tokens"), col("kept_tokens"),
+        round(lit(1.0) -
+          col("kept_tokens").cast("double") / col("total_tokens"), 6)
+          .as("token_savings"))
+  }
+
   /** #38 n-gram Jaccard near-dup pairs: top-20 most similar candidate
     * pairs from the shared-shingle inverted index (exact: df cap
     * explicitly off — this entry verifies the exact semantics). */
@@ -402,6 +423,7 @@ object LlmData {
     "q_curation_pipeline"   -> curationPipeline _,
     "q_dedup_incremental"   -> dedupIncremental _,
     "q_dedup_report"        -> dedupReport _,
+    "q_dedup_savings"       -> dedupSavings _,
     "q_minhash_accuracy"    -> minhashAccuracy _
   )
 
@@ -566,6 +588,21 @@ object LlmData {
           |SELECT doc_a, doc_b, est, jaccard,
           |  ROUND(ABS(est - jaccard), 6) AS abs_err
           |FROM j""".stripMargin),
+    "q_dedup_savings" ->
+      (s"WITH labeled AS (\n$dedupPipelineOracle\n)\n" +
+        """, tok AS (SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          |  FROM documents)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(CASE WHEN l.doc_id = l.canonical_id THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS kept_docs,
+          |  CAST(SUM(t.n_tok) AS BIGINT) AS total_tokens,
+          |  CAST(SUM(CASE WHEN l.doc_id = l.canonical_id THEN t.n_tok ELSE 0 END)
+          |    AS BIGINT) AS kept_tokens,
+          |  ROUND(1.0 - CAST(SUM(CASE WHEN l.doc_id = l.canonical_id
+          |      THEN t.n_tok ELSE 0 END) AS DOUBLE) / SUM(t.n_tok), 6)
+          |    AS token_savings
+          |FROM labeled l JOIN tok t ON l.doc_id = t.doc_id""".stripMargin),
     "q_dedup_report" ->
       (s"WITH labeled AS (\n$dedupPipelineOracle\n)\n" +
         """, cs AS (SELECT canonical_id, COUNT(*) AS cluster_size

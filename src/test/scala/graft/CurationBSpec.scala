@@ -145,6 +145,29 @@ class CurationBSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("dedup_savings: totals consistent with the pipeline labeling") {
+    val row = SparkEntry.queries("q_dedup_savings")(spark, sf).head()
+    val (n, kept, tot, keptTok) = (row.getAs[Long]("n_docs"),
+      row.getAs[Long]("kept_docs"), row.getAs[Long]("total_tokens"),
+      row.getAs[Long]("kept_tokens"))
+    assert(kept <= n && kept > 0)
+    assert(keptTok <= tot && keptTok > 0)
+    val savings = row.getAs[Double]("token_savings")
+    assert(math.abs(savings - (1.0 - keptTok.toDouble / tot)) < 1e-5)
+    // must agree with the pipeline's own keep column
+    val keepSum = SparkEntry.queries("q_dedup_pipeline")(spark, sf)
+      .agg(sum(col("keep"))).head().getLong(0)
+    assert(kept == keepSum)
+  }
+
+  test("lang_mix: shares normalize, doc counts cover the corpus") {
+    val df = SparkEntry.queries("q_lang_mix")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(df.agg(sum(col("n_docs"))).head().getLong(0) == docs)
+    assert(math.abs(df.agg(sum(col("share"))).head().getDouble(0) - 1.0) < 1e-4)
+    df.unpersist()
+  }
+
   test("domain_temperature: weights normalize and up-weight small domains") {
     val df = SparkEntry.queries("q_domain_temperature")(spark, sf).cache()
     val sums = df.agg(sum(col("share")).as("s"), sum(col("temp_weight")).as("w"))

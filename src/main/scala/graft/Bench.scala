@@ -13,14 +13,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // FULL-evaluation action: noop-format write materializes every
-    // output column. count() would let Catalyst prune all computed
-    // columns and, for scan-shaped queries, reduce the job to a parquet
-    // row-count — timing the metadata, not the operator.
+    // FULL-evaluation action shared by every timing harness — see
+    // graft.tools.FullEval for why count() is not equivalent.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
-      fn(spark, dir).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .format("noop").save()
+      graft.tools.FullEval.run(fn(spark, dir))
     // Warmup at the smallest SF: identical plans → whole-stage codegen
     // classes, shuffle machinery and JIT are hot before timing, so the
     // measurement reflects data-processing throughput, not JVM startup.

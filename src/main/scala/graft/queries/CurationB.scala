@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.similarity.Embeddings
 
-/** Third curation batch (SURVEY §2 #82-88): Gopher-style repetition
-  * filtering, corpus-LM document scoring, winnowing fingerprints, and
-  * temperature-scaled domain mixture weights.
+/** Third curation batch (SURVEY §2 #82-90): Gopher-style repetition
+  * filtering, corpus-LM document scoring, winnowing fingerprints,
+  * temperature-scaled domain mixture weights, a k-means Lloyd
+  * iteration, tokenizer vocabulary coverage, per-source token entropy,
+  * an IVF recall report, and the language-mixture composition table.
   */
 object CurationB {
 

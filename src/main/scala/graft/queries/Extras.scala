@@ -32,8 +32,8 @@ object Extras {
     * estimates are engine-specific, so the query emits (a) exact
     * values the oracle recomputes verbatim and (b) 0/1 flags asserting
     * the sketch landed within tolerance of the exact answer (HLL at
-    * rsd=0.01 within 5% relative error; approx percentile at
-    * accuracy=1000 within the exact 48th-52nd percentile band). The
+    * rsd=0.015 within 5% relative error; approx percentile at
+    * accuracy=500 within the exact 48th-52nd percentile band). The
     * oracle emits constant 1 for the flags: a drifting sketch flips a
     * flag and fails the hash — a real cross-engine gate, not rows-only. */
   def approxSketch(s: SparkSession, dir: String): DataFrame =
@@ -42,11 +42,13 @@ object Extras {
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("users_exact"),
-        // sketch params sized to their gates, not tighter: rsd=0.02
-        // typically lands ~2% error against a 5% gate (0.01 costs 4x
-        // the registers); accuracy=500 bounds rank error at 0.2%
-        // against the ±2% percentile band
-        approx_count_distinct(col("user_id"), 0.02).as("au"),
+        // sketch params sized to their gates, not tighter: rsd=0.015
+        // keeps a 3.3-sigma margin against the 5% gate (rsd=0.01 costs
+        // 2.2x the registers for margin the gate can't observe; 0.02
+        // would leave only 2.5 sigma — ~1% flip chance per group on
+        // regenerated data); accuracy=500 bounds percentile rank error
+        // at 0.2% against the ±2% band
+        approx_count_distinct(col("user_id"), 0.015).as("au"),
         percentile_approx(col("value"), lit(0.5), lit(500)).as("p50a"),
         expr("percentile(value, 0.48)").as("lo"),
         expr("percentile(value, 0.52)").as("hi"))

@@ -60,8 +60,7 @@ object ScaleProbe {
         // warm once at 1x for JIT/codegen, then min of 2 timed passes
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, dirs(n)).write.mode(SaveMode.Overwrite)
-            .format("noop").save()
+          FullEval.run(fn(spark, dirs(n)))
           (System.nanoTime() - t0) / 1e9
         }.min
         t

@@ -63,6 +63,29 @@ object DocsStream {
     docs.filter(!arrays_overlap(grams, typedLit(evalSet)))
   }
 
+  /** Streaming TRENDING TERMS: watermarked tumbling-window term
+    * counts over a document stream — the "what is the crawl seeing
+    * right now" monitoring view next to the batch vocab/entropy
+    * tables (#87/#88). Term explode is row-local; the windowed count
+    * is the canonical watermark + window agg (state bounded by the
+    * watermark, finalized windows emitted once in append mode).
+    * Ranking within a window is left to the reader of the (small)
+    * per-window count table: streaming top-k would need
+    * arbitrary-stateful processing for exactness, and the count table
+    * IS the complete answer. Low-signal terms are pre-filtered by
+    * minimum length so stopword noise never enters the state store. */
+  def trendingTerms(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour", windowLen: String = "10 minutes",
+      minTermLen: Int = 3): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+      .groupBy(window(col(tsCol), windowLen), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("term"), col("n"))
+
   /** Curated ingest: the full quality-then-dedup gate applied AT THE
     * EDGE of a document stream. The quality rules
     * ([[graft.functions.TextAnalysis.qualityPass]]) are row-local

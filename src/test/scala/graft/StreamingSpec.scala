@@ -289,4 +289,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(spark.table("dd").count() == 1)
   }
+
+  test("trending terms: windowed counts finalize on watermark, short terms filtered") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = graft.streaming.DocsStream.trendingTerms(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+      watermark = "5 minutes", windowLen = "10 minutes")
+    val q = df.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tt").start()
+    mem.addData(
+      (1L, "spark spark engine is up", ts(1)),
+      (2L, "spark engine scaling up up up", ts(3)))
+    q.processAllAvailable()
+    // advance the watermark far past the first window to finalize it
+    mem.addData((3L, "later window content", ts(40)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tt")
+      .filter(col("window_start") === ts(0))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rows("spark") == 3L)
+    assert(rows("engine") == 2L)
+    assert(!rows.contains("is") && !rows.contains("up")) // len < 3 filtered
+    assert(rows("scaling") == 1L)
+  }
 }

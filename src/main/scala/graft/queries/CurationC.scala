@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Fourth curation batch (SURVEY §2 #91-93): exact-substring removal
+  * with document reassembly, exact per-source budget sampling, and the
+  * cross-source syndication overlap report.
+  */
+object CurationC {
+
+  /** #91 exact-SUBSTRING REMOVAL + document REASSEMBLY — the actual
+    * output of Lee et al. 2022 exact substring dedup, completing
+    * #73's statistics view: every 16-token span whose text occurs in
+    * more than one place corpus-wide is REMOVED from all docs except
+    * the span's keeper (min doc_id), and each document is rebuilt
+    * from its surviving spans.
+    *
+    * Scale shape: span enumeration is row-local and only (doc_id,
+    * idx, hash) triples are exploded — span TEXT never leaves the
+    * row. Corpus-wide (df, keeper) is ONE map-side-combining hash
+    * agg; the decision join-back is SHUFFLE_HASH on the span hash
+    * (exchange reuse with the agg); the removal list per doc is a
+    * tiny int array, joined back to the doc scan on doc_id; the
+    * rebuild is a row-local filter over the chunk sequence. At
+    * 100 TB the only wide thing that moves is hashed triples.
+    * (reference has no analogue; technique from Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better".) */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val W = 16
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // toks is a materialized column: referencing an expression inside
+    // the span lambda would re-split per span (quadratic in doc length)
+    val nSpans = ceil(size(col("toks")).cast("double") / W).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => struct(i.as("idx"),
+        md5(array_join(slice(col("toks"), i * W + 1, lit(W)), " ")).as("h")))
+    val sp = docs.select(col("doc_id"), explode(spans).as("sp"))
+      .select(col("doc_id"), col("sp.idx").as("idx"), col("sp.h").as("span_hash"))
+    val stats = sp.groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("span_df"), min(col("doc_id")).as("keeper"))
+    val removed = sp.join(stats.hint("shuffle_hash"), "span_hash")
+      .filter(col("span_df") > 1 && col("doc_id") =!= col("keeper"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("idx"))).as("rm"))
+    val keptIdx = filter(sequence(lit(0), nSpans - 1),
+      i => !array_contains(col("rm"), i))
+    val keptToks = flatten(transform(keptIdx,
+      i => slice(col("toks"), i * W + 1, lit(W))))
+    docs.join(removed.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm"), array().cast("array<int>")))
+      .withColumn("kept", keptToks)
+      .select(
+        col("doc_id"),
+        nSpans.cast("long").as("n_spans"),
+        size(col("rm")).cast("long").as("n_removed"),
+        size(col("kept")).cast("long").as("kept_ntok"),
+        md5(array_join(col("kept"), " ")).as("cleaned_hash"))
+  }
+
+  /** #92 exact per-source BUDGET SAMPLING — "give me exactly k docs
+    * per domain, reproducibly" (the fixed-budget counterpart of #61's
+    * rate-based stratified sample): docs ranked by a uniform 32-bit
+    * md5 key within their source, lowest k kept.
+    *
+    * Ranking uses the bounded map-side [[graft.plans.TopKAgg]], NOT a
+    * row_number window: the window form shuffles and sorts every doc;
+    * the aggregate sends at most k (score, id) pairs per source per
+    * map task — at 100 TB with a handful of sources that is the
+    * difference between shuffling k·sources rows and all of them.
+    * The hash key is exact in a double (32 bits), so the DuckDB
+    * window-rank oracle reproduces the order bit-for-bit. */
+  def budgetSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 25
+    val h = md5(concat(col("doc_id").cast("string"), lit(":budget")))
+    val hex = "0123456789abcdef"
+    val hv = (1 to 8).map(i =>
+      (instr(lit(hex), substring(h, i, 1)) - 1).cast("double")
+        * math.pow(16, 8 - i)).reduce(_ + _)
+    Tables.documents(s, dir)
+      .select(col("source"), (-hv).as("score"), col("doc_id").cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.plans.TopKAgg(k).toColumn)
+      .flatMap { case (src, top) =>
+        top.zipWithIndex.map { case ((_, id), i) => (src, (i + 1).toLong, id) }
+      }
+      .toDF("source", "rank", "doc_id")
+  }
+
+  /** #93 cross-source SYNDICATION OVERLAP report — the provenance
+    * matrix an ops team reads before mixing crawl sources: for each
+    * source pair, how many distinct 16-token span hashes they share.
+    * Verbatim cross-posted content (planted here as a `syndicated`
+    * mirror of every 11th doc — the #36b planted-probe pattern)
+    * shows up as a hot pair; near-zero pairs are independent sources.
+    *
+    * Scale shape: spans reduce to hashes at the scan, the per-source
+    * distinct span set is one hash agg, and the pair join is
+    * SHUFFLE_HASH on the span hash — pair cardinality is bounded by
+    * sources², never docs². */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val W = 16
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val mirror = base.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        lit("syndicated").as("source"), col("text"))
+    val docs = base.unionByName(mirror)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+    val nSpans = ceil(size(col("toks")).cast("double") / W).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => md5(array_join(slice(col("toks"), i * W + 1, lit(W)), " ")))
+    val srcSpans = docs.select(col("source"), explode(spans).as("h"))
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("n"))
+      .select(col("source"), col("h"))
+    srcSpans.as("a")
+      .join(srcSpans.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substring_dedup" -> substringDedup _,
+    "q_budget_sample"   -> budgetSample _,
+    "q_source_overlap"  -> sourceOverlap _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i
+        |  FROM t),
+        |x AS (SELECT doc_id, i,
+        |  md5(array_to_string(toks[(i*16 + 1):((i+1)*16)], ' ')) AS h
+        |  FROM c),
+        |d AS (SELECT h, COUNT(*) AS df, MIN(doc_id) AS keeper FROM x GROUP BY 1),
+        |rm AS (SELECT doc_id, list_sort(list(i)) AS rm
+        |  FROM x JOIN d USING (h)
+        |  WHERE d.df > 1 AND x.doc_id <> d.keeper GROUP BY 1),
+        |f AS (SELECT t.doc_id, t.toks,
+        |  COALESCE(rm.rm, CAST([] AS BIGINT[])) AS rm,
+        |  CAST(ceil(len(t.toks) / 16.0) AS BIGINT) AS n_spans
+        |  FROM t LEFT JOIN rm USING (doc_id)),
+        |k AS (SELECT doc_id, n_spans, len(rm) AS n_removed,
+        |  flatten(list_transform(
+        |    list_filter(range(0, n_spans), i -> NOT list_contains(rm, i)),
+        |    i -> toks[(i*16 + 1):((i+1)*16)])) AS kept
+        |  FROM f)
+        |SELECT doc_id, n_spans, CAST(n_removed AS BIGINT) AS n_removed,
+        |  CAST(len(kept) AS BIGINT) AS kept_ntok,
+        |  -- array_to_string([]) is NULL in DuckDB but '' in Spark
+        |  md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_hash
+        |FROM k""".stripMargin,
+    "q_budget_sample" -> {
+      val weights = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+      val terms = weights.zipWithIndex.map { case (w, i) =>
+        s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * $w"
+      }.mkString("\n|    + ")
+      s"""WITH h AS (SELECT doc_id, source,
+         |  md5(CAST(doc_id AS VARCHAR) || ':budget') AS hh FROM documents),
+         |v AS (SELECT doc_id, source,
+         |    $terms AS hv
+         |  FROM h),
+         |r AS (SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rank
+         |  FROM v)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+         |FROM r WHERE rank <= 25""".stripMargin
+    },
+    "q_source_overlap" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, 'syndicated', text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |t AS (SELECT source, string_split(text, ' ') AS toks FROM t0),
+        |c AS (SELECT source, toks,
+        |  unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i
+        |  FROM t),
+        |x AS (SELECT DISTINCT source,
+        |  md5(array_to_string(toks[(i*16 + 1):((i+1)*16)], ' ')) AS h
+        |  FROM c)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(*) AS shared_spans
+        |FROM x a JOIN x b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -50,8 +50,12 @@ object Extras {
         // at 0.2% against the ±2% band
         approx_count_distinct(col("user_id"), 0.015).as("au"),
         percentile_approx(col("value"), lit(0.5), lit(500)).as("p50a"),
-        expr("percentile(value, 0.48)").as("lo"),
-        expr("percentile(value, 0.52)").as("hi"))
+        // one array-valued exact percentile: both band edges share one
+        // value buffer instead of two independent sort aggregates
+        expr("percentile(value, array(0.48, 0.52))").as("band"))
+      .select(col("*"),
+        element_at(col("band"), 1).as("lo"),
+        element_at(col("band"), 2).as("hi"))
       .select(
         col("event_type"), col("n"), col("users_exact"),
         (abs(col("au") - col("users_exact")) / col("users_exact") <= 0.05)

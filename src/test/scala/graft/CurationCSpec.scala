@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationCSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("substring_dedup: untouched docs keep their exact original text") {
+    val df = SparkEntry.queries("q_substring_dedup")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(df.count() == docs.count())
+    // a doc with nothing removed must reassemble to its original text
+    val intact = df.filter(col("n_removed") === 0)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("orig_hash")), "doc_id")
+    assert(intact.count() > 0)
+    assert(intact.filter(col("cleaned_hash") =!= col("orig_hash")).count() == 0)
+    df.unpersist()
+  }
+
+  test("substring_dedup: span removal keeps one copy corpus-wide") {
+    val df = SparkEntry.queries("q_substring_dedup")(spark, sf).cache()
+    // token-count invariant: kept_ntok <= original; removals only ever
+    // shrink, and something must be removed somewhere (testdata plants
+    // full-duplicate docs)
+    assert(df.filter(col("n_removed") > 0).count() > 0)
+    assert(df.filter(col("kept_ntok") < 0).count() == 0)
+    // the keeper (min doc_id) of a fully duplicated pair stays intact:
+    // no doc can lose spans it is the keeper of, so at least one copy
+    // of every span survives — check no span hash vanishes entirely
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val n = ceil(size(col("toks")).cast("double") / 16).cast("int")
+    val spans = docs.select(explode(transform(sequence(lit(0), n - 1),
+      i => struct(col("doc_id"),
+        md5(array_join(slice(col("toks"), i * 16 + 1, lit(16)), " ")).as("h")))).as("s"))
+      .select(col("s.doc_id"), col("s.h"))
+    // keeper per hash must have n_removed counting none of its own spans:
+    // every hash's keeper doc keeps >= 1 occurrence, i.e. a doc that is
+    // the keeper of ALL its spans has n_removed == 0
+    val keepers = spans.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val allKept = spans.join(keepers, "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("doc_id") === col("keeper"), 0).otherwise(1)).as("foreign"))
+      .filter(col("foreign") === 0)
+    val broken = allKept.join(df, "doc_id").filter(col("n_removed") > 0)
+    assert(broken.count() == 0)
+    df.unpersist()
+  }
+
+  test("budget_sample: exactly min(k, n) docs per source, ranks contiguous, deterministic") {
+    val df = SparkEntry.queries("q_budget_sample")(spark, sf).cache()
+    val perSource = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val got = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"), max(col("rank")).as("max_rank"),
+        min(col("rank")).as("min_rank"))
+      .join(perSource, "source")
+    // kept == min(25, n) and ranks are 1..kept
+    assert(got.filter(col("kept") =!= least(lit(25L), col("n"))).count() == 0)
+    assert(got.filter(col("min_rank") =!= 1 || col("max_rank") =!= col("kept"))
+      .count() == 0)
+    // deterministic: a second run yields the identical set
+    val again = SparkEntry.queries("q_budget_sample")(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+    df.unpersist()
+  }
+
+  test("source_overlap: syndicated mirror shares spans with its origin sources") {
+    val df = SparkEntry.queries("q_source_overlap")(spark, sf).cache()
+    // pairs are strictly ordered (no self-pairs, no symmetric dupes)
+    assert(df.filter(col("source_a") >= col("source_b")).count() == 0)
+    // every source with a doc_id % 11 == 0 doc must overlap the mirror
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select(col("source")).distinct()
+    val withMirror = df.filter(col("source_b") === "syndicated")
+      .select(col("source_a").as("source"))
+    assert(expected.exceptAll(withMirror).count() == 0)
+    df.unpersist()
+  }
+}

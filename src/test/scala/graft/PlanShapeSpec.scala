@@ -78,6 +78,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), s"within-cluster join lost its hint:\n$p")
   }
 
+  test("substring dedup joins are shuffle-hash; span text never joins") {
+    val p = plan("q_substring_dedup")
+    assert(p.contains("ShuffledHashJoin"), s"hash join-back lost its hint:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"join-back fell back to SMJ:\n$p")
+  }
+
+  test("budget sample ranks via the bounded aggregate, not a window sort") {
+    val p = plan("q_budget_sample")
+    assert(!p.contains("Window"), s"budget sample fell back to a window:\n$p")
+  }
+
+  test("source overlap pair join stays shuffle-hash on the span key") {
+    val p = plan("q_source_overlap")
+    assert(p.contains("ShuffledHashJoin"), s"pair join lost its hint:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pair join fell back to SMJ:\n$p")
+  }
+
   test("filter predicates reach the parquet scan") {
     val p = plan("q_select_filter")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,

@@ -99,4 +99,72 @@ object DocsStream {
     dedupNearWithinWatermark(
       docs.filter(graft.functions.TextAnalysis.qualityPass(col(textCol))),
       textCol, tsCol, watermark, rowsPerKey)
+
+  /** One arriving document for [[quotaIngest]]. */
+  case class QuotaDoc(doc_id: Long, source: String, ntok: Long,
+      ts: java.sql.Timestamp)
+  /** Tokens admitted so far for one (source, window) quota key. */
+  case class QuotaState(admitted: Long)
+  /** An admitted document with its running window total. */
+  case class QuotaOut(doc_id: Long, source: String, ntok: Long,
+      window_start: java.sql.Timestamp, cum_tokens: Long)
+
+  /** Streaming per-source TOKEN-QUOTA ADMISSION: cap how many tokens
+    * each source may contribute per event-time window — the
+    * rate-control half of mixture enforcement (#67 resamples a static
+    * corpus; this bounds a LIVE crawl so no domain floods an epoch).
+    *
+    * Keyed by (source, tumbling window): state is ONE counter per
+    * key; a document is admitted iff the counter stays within quota,
+    * oversized arrivals are dropped (emitting a truncated doc would
+    * corrupt downstream dedup hashes). Admission order inside a
+    * micro-batch is (ts, doc_id) — deterministic under replay, since
+    * Spark does not order rows within a group iterator. The counter
+    * is evicted by EventTimeTimeout once the watermark passes the
+    * window end, so state is O(sources × windows-in-flight) forever.
+    * Emitted docs appear immediately (append mode) — admission must
+    * not wait for window finalization. */
+  def quotaIngest(
+      docs: org.apache.spark.sql.Dataset[QuotaDoc],
+      quotaTokens: Long,
+      windowLenMs: Long = 10L * 60 * 1000,
+      watermark: String = "30 minutes"):
+      org.apache.spark.sql.Dataset[QuotaOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val isStreaming = docs.isStreaming
+    docs
+      .withWatermark("ts", watermark)
+      .groupByKey(d => (d.source, d.ts.getTime / windowLenMs * windowLenMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long), ds: Iterator[QuotaDoc],
+         state: GroupState[QuotaState]) => {
+          val (source, windowStartMs) = key
+          if (state.hasTimedOut) {
+            // watermark passed the window end: no more admissions
+            // possible for this key — drop the counter
+            state.remove()
+            Iterator.empty
+          } else {
+            var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+            val out = scala.collection.mutable.ArrayBuffer[QuotaOut]()
+            ds.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              if (admitted + d.ntok <= quotaTokens) {
+                admitted += d.ntok
+                out += QuotaOut(d.doc_id, source, d.ntok,
+                  new java.sql.Timestamp(windowStartMs), admitted)
+              }
+            }
+            state.update(QuotaState(admitted))
+            if (isStreaming) {
+              // evict once the watermark clears the window end (late
+              // docs inside the watermark can still arrive until then)
+              val windowEndMs = windowStartMs + windowLenMs
+              state.setTimeoutTimestamp(
+                math.max(windowEndMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+        })
+  }
 }

@@ -315,4 +315,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.contains("is") && !rows.contains("up")) // len < 3 filtered
     assert(rows("scaling") == 1L)
   }
+
+  test("quota ingest: per-source window cap holds across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocsStream
+    import graft.streaming.DocsStream.QuotaDoc
+    val mem = MemoryStream[QuotaDoc]
+    val out = DocsStream.quotaIngest(mem.toDS(), quotaTokens = 100,
+      windowLenMs = 10L * 60 * 1000, watermark = "5 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("quota").start()
+    // batch 1: src0 uses 90 of its 100-token window budget; src1 fits
+    mem.addData(
+      QuotaDoc(1, "src0", 60, ts(1)),
+      QuotaDoc(2, "src0", 30, ts(2)),
+      QuotaDoc(3, "src1", 80, ts(2)))
+    q.processAllAvailable()
+    // batch 2, same window: 20 tokens would exceed src0's remaining 10
+    // (state persisted across batches), but src1 still has room
+    mem.addData(
+      QuotaDoc(4, "src0", 20, ts(3)),
+      QuotaDoc(5, "src1", 20, ts(4)))
+    q.processAllAvailable()
+    // batch 3: a NEW window gets a fresh budget
+    mem.addData(QuotaDoc(6, "src0", 90, ts(11)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("quota").as[DocsStream.QuotaOut]
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 5L, 6L)) // doc 4 dropped
+    assert(rows(2L).cum_tokens == 90)  // in-batch running total
+    assert(rows(5L).cum_tokens == 100) // cross-batch continuation
+    assert(rows(6L).cum_tokens == 90)  // fresh window, fresh counter
+    assert(rows(6L).window_start == ts(10))
+  }
+
+  test("quota ingest: in-batch admission is (ts, doc_id)-deterministic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocsStream
+    import graft.streaming.DocsStream.QuotaDoc
+    val mem = MemoryStream[QuotaDoc]
+    val out = DocsStream.quotaIngest(mem.toDS(), quotaTokens = 50)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("quota2").start()
+    // all same ts: doc_id breaks the tie, so 10+20 admit and 30 drops
+    mem.addData(
+      QuotaDoc(30, "s", 30, ts(1)),
+      QuotaDoc(10, "s", 10, ts(1)),
+      QuotaDoc(20, "s", 20, ts(1)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("quota2").as[DocsStream.QuotaOut]
+      .collect().map(_.doc_id).toSet
+    assert(got == Set(10L, 20L))
+  }
 }

@@ -242,19 +242,30 @@ object Curation {
     * union in its denominator punishes size difference). The standard
     * tool for finding embedded duplicates. Same inverted-index
     * candidate shape as `q_dedup_ngram_jaccard` — pair generation is
-    * shingle-local, never all-pairs; planted probes (every 9th doc
-    * re-ingested as its own first 16 tokens) guarantee high-
-    * containment pairs at any SF. Top-20 by containment. */
+    * shingle-local, never all-pairs, and DF-CAPPED like the capped
+    * jaccard path: shingles in more than maxDf docs are dropped
+    * before the pair join (a stop-shingle shared by m docs
+    * contributes O(m²) pairs; the cap bounds the blowup at maxDf²
+    * per shingle, while |A| in the denominator keeps the full
+    * per-doc size). The cap is replayed verbatim in the oracle, so
+    * the capped plan — the 100 TB shape — is itself the verified
+    * one. Planted probes (every 9th doc re-ingested as its own first
+    * 16 tokens, shingle df 2) guarantee high-containment pairs under
+    * any cap ≥ 2 at any SF. Top-20 by containment. */
   def containment(s: SparkSession, dir: String): DataFrame = {
+    val maxDf = 4
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val excerpts = base.filter(pmod(col("doc_id"), lit(9)) === 0)
       .select((col("doc_id") + 3000000L).as("doc_id"),
         array_join(slice(split(col("text"), " "), 1, 16), " ").as("text"))
     val all = base.unionByName(excerpts)
-    val sh = all.select(col("doc_id"),
+    val sh0 = all.select(col("doc_id"),
       array_distinct(graft.plans.WordShingles(col("text"), 3)).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("sz"),
         explode(col("shs")).as("sh"))
+    val rare = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    val sh = sh0.join(rare.hint("shuffle_hash"), "sh")
     sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
@@ -426,9 +437,11 @@ object Curation {
         |  FROM t),
         |ex AS (SELECT DISTINCT doc_id, unnest(sh) AS sh FROM s),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY 1),
+        |rare AS (SELECT sh FROM ex GROUP BY 1 HAVING COUNT(*) <= 4),
+        |exc AS (SELECT doc_id, sh FROM ex JOIN rare USING (sh)),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id <> b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  ROUND(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment

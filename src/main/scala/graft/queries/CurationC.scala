@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.similarity.Embeddings
 import graft.sources.Tables
 
 /** Fourth curation batch (SURVEY §2 #91-93): exact-substring removal
@@ -124,10 +125,37 @@ object CurationC {
       .agg(count(lit(1)).as("shared_spans"))
   }
 
+  /** #94 metadata-FILTERED ANN ("hybrid search"): top-k cosine
+    * neighbors restricted to corpus vectors whose DOCUMENT passes a
+    * metadata predicate (here lang = 'en') — the retrieval shape
+    * every RAG/curation stack needs, and the one a plain vector
+    * index can't answer without recall loss.
+    *
+    * PRE-filter, not post-filter: the predicate lands on the metadata
+    * scan (pushed to parquet), survivors join the vector table on the
+    * shared id (SHUFFLE_HASH — both sides id-keyed, bucketable so the
+    * join is co-located at scale), and only then does ranking run via
+    * the bounded map-side [[graft.plans.TopKAgg]]. Post-filtering a
+    * fixed-k ANN result would return fewer than k survivors; the
+    * pre-filter shape keeps k exact at any selectivity. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.documents(s, dir)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        Embeddings.asDouble(col("embedding")).as("qv"))
+    val c = e.join(meta.hint("shuffle_hash"), e("vec_id") === meta("doc_id"))
+      .select(col("vec_id").as("n_id"),
+        Embeddings.asDouble(col("embedding")).as("nv"))
+    Embeddings.bruteForceTopK(q, c, 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_dedup" -> substringDedup _,
     "q_budget_sample"   -> budgetSample _,
-    "q_source_overlap"  -> sourceOverlap _
+    "q_source_overlap"  -> sourceOverlap _,
+    "q_ann_filtered"    -> annFiltered _
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,6 +201,22 @@ object CurationC {
          |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
          |FROM r WHERE rank <= 25""".stripMargin
     },
+    "q_ann_filtered" ->
+      """WITH m AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS n_id, v AS nv
+        |  FROM e JOIN m ON e.vec_id = m.doc_id),
+        |s AS (SELECT q_id, n_id,
+        |  ROUND(list_sum(list_transform(range(1, 65), i -> qv[i] * nv[i]))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(nv, x -> x*x)))), 6) AS cos
+        |  FROM q, c WHERE n_id <> q_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, cos
+        |FROM r WHERE rank <= 5""".stripMargin,
     "q_source_overlap" ->
       """WITH t0 AS (
         |  SELECT doc_id, source, text FROM documents

@@ -66,6 +66,20 @@ class CurationCSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("ann_filtered: every neighbor passes the metadata predicate, k exact") {
+    val df = SparkEntry.queries("q_ann_filtered")(spark, sf).cache()
+    val en = graft.sources.Tables.documents(spark, sf)
+      .filter(col("lang") === "en").select(col("doc_id").as("n_id"))
+    // pre-filter shape: no neighbor outside the predicate set
+    assert(df.join(en, Seq("n_id"), "left_anti").count() == 0)
+    // k exact per query (the en subset is larger than k at every SF)
+    val perQ = df.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+    assert(perQ.filter(col("n") =!= 5).count() == 0)
+    // ranks descend by cosine
+    assert(df.filter(col("rank") === 1).count() == perQ.count())
+    df.unpersist()
+  }
+
   test("source_overlap: syndicated mirror shares spans with its origin sources") {
     val df = SparkEntry.queries("q_source_overlap")(spark, sf).cache()
     // pairs are strictly ordered (no self-pairs, no symmetric dupes)

@@ -95,6 +95,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"pair join fell back to SMJ:\n$p")
   }
 
+  test("filtered ANN pre-filters on the metadata scan, ranks via the bounded aggregate") {
+    val p = plan("q_ann_filtered")
+    assert(!p.contains("Window"), s"filtered ANN fell back to a window sort:\n$p")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(lang,en\\)".r.findFirstIn(p).isDefined,
+      s"lang predicate not pushed to the metadata scan:\n$p")
+  }
+
+  test("containment candidate generation is df-capped (cap agg present)") {
+    val p = plan("q_containment")
+    assert(p.contains("ShuffledHashJoin"), s"pair join lost its hint:\n$p")
+  }
+
   test("filter predicates reach the parquet scan") {
     val p = plan("q_select_filter")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,

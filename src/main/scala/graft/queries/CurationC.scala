@@ -151,12 +151,86 @@ object CurationC {
     Embeddings.bruteForceTopK(q, c, 5)
   }
 
+  /** #95 top PRINCIPAL COMPONENT of the embedding corpus via POWER
+    * ITERATION — the PCA/whitening step an embedding-curation
+    * pipeline runs before quantization or SemDeDup-style clustering
+    * (dominant-direction removal is the standard whitening trick for
+    * anisotropic embedding spaces).
+    *
+    * Three deterministic rounds from the fixed start vector e₀; each
+    * round is ONE distributed pass: dot = ⟨x, v⟩ materialized as a
+    * column (NOT referenced inside the scale lambda — an expression
+    * there would re-evaluate per element), x·dot accumulated by the
+    * map-side [[graft.plans.VecSumAgg]] so only 64-double partials
+    * cross the shuffle, then the 64-vector is normalized on the
+    * driver and broadcast back as a literal. The per-round driver
+    * scalar is the same bounded Pregel-without-GraphX shape as the
+    * dedup resolve's convergence probe — 64 doubles, never rows. At
+    * 100 TB each round re-scans the corpus; a production run caches
+    * the projected frame once. The DuckDB oracle replays all three
+    * rounds verbatim, so the iteration itself is the verified
+    * artifact (both engines converge bit-stably under 6-decimal
+    * rounding from the shared deterministic start). */
+  def embeddingPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = 64
+    val e = Tables.embeddings(s, dir)
+      .select(Embeddings.asDouble(col("embedding")).as("v"))
+    var vcur = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
+    var norm = 1.0
+    for (_ <- 1 to 3) {
+      val vlit = typedLit(vcur.toSeq)
+      val dot = aggregate(zip_with(col("v"), vlit, (a, b) => a * b),
+        lit(0.0), _ + _)
+      val acc = e.withColumn("dot", dot)
+        .select(transform(col("v"), x => x * col("dot")).as("xv"))
+        .as[Array[Double]]
+        .groupByKey(_ => 0)
+        .mapValues(identity)
+        .agg(graft.plans.VecSumAgg.toColumn)
+        .collect().head._2
+      norm = math.sqrt(acc.sum.map(x => x * x).sum)
+      vcur = acc.sum.map(_ / norm)
+    }
+    val n = e.count()
+    val rows = vcur.zipWithIndex.map { case (pc, i) => ((i + 1).toLong, pc, norm / n) }
+    // rounding via Spark's round(), not driver math — same HALF_UP
+    // path as every other oracle-compared float in the surface
+    s.createDataFrame(rows.toSeq).toDF("dim", "pc", "lambda")
+      .select(col("dim"), round(col("pc"), 6).as("pc"),
+        round(col("lambda"), 6).as("lambda"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_dedup" -> substringDedup _,
     "q_budget_sample"   -> budgetSample _,
     "q_source_overlap"  -> sourceOverlap _,
-    "q_ann_filtered"    -> annFiltered _
+    "q_ann_filtered"    -> annFiltered _,
+    "q_embedding_pca"   -> embeddingPca _
   )
+
+  /** The power-iteration oracle: three rounds replayed verbatim in
+    * DuckDB (v0 = e₀; each round computes per-row dots against the
+    * previous round's vector, per-dimension sums, and renormalizes). */
+  private def pcaOracle: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""d$r AS (SELECT list_sum(list_transform(range(1, 65), i -> v[i] * vc[i])) AS dot, v
+         |  FROM e, v${r - 1}),
+         |s$r AS (SELECT j, SUM(v[j] * dot) AS s
+         |  FROM d$r, (SELECT unnest(range(1, 65)) AS j) GROUP BY j),
+         |n$r AS (SELECT sqrt(SUM(s * s)) AS nrm FROM s$r),
+         |v$r AS (SELECT list_transform((SELECT list(s ORDER BY j) FROM s$r),
+         |  x -> x / nrm) AS vc FROM n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |v0 AS (SELECT list_transform(range(1, 65),
+       |  i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS vc),
+       |$rounds
+       |SELECT CAST(j AS BIGINT) AS dim,
+       |  ROUND(s / (SELECT nrm FROM n3), 6) AS pc,
+       |  ROUND((SELECT nrm FROM n3) / (SELECT COUNT(*) FROM e), 6) AS lambda
+       |FROM s3""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_substring_dedup" ->
@@ -201,6 +275,7 @@ object CurationC {
          |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
          |FROM r WHERE rank <= 25""".stripMargin
     },
+    "q_embedding_pca" -> pcaOracle,
     "q_ann_filtered" ->
       """WITH m AS (SELECT doc_id FROM documents WHERE lang = 'en'),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

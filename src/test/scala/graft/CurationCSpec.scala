@@ -80,6 +80,18 @@ class CurationCSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("embedding_pca: unit-norm component, positive spectrum, deterministic") {
+    val df = SparkEntry.queries("q_embedding_pca")(spark, sf).cache()
+    assert(df.count() == 64)
+    val normSq = df.agg(sum(col("pc") * col("pc"))).head.getDouble(0)
+    assert(math.abs(normSq - 1.0) < 1e-4, s"component not unit-norm: $normSq")
+    assert(df.filter(col("lambda") <= 0).count() == 0)
+    // fixed start vector + deterministic rounds: a rerun is identical
+    val again = SparkEntry.queries("q_embedding_pca")(spark, sf)
+    assert(df.exceptAll(again).count() == 0)
+    df.unpersist()
+  }
+
   test("source_overlap: syndicated mirror shares spans with its origin sources") {
     val df = SparkEntry.queries("q_source_overlap")(spark, sf).cache()
     // pairs are strictly ordered (no self-pairs, no symmetric dupes)

@@ -190,7 +190,9 @@ object CurationC {
         .agg(graft.plans.VecSumAgg.toColumn)
         .collect().head._2
       norm = math.sqrt(acc.sum.map(x => x * x).sum)
-      vcur = acc.sum.map(_ / norm)
+      // a corpus orthogonal to the current vector (or empty) would
+      // divide by zero — keep the previous direction instead of NaN
+      if (norm > 0) vcur = acc.sum.map(_ / norm) else norm = 0.0
     }
     val n = e.count()
     val rows = vcur.zipWithIndex.map { case (pc, i) => ((i + 1).toLong, pc, norm / n) }

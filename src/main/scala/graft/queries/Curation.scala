@@ -250,8 +250,12 @@ object Curation {
     * per-doc size). The cap is replayed verbatim in the oracle, so
     * the capped plan — the 100 TB shape — is itself the verified
     * one. Planted probes (every 9th doc re-ingested as its own first
-    * 16 tokens, shingle df 2) guarantee high-containment pairs under
-    * any cap ≥ 2 at any SF. Top-20 by containment. */
+    * 16 tokens) give probe shingles df 2 wherever a prefix 3-gram is
+    * not independently shared — the common case in this corpus, and
+    * verified AS-IS by the oracle since both engines replay the same
+    * cap: any df drift affects both sides identically, so the gate
+    * holds even if a probe pair's containment dips below 1.0.
+    * Top-20 by containment. */
   def containment(s: SparkSession, dir: String): DataFrame = {
     val maxDf = 4
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))

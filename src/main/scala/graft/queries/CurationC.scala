@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.similarity.Embeddings
 import graft.sources.Tables
 
-/** Fourth curation batch (SURVEY §2 #91-93): exact-substring removal
-  * with document reassembly, exact per-source budget sampling, and the
-  * cross-source syndication overlap report.
+/** Fourth curation batch (SURVEY §2 #91-95): exact-substring removal
+  * with document reassembly, exact per-source budget sampling, the
+  * cross-source syndication overlap report, metadata-filtered ANN,
+  * and power-iteration embedding PCA.
   */
 object CurationC {
 
@@ -178,27 +179,36 @@ object CurationC {
       .select(Embeddings.asDouble(col("embedding")).as("v"))
     var vcur = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
     var norm = 1.0
+    var n = 0L
     for (_ <- 1 to 3) {
       val vlit = typedLit(vcur.toSeq)
       val dot = aggregate(zip_with(col("v"), vlit, (a, b) => a * b),
         lit(0.0), _ + _)
-      val acc = e.withColumn("dot", dot)
+      // headOption: an EMPTY corpus yields zero groups — matched by
+      // the oracle, whose per-dimension GROUP BY also emits no rows
+      val accOpt = e.withColumn("dot", dot)
         .select(transform(col("v"), x => x * col("dot")).as("xv"))
         .as[Array[Double]]
         .groupByKey(_ => 0)
-        .mapValues(identity)
         .agg(graft.plans.VecSumAgg.toColumn)
-        .collect().head._2
-      norm = math.sqrt(acc.sum.map(x => x * x).sum)
-      // a corpus orthogonal to the current vector (or empty) would
-      // divide by zero — keep the previous direction instead of NaN
-      if (norm > 0) vcur = acc.sum.map(_ / norm) else norm = 0.0
+        .collect().headOption.map(_._2)
+      accOpt match {
+        case Some(acc) =>
+          n = acc.n // row count rides the accumulator — no extra scan
+          norm = math.sqrt(acc.sum.map(x => x * x).sum)
+          // a corpus orthogonal to the current vector would divide by
+          // zero — keep the previous direction instead of NaN
+          if (norm > 0) vcur = acc.sum.map(_ / norm) else norm = 0.0
+        case None => n = 0L
+      }
     }
-    val n = e.count()
-    val rows = vcur.zipWithIndex.map { case (pc, i) => ((i + 1).toLong, pc, norm / n) }
+    val rows =
+      if (n == 0) Seq.empty[(Long, Double, Double)]
+      else vcur.zipWithIndex.toSeq
+        .map { case (pc, i) => ((i + 1).toLong, pc, norm / n) }
     // rounding via Spark's round(), not driver math — same HALF_UP
     // path as every other oracle-compared float in the surface
-    s.createDataFrame(rows.toSeq).toDF("dim", "pc", "lambda")
+    s.createDataFrame(rows).toDF("dim", "pc", "lambda")
       .select(col("dim"), round(col("pc"), 6).as("pc"),
         round(col("lambda"), 6).as("lambda"))
   }

@@ -123,7 +123,20 @@ object DocsStream {
     * is evicted by EventTimeTimeout once the watermark passes the
     * window end, so state is O(sources × windows-in-flight) forever.
     * Emitted docs appear immediately (append mode) — admission must
-    * not wait for window finalization. */
+    * not wait for window finalization.
+    *
+    * MEMORY BOUND: ordering needs a buffer, and the flood case this
+    * operator exists for is exactly the case where one (source,
+    * window) group is huge — so the buffer is CAPPED at the remaining
+    * quota in docs (an admitted set can never exceed quotaTokens docs
+    * at ntok ≥ 1): a bounded max-heap keeps the (ts, doc_id)-earliest
+    * `cap` candidates and evicts the latest beyond it. Under overflow
+    * the greedy scan considers only those earliest arrivals — still
+    * deterministic; the only deviation from the unbounded-sort result
+    * is when every one of `cap` ≥ remaining-tokens earliest candidates
+    * is oversized while a later one would fit, a corner where the
+    * window is saturated anyway. Executor memory per group is
+    * O(min(batch, remaining quota)), never O(flood). */
   def quotaIngest(
       docs: org.apache.spark.sql.Dataset[QuotaDoc],
       quotaTokens: Long,
@@ -147,8 +160,21 @@ object DocsStream {
             Iterator.empty
           } else {
             var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+            // bounded candidate buffer: at most `cap` earliest rows
+            // (max-heap on (ts, doc_id); the heap head is the LATEST
+            // kept candidate and is evicted when a smaller key arrives)
+            val cap = math.max(1L, math.min(quotaTokens - admitted, 1L << 20)).toInt
+            implicit val ord: Ordering[QuotaDoc] =
+              Ordering.by((d: QuotaDoc) => (d.ts.getTime, d.doc_id))
+            val heap = scala.collection.mutable.PriorityQueue.empty[QuotaDoc]
+            ds.foreach { d =>
+              if (d.ntok <= quotaTokens) { // oversized rows can never admit
+                if (heap.size < cap) heap.enqueue(d)
+                else if (ord.lt(d, heap.head)) { heap.dequeue(); heap.enqueue(d) }
+              }
+            }
             val out = scala.collection.mutable.ArrayBuffer[QuotaOut]()
-            ds.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+            heap.dequeueAll.reverse.foreach { (d: QuotaDoc) =>
               if (admitted + d.ntok <= quotaTokens) {
                 admitted += d.ntok
                 out += QuotaOut(d.doc_id, source, d.ntok,

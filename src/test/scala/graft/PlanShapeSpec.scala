@@ -105,6 +105,9 @@ class PlanShapeSpec extends AnyFunSuite {
   test("containment candidate generation is df-capped (cap agg present)") {
     val p = plan("q_containment")
     assert(p.contains("ShuffledHashJoin"), s"pair join lost its hint:\n$p")
+    // the cap itself: a post-aggregation filter df <= 4 must survive
+    assert("\\(df#\\d+L? <= 4\\)".r.findFirstIn(p).isDefined,
+      s"df-cap filter missing from the plan:\n$p")
   }
 
   test("filter predicates reach the parquet scan") {

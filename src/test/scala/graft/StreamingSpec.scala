@@ -351,6 +351,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(6L).window_start == ts(10))
   }
 
+  test("quota ingest: flood batch larger than the candidate cap admits the earliest docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocsStream
+    import graft.streaming.DocsStream.QuotaDoc
+    val mem = MemoryStream[QuotaDoc]
+    // quota 20 → candidate buffer cap 20; flood 50 one-token docs
+    val out = DocsStream.quotaIngest(mem.toDS(), quotaTokens = 20)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("quota3").start()
+    mem.addData((1 to 50).map(i => QuotaDoc(i.toLong, "s", 1, ts(1))): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("quota3").as[DocsStream.QuotaOut]
+      .collect().map(_.doc_id).toSet
+    // bounded heap keeps the (ts, doc_id)-earliest 20; all admit
+    assert(got == (1 to 20).map(_.toLong).toSet)
+  }
+
   test("quota ingest: in-batch admission is (ts, doc_id)-deterministic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

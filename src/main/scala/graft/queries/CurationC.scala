@@ -213,12 +213,50 @@ object CurationC {
         round(col("lambda"), 6).as("lambda"))
   }
 
+  /** #96 HEAVY HITTERS — all tokens with frequency > N/256, found
+    * sketch-first: a [[graft.plans.HeavyHittersAgg]] Misra-Gries
+    * summary (k=512) bounds the candidate set with NO false negatives
+    * above the threshold (undercount ≤ N/513 < N/256), then ONE exact
+    * recount pass over just those candidates (everything else folds
+    * into a single other-bucket row) confirms counts — output is
+    * EXACT, the sketch only prunes, so the plain exact-threshold SQL
+    * is the oracle (the bloom-dedup philosophy applied to frequency).
+    *
+    * Scale shape: the full-vocabulary groupBy this replaces shuffles
+    * every distinct token; here each map task sends ≤ k summary
+    * entries (sketch pass) and ≤ k+1 count rows (recount pass) to the
+    * shuffle, and the driver holds one ≤ k-entry map — heavy-hitter
+    * detection at 100 TB without materializing the vocabulary. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 512
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val summary = toks.as[String].groupByKey(_ => 0)
+      .agg(graft.plans.HeavyHittersAgg(k).toColumn)
+      .collect().headOption.map(_._2).getOrElse(Map.empty[String, Long])
+    if (summary.isEmpty)
+      return s.createDataFrame(Seq.empty[(String, Long, Double)])
+        .toDF("term", "cnt", "share")
+    val g = toks
+      .withColumn("cand",
+        when(col("term").isInCollection(summary.keys.toSeq), col("term")))
+      .groupBy(col("cand")).agg(count(lit(1)).as("cnt"))
+    val total = g.agg(sum(col("cnt")).as("total"))
+    g.filter(col("cand").isNotNull)
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("total") / lit(256.0))
+      .select(col("cand").as("term"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_dedup" -> substringDedup _,
     "q_budget_sample"   -> budgetSample _,
     "q_source_overlap"  -> sourceOverlap _,
     "q_ann_filtered"    -> annFiltered _,
-    "q_embedding_pca"   -> embeddingPca _
+    "q_embedding_pca"   -> embeddingPca _,
+    "q_heavy_hitters"   -> heavyHitters _
   )
 
   /** The power-iteration oracle: three rounds replayed verbatim in
@@ -288,6 +326,12 @@ object CurationC {
          |FROM r WHERE rank <= 25""".stripMargin
     },
     "q_embedding_pca" -> pcaOracle,
+    "q_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS total FROM w)
+        |SELECT term, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share
+        |FROM c, n WHERE cnt > total / 256.0""".stripMargin,
     "q_ann_filtered" ->
       """WITH m AS (SELECT doc_id FROM documents WHERE lang = 'en'),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -99,6 +99,20 @@ class CurationCSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("heavy_hitters: sketch-pruned result equals the exact threshold set") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sf).cache()
+    // exact reference computed the expensive way (full vocabulary agg)
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = toks.count()
+    val want = exact.filter(col("cnt") > total / 256.0)
+      .select(col("term"), col("cnt"))
+    val got = df.select(col("term"), col("cnt"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    df.unpersist()
+  }
+
   test("source_overlap: syndicated mirror shares spans with its origin sources") {
     val df = SparkEntry.queries("q_source_overlap")(spark, sf).cache()
     // pairs are strictly ordered (no self-pairs, no symmetric dupes)

@@ -61,4 +61,32 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got == expected, s"for '$s'")
     }
   }
+
+  test("Misra-Gries summary: no false negatives above N/(k+1), bounded size, mergeable") {
+    val k = 8
+    val agg = graft.plans.HeavyHittersAgg(k)
+    // adversarial mix: two heavy items buried in a long distinct tail
+    val heavy = Seq.fill(60)("H1") ++ Seq.fill(45)("H2")
+    val tail = (1 to 200).map(i => s"t$i")
+    val r = new scala.util.Random(7)
+    val stream = r.shuffle(heavy ++ tail)
+    val n = stream.size
+    val bound = n / (k + 1) // max undercount
+
+    // sequential reduce: heavy items present, counts within bound
+    val m = stream.foldLeft(agg.zero)(agg.reduce)
+    assert(m.size <= k, s"summary overflowed: ${m.size}")
+    assert(m.contains("H1") && m.contains("H2"))
+    assert(60 - m("H1") <= bound && m("H1") <= 60)
+    assert(45 - m("H2") <= bound && m("H2") <= 45)
+
+    // distributed shape: chunked partials merged in arbitrary order
+    // keep the same guarantee (mergeable-summaries property)
+    val parts = stream.grouped(37)
+      .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val merged = r.shuffle(parts).reduce(agg.merge)
+    assert(merged.size <= k)
+    assert(merged.getOrElse("H1", 0L) >= 60 - bound)
+    assert(merged.getOrElse("H2", 0L) >= 45 - bound)
+  }
 }

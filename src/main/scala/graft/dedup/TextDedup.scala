@@ -205,4 +205,45 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
   }
+
+  /** EXACT Jaccard-threshold pairs via PREFIX FILTERING (Bayardo et
+    * al. 2007 "Scaling Up All Pairs Similarity Search"; the SSJoin
+    * prefix-filter principle): each doc's shingle set is sorted by a
+    * GLOBAL (df, shingle) order and only its first
+    * |A| − ⌈t·|A|⌉ + 1 shingles are indexed — two sets with
+    * Jaccard ≥ t MUST share an element inside their prefixes under a
+    * common order, so the prefix index is provably COMPLETE.
+    * Candidates are verified with the exact row-local Jaccard.
+    *
+    * Unlike the df-cap ([[jaccardPairs]] default), this is exact at
+    * any threshold: completeness is a theorem, not a trade. The
+    * rarest-first order also makes the index skew-FREE by
+    * construction — a stop-shingle sorts last and lands in almost no
+    * prefix, so the hot keys that force the cap in the plain inverted
+    * index never reach this join. Shapes: one df agg + join-back
+    * (SHUFFLE_HASH, exchange reuse), per-doc sort is row-local, the
+    * pair join carries only prefix entries. */
+  def prefixFilterPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val base = docs.select(col(idCol),
+      array_distinct(TextAnalysis.shinglesOfText(col(textCol))).as("shs"))
+    val ex = base.select(col(idCol), explode(col("shs")).as("sh"))
+    val dfTab = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfTab.hint("shuffle_hash"), "sh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+    val n = size(col("ord"))
+    val prefixLen = (n - ceil(lit(threshold) * n) + 1).cast("int")
+    val prefix = ordered.select(col(idCol),
+      explode(transform(slice(col("ord"), lit(1), prefixLen),
+        s => s.getField("sh"))).as("sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, docs, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -250,13 +250,32 @@ object CurationC {
         round(col("cnt") / col("total"), 6).as("share"))
   }
 
+  /** #97 EXACT similarity join via PREFIX FILTERING
+    * ([[graft.dedup.TextDedup.prefixFilterPairs]], Bayardo et al.
+    * 2007): all pairs with exact shingle Jaccard ≥ 0.6, found by
+    * indexing only each doc's rarest-first prefix — the published
+    * exact-at-scale alternative to both the full inverted index
+    * (#38, hot-key hazard) and the df-cap (#38b, approximate
+    * candidates). Planted near-dup probes (#36b pattern) guarantee
+    * pairs above the threshold at any SF; the oracle recomputes
+    * exact threshold pairs from a shared-shingle candidate join, so
+    * the prefix index's COMPLETENESS is what the gate checks. */
+  def dedupPrefixFilter(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" near dup probe")).as("text"))
+    graft.dedup.TextDedup.prefixFilterPairs(
+      base.unionByName(variants), "doc_id", "text", 0.6)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_dedup" -> substringDedup _,
     "q_budget_sample"   -> budgetSample _,
     "q_source_overlap"  -> sourceOverlap _,
     "q_ann_filtered"    -> annFiltered _,
     "q_embedding_pca"   -> embeddingPca _,
-    "q_heavy_hitters"   -> heavyHitters _
+    "q_heavy_hitters"   -> heavyHitters _,
+    "q_dedup_prefix_filter" -> dedupPrefixFilter _
   )
 
   /** The power-iteration oracle: three rounds replayed verbatim in
@@ -326,6 +345,30 @@ object CurationC {
          |FROM r WHERE rank <= 25""".stripMargin
     },
     "q_embedding_pca" -> pcaOracle,
+    "q_dedup_prefix_filter" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near dup probe' FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM t0),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END AS sh
+        |  FROM t),
+        |d AS (SELECT doc_id, list_distinct(sh) AS shs FROM s),
+        |ex AS (SELECT doc_id, unnest(shs) AS sh1 FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ex a JOIN ex b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |  ROUND(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+        |    / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))),
+        |    6) AS jaccard
+        |  FROM cand
+        |  JOIN d sa ON sa.doc_id = doc_a
+        |  JOIN d sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin,
     "q_heavy_hitters" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
         |c AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY 1),

@@ -113,6 +113,39 @@ class CurationCSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("prefix filter: complete vs exact pairs, and the index is smaller than full") {
+    val t = 0.6
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" near dup probe")).as("text"))
+    val all = docs.unionByName(variants)
+    val got = graft.dedup.TextDedup.prefixFilterPairs(all, "doc_id", "text", t)
+      .select(col("doc_a"), col("doc_b")).cache()
+    // completeness: every exact-threshold pair from the UNCAPPED
+    // inverted index survives the prefix filter
+    val want = graft.dedup.TextDedup.jaccardPairs(all, "doc_id", "text", maxDf = None)
+      .filter(col("jaccard") >= t).select(col("doc_a"), col("doc_b"))
+    assert(want.exceptAll(got).count() == 0, "prefix filter lost an exact pair")
+    assert(got.exceptAll(want).count() == 0, "prefix filter passed a sub-threshold pair")
+    // the scale claim: the prefix index holds strictly fewer entries
+    // than the full inverted index
+    val full = all.select(col("doc_id"),
+      explode(array_distinct(graft.plans.WordShingles(col("text"), 3))).as("sh"))
+      .count()
+    val prefixFrac = 1.0 - t // |A| - ceil(t|A|) + 1 ≈ (1-t)|A|
+    assert(got.count() > 0)
+    // bound check is loose (+1 per doc) but must be well under full
+    val ex = all.select(col("doc_id"),
+      array_distinct(graft.plans.WordShingles(col("text"), 3)).as("shs"))
+    val prefixEntries = ex.select((size(col("shs"))
+      - ceil(lit(t) * size(col("shs"))) + 1).cast("long").as("p"))
+      .agg(sum(col("p"))).head.getLong(0)
+    assert(prefixEntries < full * (prefixFrac + 0.1),
+      s"prefix index not smaller: $prefixEntries vs $full")
+    got.unpersist()
+  }
+
   test("source_overlap: syndicated mirror shares spans with its origin sources") {
     val df = SparkEntry.queries("q_source_overlap")(spark, sf).cache()
     // pairs are strictly ordered (no self-pairs, no symmetric dupes)

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("hll_partials: merged daily sketches ≡ a direct weekly sketch, and the gate holds") {
+    val df = SparkEntry.queries("q_hll_partials")(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("est_within_5pct") =!= 1).count() == 0)
+    // HLL union at equal lgConfigK is LOSSLESS: merging the 7 daily
+    // register files must equal sketching the week directly — not
+    // approximately, identically
+    val ev = graft.sources.Tables.events(spark, sf)
+    val direct = ev
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week_start"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("direct_est"))
+    val merged = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week_start"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+    assert(direct.join(merged, "week_start")
+      .filter(col("direct_est") =!= col("merged_est")).count() == 0)
+    df.unpersist()
+  }
+
+  test("range_join: banded plan ≡ naive non-equi join, with no nested-loop in the plan") {
+    val banded = SparkEntry.queries("q_range_join")(spark, sf).cache()
+    val anchor = lit("1995-01-01").cast("date")
+    val lin = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_quantity"), datediff(to_date(col("l_shipdate")), anchor).as("ld"))
+    val ord = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), datediff(to_date(col("o_orderdate")), anchor).as("od"))
+    val naive = lin.join(ord, col("ld").between(col("od"), col("od") + 2))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "banded range join must not fall back to a nested-loop plan")
+    banded.unpersist()
+  }
+
+  test("skew_agg: salted two-stage ≡ direct one-stage aggregation") {
+    val salted = SparkEntry.queries("q_skew_agg")(spark, sf)
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("event_timeline: order is deterministic under repartitioning") {
+    // collect_list order is partition-dependent; sort_array must erase
+    // that — the same user gets the same path_hash however the input
+    // was distributed
+    val a = SparkEntry.queries("q_event_timeline")(spark, sf)
+      .select(col("user_id"), col("path_hash"), col("first_path"))
+    val shuffled = graft.sources.Tables.events(spark, sf).repartition(7, col("event_id"))
+    val seq0 = sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+    val b = shuffled.groupBy(col("user_id")).agg(seq0.as("seq"))
+      .select(col("user_id"),
+        array_join(slice(transform(col("seq"), x => x.getField("event_type")), 1, 10), ">")
+          .as("first_path"),
+        md5(array_join(transform(col("seq"), x => x.getField("event_id").cast("string")), ","))
+          .as("path_hash"))
+    assert(a.join(b, "user_id")
+      .filter(a("path_hash") =!= b("path_hash") || a("first_path") =!= b("first_path"))
+      .count() == 0)
+  }
+
+  test("zorder_layout: every bucket is a ≤32-wide rectangle in BOTH dimensions") {
+    // bucket = top 6 z-bits fixes each dimension's top 3 bits, so a
+    // bucket can never span more than a 32-aligned block in u OR d —
+    // the file-skipping guarantee a single-column sort cannot give
+    val df = SparkEntry.queries("q_zorder_layout")(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("u_span") > 31 || col("d_span") > 31).count() == 0)
+    // and it partitions the data: bucket counts sum to the table count
+    val total = df.agg(sum(col("n"))).head.getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+    df.unpersist()
+  }
+}

@@ -59,6 +59,75 @@ object Sessionize {
         count(lit(1)).as("n_events"))
   }
 
+  /** INCREMENTAL session windows — the daily-job shape for
+    * sessionization at 100 TB: each day is sessionized
+    * INDEPENDENTLY (partition (key, day) — in production that pass
+    * runs once per day over one day of events and is stored), and a
+    * boundary-stitch pass merges sessions that straddle midnight.
+    * Re-sessionizing the full history every day re-sorts every
+    * user's entire event stream; this shape sorts one day and then
+    * works on SESSION rows (orders of magnitude fewer).
+    *
+    * The stitch is a connected-components resolve
+    * ([[graft.dedup.Resolve.connectedComponents]]) over session
+    * nodes: an edge links day d's LAST session to day d+1's FIRST
+    * session when the cross-midnight gap is within `gapUs`; chains
+    * spanning several midnights merge transitively. The CC input is
+    * only boundary-adjacent session pairs, so the fixpoint loop
+    * runs over a frame proportional to users-active-at-midnight,
+    * not events.
+    *
+    * Node ids pack (key, epochday, per-day session ordinal) into one
+    * long: the per-day ordinal is structurally < 64 (each new
+    * session needs a > 30-min idle gap, so a day holds at most 48),
+    * epochday gets 15 bits (through 2059), the key the top 42.
+    *
+    * Output is identical to [[sessionWindows]] over the full
+    * history — the equivalence is the correctness gate. */
+  def sessionWindowsIncremental(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      order: Seq[Column],
+      gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    // 1. the daily job: per-(key, day) sessionization
+    val withDay = events.withColumn("__day", to_date(col(tsCol)))
+    val daily = sessionWindows(withDay, Seq(key, "__day"), tsCol, order, gapUs)
+    val sess = daily
+      .withColumn("end_us", col("session_start_us") + col("session_len_us"))
+      .withColumn("epochday",
+        datediff(col("__day"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("nid",
+        shiftleft(col(key), 21) + shiftleft(col("epochday"), 6) + col("session_id"))
+    // 2. boundary edges: last session of day d ↔ first session of day
+    // d+1 for the same key, when the cross-midnight gap fits
+    val lastOf = sess.groupBy(col(key), col("epochday"))
+      .agg(expr("max_by(nid, session_id)").as("src"),
+        expr("max_by(end_us, session_id)").as("last_end"))
+    val firstOf = sess.groupBy(col(key), col("epochday"))
+      .agg(expr("min_by(nid, session_id)").as("dst"),
+        expr("min_by(session_start_us, session_id)").as("first_start"))
+      .withColumn("epochday", col("epochday") - 1)
+    val edges = lastOf.join(firstOf, Seq(key, "epochday"))
+      .filter(col("first_start") - col("last_end") <= gapUs)
+      .select(col("src"), col("dst"))
+    // 3. transitive merge over session NODES (tiny), isolated
+    // sessions stay themselves
+    val labels = graft.dedup.Resolve.connectedComponents(edges)
+      .withColumnRenamed("id", "nid").withColumnRenamed("c", "grp")
+    val merged = sess.join(labels, Seq("nid"), "left")
+      .withColumn("grp", coalesce(col("grp"), col("nid")))
+      .groupBy(col(key), col("grp"))
+      .agg(min(col("session_start_us")).as("session_start_us"),
+        (max(col("end_us")) - min(col("session_start_us"))).as("session_len_us"),
+        sum(col("n_events")).as("n_events"))
+    // 4. ordinal ids — a window over SESSION rows, not events
+    val w = Window.partitionBy(col(key)).orderBy(col("session_start_us"))
+    merged.select(col(key),
+      (row_number().over(w) - 1).cast("long").as("session_id"),
+      col("session_start_us"), col("session_len_us"), col("n_events"))
+  }
+
   /** Daily session time per key: sum of capped gaps
     * (gap > capUs counts 0, mirroring the reference's
     * `CASE WHEN diff > 30*60*1000 THEN 0 ELSE diff END`). */

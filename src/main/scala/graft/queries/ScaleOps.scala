@@ -173,12 +173,25 @@ object ScaleOps {
         (max(col("d")) - min(col("d"))).as("d_span"))
   }
 
+  /** #103 INCREMENTAL sessionization — each day sessionized
+    * independently (the stored daily-job pass), then a boundary
+    * stitch merges cross-midnight sessions via a connected-component
+    * resolve over SESSION nodes (users-active-at-midnight scale, not
+    * events). Gate: the oracle is the full-history direct
+    * sessionization — incremental ≡ direct is the whole claim.
+    * (incremental counterpart of #53 `q_session_windows`, the same
+    * move #29b makes for RFE and #98 makes for COUNT(DISTINCT).) */
+  def sessionStitch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.sessionWindowsIncremental(
+      Tables.events(s, dir), "user_id", "ts", Seq(col("ts"), col("event_id")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_partials"   -> hllPartials _,
     "q_range_join"     -> rangeJoin _,
     "q_skew_agg"       -> skewAgg _,
     "q_event_timeline" -> eventTimeline _,
-    "q_zorder_layout"  -> zorderLayout _
+    "q_zorder_layout"  -> zorderLayout _,
+    "q_session_stitch" -> sessionStitch _
   )
 
   /** The z-value bit-interleave replayed as explicit shift/mask sums
@@ -226,6 +239,9 @@ object ScaleOps {
         |  md5(array_to_string(
         |    list(CAST(event_id AS VARCHAR) ORDER BY ts, event_id), ',')) AS path_hash
         |FROM events GROUP BY 1""".stripMargin,
-    "q_zorder_layout" -> zorderOracle
+    "q_zorder_layout" -> zorderOracle,
+    // the incremental path must reproduce the direct full-history
+    // sessionization bit-for-bit — same oracle as q_session_windows
+    "q_session_stitch" -> Extras.oracles("q_session_windows")
   )
 }

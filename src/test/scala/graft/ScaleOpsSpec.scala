@@ -76,6 +76,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("session_stitch: incremental ≡ direct on the full surface, and midnight chains merge") {
+    val inc = SparkEntry.queries("q_session_stitch")(spark, sf)
+    val direct = SparkEntry.queries("q_session_windows")(spark, sf)
+    assert(inc.exceptAll(direct).isEmpty && direct.exceptAll(inc).isEmpty)
+
+    // crafted chain: one session spanning TWO midnights (23:50 → 00:10
+    // → 23:55(+1) is separate, but 00:10 → 00:20 same session), plus an
+    // isolated afternoon session — merge must produce exactly 3 sessions
+    import spark.implicits._
+    val ts = Seq(
+      "2024-03-01 23:50:00", "2024-03-02 00:10:00", "2024-03-02 00:20:00", // spans midnight 1
+      "2024-03-02 23:58:00", "2024-03-03 00:15:00",                         // spans midnight 2
+      "2024-03-05 14:00:00")                                                // isolated
+    val ev = ts.zipWithIndex
+      .map { case (t, i) => (7L, i.toLong, java.sql.Timestamp.valueOf(t)) }
+      .toDF("user_id", "event_id", "ts")
+    val out = graft.operators.Sessionize.sessionWindowsIncremental(
+      ev, "user_id", "ts", Seq(col("ts"), col("event_id")))
+      .orderBy(col("session_id")).collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 3) // the midnight-1 chain merged
+    assert(out(1).getAs[Long]("n_events") == 2) // the midnight-2 pair merged
+    assert(out(2).getAs[Long]("n_events") == 1)
+  }
+
   test("zorder_layout: every bucket is a ≤32-wide rectangle in BOTH dimensions") {
     // bucket = top 6 z-bits fixes each dimension's top 3 bits, so a
     // bucket can never span more than a 32-aligned block in u OR d —

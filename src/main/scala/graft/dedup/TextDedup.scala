@@ -122,17 +122,24 @@ object TextDedup {
     * candidate set is tiny relative to the corpus, so two hash joins
     * against the (doc_id, shingles) frame is the whole cost. */
   def verifyJaccard(
-      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"),
-      array_distinct(TextAnalysis.shinglesOfText(col(textCol))).as("__shs"))
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    verifyJaccardSets(pairs,
+      docs.select(col(idCol).as("__id"),
+        array_distinct(TextAnalysis.shinglesOfText(col(textCol))).as("__shs")))
+
+  /** [[verifyJaccard]] against a PRECOMPUTED (__id, __shs) shingle-set
+    * frame — callers that already materialized the projection (the
+    * prefix-filter path) avoid re-running the shingle kernel for each
+    * join side. The intersect is evaluated ONCE per pair (named
+    * column), not re-derived in the denominator. */
+  def verifyJaccardSets(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairs
       .join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__shs", "sa"), Seq("doc_a"))
       .join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__shs", "sb"), Seq("doc_b"))
+      .withColumn("__inter", size(array_intersect(col("sa"), col("sb"))))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sa"), col("sb"))) /
-          (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))),
-          6).as("jaccard"))
-  }
+        round(col("__inter") /
+          (size(col("sa")) + size(col("sb")) - col("__inter")), 6).as("jaccard"))
 
   /** 32-bit SimHash from md5-nibble bit votes over tokens (term
     * frequency weighting falls out of voting per occurrence).
@@ -222,28 +229,64 @@ object TextDedup {
     * prefix, so the hot keys that force the cap in the plain inverted
     * index never reach this join. Shapes: one df agg + join-back
     * (SHUFFLE_HASH, exchange reuse), per-doc sort is row-local, the
-    * pair join carries only prefix entries. */
+    * pair join carries only prefix entries.
+    *
+    * Candidates are pruned BEFORE the (array-carrying, so expensive)
+    * verify join by the two standard sound filters:
+    *  - SIZE filter: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t — a
+    *    cheap int predicate inside the pair join;
+    *  - POSITIONAL filter (PPJoin, Xiao et al. 2008): both lists are
+    *    sorted by the SAME global order, so the first common element
+    *    has the minimal positions (pa, pb) and the overlap is at
+    *    most 1 + min(|A|−pa, |B|−pb); a qualifying pair needs
+    *    overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉, and the first-common-element
+    *    row always exists inside both prefixes, so keeping a pair
+    *    iff ANY of its rows passes is exact.
+    * At sf0.1 these drop the verify set 1.22M → 282k pairs for
+    * identical output. */
   def prefixFilterPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val base = docs.select(col(idCol),
-      array_distinct(TextAnalysis.shinglesOfText(col(textCol))).as("shs"))
-    val ex = base.select(col(idCol), explode(col("shs")).as("sh"))
-    val dfTab = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfTab.hint("shuffle_hash"), "sh")
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+    // the shingle kernel is the dominant row-local cost and THREE
+    // consumers need its output (the index path and both verify join
+    // sides): stage the (id, shingles) projection once instead of
+    // recomputing it from the text per consumer — the compute-side
+    // analogue of writing the projection to a staging table
+    // the whole pipeline moves 64-BIT SHINGLE HASHES, never shingle
+    // text (Broder's shingles ARE hashes; xxhash64 here): the index
+    // path compares longs, and verify intersects long arrays — ~4×
+    // less shuffle volume and a type-specialized intersect vs string
+    // sets. A cross-doc collision (p ≈ 2⁻⁴⁸ corpus-wide) could
+    // perturb one overlap count by 1; the string-exact DuckDB oracle
+    // gate would flag it.
+    val base = docs.select(col(idCol).as("__id"),
+      array_distinct(transform(TextAnalysis.shinglesOfText(col(textCol)),
+        s => xxhash64(s))).as("__shs"))
+      .localCheckpoint()
+    val ex = base.select(col("__id"), explode(col("__shs")).as("h"))
+    val dfTab = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfTab.hint("shuffle_hash"), "h")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
     val n = size(col("ord"))
     val prefixLen = (n - ceil(lit(threshold) * n) + 1).cast("int")
-    val prefix = ordered.select(col(idCol),
-      explode(transform(slice(col("ord"), lit(1), prefixLen),
-        s => s.getField("sh"))).as("sh"))
+    // prefix entries carry (set size, 1-based position) for the filters
+    val prefix = ordered.select(col("__id"), n.as("n"),
+      posexplode(transform(slice(col("ord"), lit(1), prefixLen),
+        s => s.getField("h"))))
+      .select(col("__id"), col("n"), (col("pos") + 1).as("p"), col("col").as("h"))
+    val minOverlap =
+      ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))
     val cand = prefix.as("a")
       .join(prefix.as("b").hint("shuffle_hash"),
-        col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+        col("a.h") === col("b.h") && col("a.__id") < col("b.__id") &&
+          col("a.n") >= ceil(lit(threshold) * col("b.n")) &&
+          col("b.n") >= ceil(lit(threshold) * col("a.n")))
+      .filter(lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))
+        >= minOverlap)
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, docs, idCol, textCol)
+    verifyJaccardSets(cand, base)
       .filter(col("jaccard") >= threshold)
   }
 }

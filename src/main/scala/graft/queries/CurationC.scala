@@ -175,8 +175,13 @@ object CurationC {
   def embeddingPca(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dims = 64
+    // stage the parsed double vectors ONCE: every power-iteration
+    // round re-reads the vector table, and float→double parsing is
+    // the per-round scan cost — the same stage-the-iterated-frame
+    // move as Resolve's per-round localCheckpoint
     val e = Tables.embeddings(s, dir)
       .select(Embeddings.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
     var vcur = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
     var norm = 1.0
     var n = 0L
@@ -184,22 +189,20 @@ object CurationC {
       val vlit = typedLit(vcur.toSeq)
       val dot = aggregate(zip_with(col("v"), vlit, (a, b) => a * b),
         lit(0.0), _ + _)
-      // headOption: an EMPTY corpus yields zero groups — matched by
-      // the oracle, whose per-dimension GROUP BY also emits no rows
-      val accOpt = e.withColumn("dot", dot)
-        .select(transform(col("v"), x => x * col("dot")).as("xv"))
-        .as[Array[Double]]
-        .groupByKey(_ => 0)
-        .agg(graft.plans.VecSumAgg.toColumn)
-        .collect().headOption.map(_._2)
-      accOpt match {
-        case Some(acc) =>
-          n = acc.n // row count rides the accumulator — no extra scan
-          norm = math.sqrt(acc.sum.map(x => x * x).sum)
-          // a corpus orthogonal to the current vector would divide by
-          // zero — keep the previous direction instead of NaN
-          if (norm > 0) vcur = acc.sum.map(_ / norm) else norm = 0.0
-        case None => n = 0L
+      // 64 native codegen'd SUM aggregates in ONE pass (map-side
+      // combined, 64 doubles per partition cross the shuffle) — the
+      // typed groupByKey/VecSumAgg form paid encoder deserialization
+      // per row, ~3× the whole round's cost
+      val aggCols = count(lit(1)).as("cnt") +:
+        (0 until dims).map(j => sum(element_at(col("v"), j + 1) * col("dot")))
+      val r = e.withColumn("dot", dot).agg(aggCols.head, aggCols.tail: _*).head()
+      n = r.getLong(0)
+      if (n > 0) {
+        val acc = Array.tabulate(dims)(j => r.getDouble(j + 1))
+        norm = math.sqrt(acc.map(x => x * x).sum)
+        // a corpus orthogonal to the current vector would divide by
+        // zero — keep the previous direction instead of NaN
+        if (norm > 0) vcur = acc.map(_ / norm) else norm = 0.0
       }
     }
     val rows =

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Small-file COMPACTION — the operational answer to the small-files
+  * problem every long-running date-partitioned sink develops: daily
+  * appends and late upserts leave partitions with dozens of KB-scale
+  * parquet files, and at 100 TB the resulting scan pays per-file
+  * open/footer costs and floods the driver with file listings.
+  *
+  * Shapes:
+  *  - planning reads FILE METADATA only (one driver-side listing —
+  *    the same information the scan's own file index would read);
+  *  - the rewrite is `coalesce` (no shuffle — merging files needs no
+  *    data movement beyond concatenating partitions);
+  *  - durability follows the upsert writer's stage-to-temp-and-swap:
+  *    the compacted output is a complete committed write BEFORE the
+  *    target is touched, and the overwrite reads from the staged
+  *    files, never from recomputable lineage over the files being
+  *    replaced (see [[Writers.upsertDatePartitions]]);
+  *  - the partitioned variant rewrites ONLY partitions whose file
+  *    count exceeds the threshold (dynamic partition overwrite) —
+  *    cold partitions are never read or written.
+  *
+  * (reference tasks/base.py load_to_fs appends per-run files and has
+  * no compaction pass; this is the missing operational complement.)
+  */
+object Compact {
+
+  /** (data file count, total bytes) of a parquet directory —
+    * metadata only, no data read. */
+  def stats(spark: SparkSession, path: String): (Int, Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0, 0L)
+    val files = dataFiles(fs, p)
+    (files.size, files.map(_.getLen).sum)
+  }
+
+  private def dataFiles(fs: FileSystem, p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+    }
+    buf.toSeq
+  }
+
+  /** Compact a flat (non-partitioned) parquet directory to
+    * ≈`targetBytes` per file. Returns (files before, files after);
+    * a directory already at or under the target file count is left
+    * byte-identical (no write at all). */
+  def compactDir(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
+    val (nFiles, totalBytes) = stats(spark, path)
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (nFiles <= want) return (nFiles, nFiles)
+    val staging = path + ".compact-staging"
+    val fs = new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
+    spark.read.parquet(path).coalesce(want)
+      .write.mode("overwrite").parquet(staging)
+    // staged write is durably committed: swap from a re-read of it
+    spark.read.parquet(staging)
+      .write.mode("overwrite").parquet(path)
+    fs.delete(new Path(staging), true)
+    (nFiles, stats(spark, path)._1)
+  }
+
+  /** Compact ONLY the date partitions of `path` holding more than
+    * `maxFilesPerPartition` data files; untouched partitions are
+    * never read or written (partition pruning on the read, dynamic
+    * overwrite on the write). Returns the rewritten partition
+    * values. */
+  def compactDatePartitions(
+      spark: SparkSession, path: String, dateCol: String,
+      maxFilesPerPartition: Int): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val hot = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$dateCol="))
+      .map(s => s.getPath.getName.stripPrefix(s"$dateCol=") ->
+        dataFiles(fs, s.getPath).size)
+      .collect { case (v, n) if n > maxFilesPerPartition => v }
+      .sorted
+    if (hot.isEmpty) return Seq.empty
+    val staging = path + ".compact-staging"
+    fs.delete(new Path(staging), true)
+    // partition pruning limits the read to the hot partitions; one
+    // task per partition value makes one output file per partition
+    spark.read.parquet(path)
+      .where(col(dateCol).isin(hot: _*))
+      .repartition(hot.size, col(dateCol))
+      .write.mode("overwrite").partitionBy(dateCol).parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dateCol)
+      .parquet(path)
+    fs.delete(new Path(staging), true)
+    hot
+  }
+}

@@ -185,13 +185,114 @@ object ScaleOps {
     graft.operators.Sessionize.sessionWindowsIncremental(
       Tables.events(s, dir), "user_id", "ts", Seq(col("ts"), col("event_id")))
 
+  /** #104 ROLLING-window distinct from daily sketch partials — the
+    * 7-day rolling "WAU per day" that #98's tumbling weeks can't
+    * express and exact COUNT(DISTINCT) can't merge: each day's HLL
+    * partial is exploded to the ≤7 windows it feeds (an explode on
+    * TINY sketch rows — that being cheap is the entire point) and
+    * unioned per window end. Raw events are still scanned exactly
+    * once. Gate per the #49/#98 convention (exact columns + a
+    * constant-1 within-5% flag); the Spark exact side works on the
+    * distinct (day, user) pairs, also one scan. */
+  def hllRolling(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+    val realDays = daily.select(col("day").as("win_end"))
+    // each daily partial feeds windows ending day..day+6
+    val contrib = daily
+      .select(col("day"), col("sk"), explode(sequence(lit(0), lit(6))).as("k"))
+      .select(date_add(col("day"), col("k")).as("win_end"), col("sk"))
+    val rolled = contrib.groupBy(col("win_end"))
+      .agg(hll_union_agg(col("sk")).as("sk"), count(lit(1)).as("n_days"))
+      .join(realDays, Seq("win_end"), "left_semi") // only days that exist
+      .withColumn("est", hll_sketch_estimate(col("sk")))
+    // exact side for the gate: distinct (day, user) pairs (tiny) take
+    // the same explode
+    val exact = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .select(col("day"), col("user_id"), explode(sequence(lit(0), lit(6))).as("k"))
+      .select(date_add(col("day"), col("k")).as("win_end"), col("user_id"))
+      .groupBy(col("win_end"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    rolled.join(exact, "win_end")
+      .select(col("win_end"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) / col("exact_users") <= 0.05)
+          .cast("int").as("est_within_5pct"))
+  }
+
+  /** #105 SCD2 interval construction — the warehouse
+    * slowly-changing-dimension build: a per-entity state stream
+    * (event_type here) collapses into [valid_from, valid_to)
+    * intervals, one row per RUN of equal consecutive states,
+    * valid_to = the next run's start (null while current). One
+    * shuffle (entity-partitioned window), run-collapse is a lag
+    * compare + cumulative flag sum — the standard change-capture
+    * shape for dimension history at any scale.
+    * (reference tasks/revenue.py do_updates_inserts keeps only the
+    * LATEST row per key; SCD2 is the full-history counterpart.) */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("is_new",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type").as("state"))
+      .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+    val ws = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"))
+    runs.select(col("user_id"), col("run_id"), col("state"), col("valid_from_us"),
+      lead(col("valid_from_us"), 1).over(ws).as("valid_to_us"), col("n_events"))
+  }
+
+  /** #106 PAGERANK (3 damped iterations, d=0.85) over the
+    * co-purchase graph: parts are linked when they appear in the
+    * same order. The iterative-graph family beyond connected
+    * components — each round is ONE shuffle join (ranks onto edges
+    * by src) + ONE map-side-combined agg (contributions by dst);
+    * degree rides the edge frame so no per-round degree join;
+    * `localCheckpoint` truncates per-round lineage exactly like the
+    * CC resolve loop. No driver-side graph state; the oracle
+    * replays all three rounds as chained CTEs. Isolated parts
+    * (never co-purchased) have no edges and are excluded on both
+    * sides. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.as("a")
+      .join(li.as("b").hint("shuffle_hash"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+    val ed = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree attached to the edge ONCE — rounds never re-join it
+    val edges = ed.join(deg.hint("shuffle_hash"), "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("id"), lit(1.0).as("r")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      ranks = edges.join(ranks.hint("shuffle_hash"), col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("deg"))).as("r"))
+        .select(col("dst").as("id"), col("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id").as("part"), round(col("r"), 6).as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_partials"   -> hllPartials _,
     "q_range_join"     -> rangeJoin _,
     "q_skew_agg"       -> skewAgg _,
     "q_event_timeline" -> eventTimeline _,
     "q_zorder_layout"  -> zorderLayout _,
-    "q_session_stitch" -> sessionStitch _
+    "q_session_stitch" -> sessionStitch _,
+    "q_hll_rolling"    -> hllRolling _,
+    "q_scd2_intervals" -> scd2Intervals _,
+    "q_pagerank"       -> pagerank _
   )
 
   /** The z-value bit-interleave replayed as explicit shift/mask sums
@@ -242,6 +343,51 @@ object ScaleOps {
     "q_zorder_layout" -> zorderOracle,
     // the incremental path must reproduce the direct full-history
     // sessionization bit-for-bit — same oracle as q_session_windows
-    "q_session_stitch" -> Extras.oracles("q_session_windows")
+    "q_session_stitch" -> Extras.oracles("q_session_windows"),
+    "q_hll_rolling" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM d),
+        |w AS (SELECT a.day AS win_end, b.user_id, b.day AS src_day
+        |  FROM days a JOIN d b ON b.day BETWEEN a.day - 6 AND a.day)
+        |SELECT win_end, COUNT(DISTINCT src_day) AS n_days,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  1 AS est_within_5pct
+        |FROM w GROUP BY 1""".stripMargin,
+    "q_scd2_intervals" ->
+      """WITH g AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |r AS (SELECT user_id, event_type, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM g),
+        |s AS (SELECT user_id, run_id, event_type AS state,
+        |    MIN(us) AS valid_from_us, COUNT(*) AS n_events
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state, valid_from_us,
+        |  LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+        |    AS valid_to_us,
+        |  n_events
+        |FROM s""".stripMargin,
+    "q_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT ed.dst AS id, 0.15 + 0.85 * SUM(r${i - 1}.r / ed.deg) AS r
+           |  FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.id GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |e AS (SELECT pa AS src, pb AS dst FROM p
+         |  UNION ALL SELECT pb, pa FROM p),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src),
+         |r0 AS (SELECT src AS id, 1.0 AS r FROM deg),
+         |$rounds
+         |SELECT id AS part, ROUND(r, 6) AS rank FROM r3""".stripMargin
+    }
   )
 }

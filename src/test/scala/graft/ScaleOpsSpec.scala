@@ -101,6 +101,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("n_events") == 1)
   }
 
+  test("hll_rolling: gate holds, windows bounded at 7 days, ramp-up windows shorter") {
+    val df = SparkEntry.queries("q_hll_rolling")(spark, sf).cache()
+    assert(df.filter(col("est_within_5pct") =!= 1).count() == 0)
+    assert(df.filter(col("n_days") > 7).count() == 0)
+    // the first day's window can only contain 1 day
+    val first = df.orderBy(col("win_end")).limit(1).head
+    assert(first.getAs[Long]("n_days") == 1)
+    df.unpersist()
+  }
+
+  test("scd2_intervals: runs partition the events, never repeat a state consecutively") {
+    val df = SparkEntry.queries("q_scd2_intervals")(spark, sf).cache()
+    val evTotal = graft.sources.Tables.events(spark, sf).count()
+    assert(df.agg(sum(col("n_events"))).head.getLong(0) == evTotal)
+    // consecutive runs of one user must differ in state (that is what
+    // makes them runs), and intervals must chain: valid_to == next
+    // valid_from
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    val chained = df
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+    assert(chained.filter(col("next_state").isNotNull &&
+      col("next_state") === col("state")).count() == 0)
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("valid_to_us") =!= col("next_from")).count() == 0)
+    // exactly one open interval (valid_to null) per user
+    val open = df.filter(col("valid_to_us").isNull)
+      .groupBy(col("user_id")).count().filter(col("count") =!= 1)
+    assert(open.count() == 0)
+    df.unpersist()
+  }
+
+  test("pagerank: rank mass is conserved and bounded below by the teleport") {
+    val df = SparkEntry.queries("q_pagerank")(spark, sf).cache()
+    val n = df.count()
+    assert(n > 0)
+    // with no dangling nodes (undirected graph), sum(rank) == N in
+    // exact arithmetic at every iteration
+    val mass = df.agg(sum(col("rank"))).head.getDouble(0)
+    assert(math.abs(mass - n) < 1e-3 * n, s"mass $mass vs n $n")
+    assert(df.filter(col("rank") < 0.15 - 1e-9).count() == 0)
+    df.unpersist()
+  }
+
   test("zorder_layout: every bucket is a ≤32-wide rectangle in BOTH dimensions") {
     // bucket = top 6 z-bits fixes each dimension's top 3 bits, so a
     // bucket can never span more than a 32-aligned block in u OR d —

@@ -72,6 +72,48 @@ object BinaryDocs {
       .toDF()
   }
 
+  /** PERCEPTUAL image near-dup pairs over the binary column — the
+    * image half of corpus dedup (#36c handles text): every decodable
+    * blob gets a 64-bit dHash ([[ImageDecode.dhash]], real pixel
+    * decode), and pairs within `maxDist` Hamming bits are returned.
+    *
+    * Candidate generation is BANDED exact matching, not all-pairs:
+    * the hash splits into 4 × 16-bit bands; by pigeonhole, two
+    * hashes within Hamming distance ≤ 3 agree on at least one whole
+    * band, so the 4-way band index is provably COMPLETE for
+    * maxDist ≤ 3 (the prefix-filter theorem's shape, applied to
+    * bits). Each band bucket is an equi-join key; the verify is a
+    * row-local `bit_count(xor)`. Identical pixels under different
+    * encodings (PNG vs BMP) hash identically — distance 0.
+    *
+    * @param bin (doc_id, media binary)
+    * @return (doc_a, doc_b, hamming) pairs, hamming ≤ maxDist */
+  def imageNearDupPairs(bin: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band index is only complete for maxDist <= 3")
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val hashes = bin.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          ImageDecode.dhashBytes(bytes).map(h => (id, h))
+        }
+      }
+      .toDF("doc_id", "dhash")
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.key"))
+    banded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** REAL audio PCM sample decode over the binary column, batch-wise
     * per partition: `javax.sound.sampled` ([[AudioDecode]], in the
     * JDK) converts WAV payloads to 16-bit PCM and reduces them to

@@ -51,6 +51,40 @@ object ImageDecode {
   def decode(bytes: Array[Byte]): Option[Pixels] =
     read(bytes).map(stats)
 
+  /** 64-bit DIFFERENCE HASH (dHash) of a decoded frame: bilinear
+    * resample to a 9×8 luminance grid, bit (x,y) = brighter than the
+    * right neighbour. Identical pixels give identical hashes
+    * regardless of container/encoding (PNG vs BMP vs JPEG-lossless),
+    * and mild recompression or resizing flips only a few bits —
+    * Hamming distance is the perceptual near-dup metric. */
+  def dhash(img: BufferedImage): Long = {
+    val small = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    val gfx = small.createGraphics()
+    try {
+      gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gfx.drawImage(img, 0, 0, 9, 8, null)
+    } finally gfx.dispose()
+    def lum(x: Int, y: Int): Int = {
+      val p = small.getRGB(x, y)
+      (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x, y) > lum(x + 1, y)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Decode + dHash; None on undecodable bytes. */
+  def dhashBytes(bytes: Array[Byte]): Option[Long] = read(bytes).map(dhash)
+
   /** Real resample into a bounding box (aspect preserved), re-encoded
     * as PNG bytes. */
   def resize(bytes: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] =

@@ -154,6 +154,55 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(math.abs(dims.meanG - 255.0) < 1.0)
   }
 
+  test("perceptual near-dup: same pixels cross-format match at distance 0, noise stays near, different images don't pair") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // a deterministic gradient so dhash has real structure (a flat
+    // fill hashes to 0 for every image)
+    def gradient(seed: Int): BufferedImage = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(y => (0 until 64).foreach { x =>
+        val v = (x * 4 + y * 2 + seed * 37) % 256
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | ((x * y + seed) % 256))
+      })
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, fmt, buf); buf.toByteArray
+    }
+    val base = gradient(1)
+    // mild perturbation: darken an 8x8 corner slightly
+    val noisy = gradient(1)
+    (0 until 8).foreach(y => (0 until 8).foreach { x =>
+      val p = noisy.getRGB(x, y)
+      noisy.setRGB(x, y, (p >> 1) & 0x7f7f7f)
+    })
+    val rows = Seq(
+      (1L, enc(base, "png")),
+      (2L, enc(base, "bmp")),      // same pixels, different container
+      (3L, enc(noisy, "png")),     // near-dup
+      (4L, enc(gradient(9), "png")), // different image
+      (5L, "junk".getBytes("UTF-8"))) // undecodable — skipped
+    val pairs = graft.multimodal.BinaryDocs
+      .imageNearDupPairs(rows.toDF("doc_id", "media"), maxDist = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0,
+      s"cross-format exact pair missing: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near-dup pair missing: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated image paired: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+    // dhash really is encoding-invariant
+    val h1 = graft.multimodal.ImageDecode.dhashBytes(enc(base, "png")).get
+    val h2 = graft.multimodal.ImageDecode.dhashBytes(enc(base, "bmp")).get
+    assert(h1 == h2 && h1 != 0L)
+  }
+
   test("PCM sample decode computes real signal stats on generated WAVs, distributed") {
     import spark.implicits._
     // 0.5 s of a 440 Hz sine at known amplitude: RMS = A/sqrt(2),

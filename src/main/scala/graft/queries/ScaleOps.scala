@@ -283,6 +283,92 @@ object ScaleOps {
     ranks.select(col("id").as("part"), round(col("r"), 6).as("rank"))
   }
 
+  /** #107 BM25 retrieval — rank documents for a query term set with
+    * the Okapi/Lucene scoring the retrieval side of a data stack
+    * runs: idf·tf·(k1+1) / (tf + k1·(1−b+b·len/avglen)), k1=1.2,
+    * b=0.75. All per-doc term frequencies are ROW-LOCAL array
+    * filters (no posting-list explode for a 3-term query); N, avglen
+    * and the per-term dfs are ONE tiny aggregate broadcast back; the
+    * top-10 is a distributed TakeOrderedAndProject on the ROUNDED
+    * score (+ doc_id tie-break) so both engines select identically.
+    * Ranking selection at scale ships k rows per partition, never a
+    * global sort. */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("vector", "stream", "join")
+    val (k1, b) = (1.2, 0.75)
+    val toks = split(col("text"), " ")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), size(toks).cast("double").as("len"))
+    val withTf = terms.zipWithIndex.foldLeft(docs) { case (d, (t, i)) =>
+      d.withColumn(s"tf$i",
+        size(filter(col("toks"), x => x === lit(t))).cast("double"))
+    }.drop("toks")
+    // N, avglen, per-term dfs: one aggregate row, broadcast back
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("len")).as("avglen") +:
+      terms.indices.map(i => sum((col(s"tf$i") > 0).cast("double")).as(s"df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val idf = log(
+        (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      idf * col(s"tf$i") * (k1 + 1) /
+        (col(s"tf$i") + (col("len") / col("avglen") * b + (1 - b)) * k1)
+    }.reduce(_ + _)
+    scored
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id")))) // 10 rows — trivial
+      .select(col("rank").cast("long").as("rank"), col("doc_id"), col("score"))
+  }
+
+  /** #108 MERGEABLE PERCENTILE PARTIALS — the missing member of the
+    * incremental family (#29b exact sums, #98/#104 distinct
+    * sketches): exact percentiles can't merge across stored
+    * partials, fixed-bin HISTOGRAMS can. A daily job stores 512-bin
+    * counts (bounded rows/day regardless of event volume); any
+    * window percentile is then a cumsum inversion over merged bin
+    * counts — raw events scanned once ever. The inversion is
+    * integer-exact, so the gate is a FULL hash compare: the oracle
+    * replays the binning, merge and inversion verbatim (no
+    * tolerance). The value at rank ⌈n/2⌉ provably lies in the chosen
+    * bin (cum_prev < n/2 ≤ cum), so the estimate is within half a
+    * bin of that order statistic — asserted in the spec. */
+  def quantilePartials(s: SparkSession, dir: String): DataFrame = {
+    val bins = 512
+    val ev = Tables.events(s, dir).select(col("ts"), col("value"))
+    // global range: one tiny scalar agg, broadcast
+    val range = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val binned = ev.crossJoin(broadcast(range))
+      .select(date_trunc("week", col("ts")).cast("date").as("week_start"),
+        least(lit(bins - 1), floor((col("value") - col("lo")) /
+          ((col("hi") - col("lo")) / bins)).cast("int")).as("bin"),
+        col("lo"), col("hi"))
+    // the daily-partial shape: bounded (day, bin) count rows; merged
+    // here straight to weeks (a second tiny agg over partials)
+    val weekly = binned.groupBy(col("week_start"), col("bin"))
+      .agg(count(lit(1)).as("c"), first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("week_start")).orderBy(col("bin"))
+    val est = weekly
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("total", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("week_start"))))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("week_start"))
+      .agg(min(col("bin")).as("med_bin"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        first(col("total")).as("n"))
+      .withColumn("est",
+        col("lo") + (col("med_bin") + 0.5) * ((col("hi") - col("lo")) / bins))
+    est.select(col("week_start"), col("n"), col("med_bin").cast("long").as("med_bin"),
+      round(col("est"), 6).as("est_p50"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_partials"   -> hllPartials _,
     "q_range_join"     -> rangeJoin _,
@@ -292,7 +378,9 @@ object ScaleOps {
     "q_session_stitch" -> sessionStitch _,
     "q_hll_rolling"    -> hllRolling _,
     "q_scd2_intervals" -> scd2Intervals _,
-    "q_pagerank"       -> pagerank _
+    "q_pagerank"       -> pagerank _,
+    "q_bm25"           -> bm25 _,
+    "q_quantile_partials" -> quantilePartials _
   )
 
   /** The z-value bit-interleave replayed as explicit shift/mask sums
@@ -372,6 +460,52 @@ object ScaleOps {
         |    AS valid_to_us,
         |  n_events
         |FROM s""".stripMargin,
+    "q_bm25" -> {
+      val terms = Seq("vector", "stream", "join")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0 END) AS df$i").mkString(", ")
+      val score = terms.indices.map { i =>
+        s"""ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * 2.2
+           | / (tf$i + 1.2 * (0.25 + 0.75 * len / avglen))""".stripMargin
+      }.mkString("\n|    + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS len, $tfs FROM t),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(len) AS avglen,
+         |  $dfs FROM f),
+         |sc AS (SELECT doc_id, ROUND(
+         |    $score, 6) AS score
+         |  FROM f, st),
+         |top AS (SELECT doc_id, score FROM sc WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |    AS rank, doc_id, score
+         |FROM top""".stripMargin
+    },
+    // replays the histogram build, merge and cumsum inversion
+    // verbatim — the gate is exact, no tolerance column
+    "q_quantile_partials" ->
+      """WITH r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+        |b AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+        |    LEAST(511, CAST(FLOOR((value - lo) / ((hi - lo) / 512)) AS INT)) AS bin,
+        |    lo, hi
+        |  FROM events, r),
+        |wk AS (SELECT week_start, bin, lo, hi, COUNT(*) AS c
+        |  FROM b GROUP BY 1, 2, 3, 4),
+        |cm AS (SELECT week_start, bin, lo, hi, c,
+        |    SUM(c) OVER (PARTITION BY week_start ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY week_start) AS total
+        |  FROM wk),
+        |m AS (SELECT week_start, MIN(bin) AS med_bin,
+        |    MIN(lo) AS lo, MIN(hi) AS hi, MIN(total) AS n
+        |  FROM cm WHERE cum * 2 >= total GROUP BY 1)
+        |SELECT week_start, CAST(n AS BIGINT) AS n,
+        |  CAST(med_bin AS BIGINT) AS med_bin,
+        |  ROUND(lo + (med_bin + 0.5) * ((hi - lo) / 512), 6) AS est_p50
+        |FROM m""".stripMargin,
     "q_pagerank" -> {
       val rounds = (1 to 3).map { i =>
         s"""r$i AS (SELECT ed.dst AS id, 0.15 + 0.85 * SUM(r${i - 1}.r / ed.deg) AS r

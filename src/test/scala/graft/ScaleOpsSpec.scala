@@ -146,6 +146,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("bm25: ranked docs contain query terms, scores non-increasing") {
+    val df = SparkEntry.queries("q_bm25")(spark, sf).orderBy(col("rank")).collect()
+    assert(df.length == 10)
+    val scores = df.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0))
+    // every ranked doc really contains at least one query term
+    val ids = df.map(_.getAs[Long]("doc_id")).toSeq
+    val hits = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids: _*))
+      .filter(col("text").contains("vector") || col("text").contains("stream") ||
+        col("text").contains("join"))
+      .count()
+    assert(hits == 10)
+  }
+
+  test("quantile_partials: estimate within half a bin of the ⌈n/2⌉ order statistic") {
+    val df = SparkEntry.queries("q_quantile_partials")(spark, sf).cache()
+    assert(df.count() > 0)
+    val total = df.agg(sum(col("n"))).head.getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+    // the value at rank ⌈n/2⌉ provably lies in the chosen bin: check
+    // |est − that order statistic| ≤ binW/2 for every week
+    val ev = graft.sources.Tables.events(spark, sf)
+    val (lo, hi) = {
+      val r = ev.agg(min(col("value")), max(col("value"))).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val binW = (hi - lo) / 512
+    val weeks = df.collect().map(r =>
+      r.getAs[java.sql.Date]("week_start").toString ->
+        (r.getAs[Long]("n"), r.getAs[Double]("est_p50"))).toMap
+    val byWeek = ev
+      .select(date_trunc("week", col("ts")).cast("date").cast("string").as("w"), col("value"))
+      .collect().groupBy(_.getString(0))
+    weeks.foreach { case (wk, (n, est)) =>
+      val sorted = byWeek(wk).map(_.getDouble(1)).sorted
+      assert(sorted.length == n)
+      val lowerMid = sorted(((n + 1) / 2).toInt - 1) // rank ⌈n/2⌉, 1-based
+      assert(math.abs(est - lowerMid) <= binW / 2 + 1e-9,
+        s"week $wk: est $est vs order stat $lowerMid (binW $binW)")
+    }
+    df.unpersist()
+  }
+
   test("zorder_layout: every bucket is a ≤32-wide rectangle in BOTH dimensions") {
     // bucket = top 6 z-bits fixes each dimension's top 3 bits, so a
     // bucket can never span more than a 32-aligned block in u OR d —

@@ -28,7 +28,8 @@ object ScaleProbe {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val queries = Seq("q_dedup_pipeline", "q_curation_pipeline", "q_dedup_spans",
       "q_tfidf", "q_dedup_minhash_pairs", "q_decontaminate",
-      "q_lm_score", "q_winnow", "q_substring_dedup", "q_source_overlap")
+      "q_lm_score", "q_winnow", "q_substring_dedup", "q_source_overlap",
+      "q_dedup_prefix_filter", "q_bm25")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

@@ -133,9 +133,13 @@ object TextDedup {
     * join side. The intersect is evaluated ONCE per pair (named
     * column), not re-derived in the denominator. */
   def verifyJaccardSets(pairs: DataFrame, sh: DataFrame): DataFrame =
+    // SHUFFLE_HASH: the shingle-set frame is corpus-sized — never
+    // broadcast-size at scale (same rule as the pair-join sides)
     pairs
-      .join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__shs", "sa"), Seq("doc_a"))
-      .join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__shs", "sb"), Seq("doc_b"))
+      .join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__shs", "sa")
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__shs", "sb")
+        .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("__inter", size(array_intersect(col("sa"), col("sb"))))
       .select(col("doc_a"), col("doc_b"),
         round(col("__inter") /

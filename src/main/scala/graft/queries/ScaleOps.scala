@@ -270,16 +270,24 @@ object ScaleOps {
     val ed = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // degree attached to the edge ONCE — rounds never re-join it
-    val edges = ed.join(deg.hint("shuffle_hash"), "src").localCheckpoint()
+    // degree attached to the edge ONCE — rounds never re-join it.
+    // persist (not localCheckpoint): the cached plan KEEPS its
+    // hash(src) output partitioning, so each round's join reuses it
+    // and only the small rank frame shuffles; a checkpoint would
+    // erase the partitioning and re-shuffle every edge every round
+    val edges = ed.join(deg.hint("shuffle_hash"), "src").persist()
     var ranks = deg.select(col("src").as("id"), lit(1.0).as("r")).localCheckpoint()
     for (_ <- 1 to 3) {
+      // eager per-round localCheckpoint: ranks are node-count-sized
+      // (small); truncating their lineage is what lets edges
+      // unpersist safely after the loop
       ranks = edges.join(ranks.hint("shuffle_hash"), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("deg"))).as("r"))
         .select(col("dst").as("id"), col("r"))
         .localCheckpoint()
     }
+    edges.unpersist(blocking = false) // final ranks are materialized
     ranks.select(col("id").as("part"), round(col("r"), 6).as("rank"))
   }
 

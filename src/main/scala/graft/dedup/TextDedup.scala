@@ -123,9 +123,15 @@ object TextDedup {
     * against the (doc_id, shingles) frame is the whole cost. */
   def verifyJaccard(
       pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // sets are 64-bit shingle hashes (Broder shingling): the
+    // intersect is a type-specialized long-array op and the join
+    // ships ~4× fewer bytes than string sets; a cross-doc collision
+    // (p ≈ 2⁻⁴⁸ corpus-wide) could perturb one count by 1 — the
+    // string-exact DuckDB oracles stay the gate
     verifyJaccardSets(pairs,
       docs.select(col(idCol).as("__id"),
-        array_distinct(TextAnalysis.shinglesOfText(col(textCol))).as("__shs")))
+        array_distinct(transform(TextAnalysis.shinglesOfText(col(textCol)),
+          s => xxhash64(s))).as("__shs")))
 
   /** [[verifyJaccard]] against a PRECOMPUTED (__id, __shs) shingle-set
     * frame — callers that already materialized the projection (the

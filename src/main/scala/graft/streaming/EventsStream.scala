@@ -162,6 +162,34 @@ object EventsStream {
       }
       .start()
 
+  /** The IDEMPOTENT micro-batch writer behind
+    * [[foreachBatchExactlyOnce]], exposed for direct testing: each
+    * batch lands in its own `__batch=<id>` partition via dynamic
+    * partition OVERWRITE, so a batch REPLAYED after a failure
+    * between data write and checkpoint commit rewrites its own
+    * partition instead of appending a duplicate copy. */
+  def idempotentBatchWriter(path: String)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long): Unit =
+    batch.withColumn("__batch", org.apache.spark.sql.functions.lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(path)
+
+  /** EXACTLY-ONCE foreachBatch parquet sink: foreachBatch alone is
+    * at-least-once (a crash between the batch write and the
+    * checkpoint commit replays the batch — [[foreachBatchParquet]]'s
+    * plain append would duplicate it). Keying the write by batch id
+    * and dynamically overwriting only that partition makes the
+    * replay idempotent — the standard Structured Streaming
+    * exactly-once file-sink recipe when the built-in file sink's
+    * log can't be used (e.g. writing through the upsert path). */
+  def foreachBatchExactlyOnce(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(idempotentBatchWriter(path) _)
+      .start()
+
   /** Batch-drive a streaming query over a parquet directory for tests:
     * memory sink + processAllAvailable. */
   def runOnce(spark: SparkSession, df: DataFrame, name: String): DataFrame = {

@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * --source / --dest args routed to a task main).
   *
   * Usage:
-  *   runMain graft.Main --task <queryName|daily|all|backfill|curate> \
+  *   runMain graft.Main --task <queryName|daily|all|backfill|curate|compact> \
   *     [--dir /root/testdata/sf0.01] [--out /tmp/graft_out] \
   *     [--start 2024-01-01 --end 2024-01-04]   (backfill range, half-open)
+  *     [--target-mb 128]                        (compact file-size target)
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -43,6 +44,11 @@ object Main {
         pipelines.Backfill.run(
           sources.Tables.events(spark, dir), "ts", start, end, dest, "staging", "events", "t")
         println(s"backfilled [$start, $end) to $dest")
+      case "compact" =>
+        val target = opts.getOrElse("--target-mb", "128").toLong * 1024 * 1024
+        val path = out.getOrElse(sys.error("compact needs --out <parquet dir>"))
+        val (before, after) = sources.Compact.compactDir(spark, path, target)
+        println(s"compacted $path: $before files -> $after")
       case "curate" =>
         val dest = out.getOrElse(sys.error("curate needs --out"))
         val r = pipelines.CurationJob.run(sources.Tables.documents(spark, dir), dest)
@@ -52,7 +58,7 @@ object Main {
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) => emit(n, fn(spark, dir)) }
       case name =>
         val fn = SparkEntry.queries.getOrElse(name,
-          sys.error(s"unknown task '$name'; valid: daily, all, backfill, curate, ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+          sys.error(s"unknown task '$name'; valid: daily, all, backfill, curate, compact, ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
         emit(name, fn(spark, dir))
     }
     spark.stop()

@@ -377,6 +377,86 @@ object ScaleOps {
       round(col("est"), 6).as("est_p50"))
   }
 
+  /** #109 WEIGHTED sampling without replacement
+    * (Efraimidis–Spirakis 2006): key = −ln(u)/w with u a
+    * deterministic md5-uniform in (0,1]; the k smallest keys are an
+    * exact weighted sample. Selection is the bounded map-side
+    * [[graft.plans.TopKAgg]] — k rows per map task cross the
+    * shuffle, the corpus never sorts. Here: 20 documents weighted
+    * by length (the "sample long docs more" curation knob), fully
+    * reproducible — the oracle replays key arithmetic bit-for-bit
+    * and ranks with a window. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 20
+    val h = md5(concat(col("doc_id").cast("string"), lit(":ws")))
+    val hex = "0123456789abcdef"
+    // 8 hex digits → uniform integer in [0, 16^8); +1 keeps u > 0
+    val hv = (1 to 8).map(i =>
+      (instr(lit(hex), substring(h, i, 1)) - 1).cast("double")
+        * math.pow(16, 8 - i)).reduce(_ + _)
+    val u = (hv + 1) / math.pow(16, 8)
+    val key = -log(u) / col("n_chars").cast("double")
+    Tables.documents(s, dir)
+      .select(lit(1).as("g"), (-key).as("score"), col("doc_id").cast("long"))
+      .as[(Int, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.plans.TopKAgg(k).toColumn)
+      .flatMap { case (_, top) =>
+        top.zipWithIndex.map { case ((score, id), i) => ((i + 1).toLong, id, -score) }
+      }
+      .toDF("rank", "doc_id", "key")
+      // same HALF_UP rounding path as every other oracle-compared float
+      .withColumn("key", round(col("key"), 6))
+  }
+
+  /** #110 term-pair PMI (pointwise mutual information) over
+    * documents — the corpus-statistics operator behind collocation
+    * mining and embedding-evaluation probes: PMI(i,j) =
+    * ln(N·C(i,j) / (C(i)·C(j))) over per-doc DISTINCT terms.
+    * Scale shape: the vocabulary is first cut to terms with df ≥ 50
+    * (one map-side agg, broadcast back as a semi-join); pair
+    * enumeration is then ROW-LOCAL over each doc's ≤V_hot retained
+    * terms (flatten/transform over the sorted array — no self-join
+    * of the posting list); pair counting is one map-side-combined
+    * hash agg. Top-25 pairs by PMI with df tie-breaks. */
+  def termPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("terms"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    // df threshold RELATIVE to corpus size (10% of docs) so the
+    // operator behaves identically across scale factors
+    val df = docs.select(explode(col("terms")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= col("n") / 10.0)
+      .select(col("t"), col("df"))
+    // keep only hot terms per doc (row-local after a broadcast semi)
+    val hotSet = df.select(col("t"))
+    val kept = docs.select(col("doc_id"), explode(col("terms")).as("t"))
+      .join(broadcast(hotSet), Seq("t"), "left_semi")
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("t"))).as("ts"))
+      .filter(size(col("ts")) >= 2) // sequence(0, n-2) needs n ≥ 2
+    // row-local ordered pair enumeration: (ts[i], ts[j]) for i < j
+    val n = size(col("ts"))
+    val pairs = kept.select(explode(flatten(transform(
+      sequence(lit(0), n - 2),
+      i => transform(slice(col("ts"), i + 2, n), y =>
+        struct(element_at(col("ts"), i + 1).as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+    val cij = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cij"))
+    val dfa = df.select(col("t").as("a"), col("df").as("ca"))
+    val dfb = df.select(col("t").as("b"), col("df").as("cb"))
+    cij.join(broadcast(dfa), "a").join(broadcast(dfb), "b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("a"), col("b"),
+        round(log(col("cij") * col("n") / (col("ca") * col("cb"))), 6).as("pmi"),
+        col("cij"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_partials"   -> hllPartials _,
     "q_range_join"     -> rangeJoin _,
@@ -388,7 +468,9 @@ object ScaleOps {
     "q_scd2_intervals" -> scd2Intervals _,
     "q_pagerank"       -> pagerank _,
     "q_bm25"           -> bm25 _,
-    "q_quantile_partials" -> quantilePartials _
+    "q_quantile_partials" -> quantilePartials _,
+    "q_weighted_sample" -> weightedSample _,
+    "q_term_pmi"       -> termPmi _
   )
 
   /** The z-value bit-interleave replayed as explicit shift/mask sums
@@ -514,6 +596,40 @@ object ScaleOps {
         |  CAST(med_bin AS BIGINT) AS med_bin,
         |  ROUND(lo + (med_bin + 0.5) * ((hi - lo) / 512), 6) AS est_p50
         |FROM m""".stripMargin,
+    "q_weighted_sample" -> {
+      val weights = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+      val terms = weights.zipWithIndex.map { case (w, i) =>
+        s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * $w"
+      }.mkString("\n|    + ")
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |  md5(CAST(doc_id AS VARCHAR) || ':ws') AS hh FROM documents),
+         |v AS (SELECT doc_id, n_chars,
+         |    $terms AS hv
+         |  FROM h),
+         |k AS (SELECT doc_id,
+         |    -ln((hv + 1) / 4294967296.0) / n_chars AS rawkey FROM v),
+         |r AS (SELECT doc_id, rawkey,
+         |    ROW_NUMBER() OVER (ORDER BY rawkey, doc_id) AS rank FROM k)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, ROUND(rawkey, 6) AS key
+         |FROM r WHERE rank <= 20""".stripMargin
+    },
+    "q_term_pmi" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS terms FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM t),
+        |e AS (SELECT doc_id, unnest(terms) AS tm FROM t),
+        |df AS (SELECT tm, COUNT(*) AS df FROM e GROUP BY 1),
+        |hot AS (SELECT tm, df FROM df, n WHERE df >= n / 10.0),
+        |ke AS (SELECT e.doc_id, e.tm FROM e JOIN hot ON e.tm = hot.tm),
+        |p AS (SELECT x.tm AS a, y.tm AS b
+        |  FROM ke x JOIN ke y ON x.doc_id = y.doc_id AND x.tm < y.tm),
+        |cij AS (SELECT a, b, COUNT(*) AS cij FROM p GROUP BY 1, 2),
+        |j AS (SELECT a, b,
+        |    ROUND(ln(cij * n.n * 1.0 / (ha.df * hb.df)), 6) AS pmi, cij
+        |  FROM cij
+        |  JOIN hot ha ON cij.a = ha.tm
+        |  JOIN hot hb ON cij.b = hb.tm, n)
+        |SELECT a, b, pmi, cij FROM j ORDER BY pmi DESC, a, b LIMIT 25""".stripMargin,
     "q_pagerank" -> {
       val rounds = (1 to 3).map { i =>
         s"""r$i AS (SELECT ed.dst AS id, 0.15 + 0.85 * SUM(r${i - 1}.r / ed.deg) AS r

@@ -191,6 +191,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("weighted_sample: reproducible, biased toward heavier docs") {
+    val a = SparkEntry.queries("q_weighted_sample")(spark, sf)
+    val b = SparkEntry.queries("q_weighted_sample")(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty) // deterministic
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampleMean = a.join(docs, "doc_id").agg(avg(col("n_chars"))).head.getDouble(0)
+    // length-weighted sampling must overrepresent long documents
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("term_pmi: values match the definition, pairs are doc-level co-occurrences") {
+    val df = SparkEntry.queries("q_term_pmi")(spark, sf).cache()
+    assert(df.count() == 25)
+    // recompute one pair's PMI from raw counts and compare
+    val top = df.orderBy(col("pmi").desc, col("a"), col("b")).head
+    val (ta, tb, pmi, cij) = (top.getAs[String]("a"), top.getAs[String]("b"),
+      top.getAs[Double]("pmi"), top.getAs[Long]("cij"))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(array_distinct(split(col("text"), " ")).as("ts"))
+    val n = docs.count()
+    val ca = docs.filter(array_contains(col("ts"), ta)).count()
+    val cb = docs.filter(array_contains(col("ts"), tb)).count()
+    val both = docs.filter(array_contains(col("ts"), ta) &&
+      array_contains(col("ts"), tb)).count()
+    assert(both == cij)
+    val expect = math.log(cij.toDouble * n / (ca.toDouble * cb))
+    assert(math.abs(pmi - expect) < 1e-5, s"pmi $pmi vs recomputed $expect")
+    df.unpersist()
+  }
+
   test("zorder_layout: every bucket is a ≤32-wide rectangle in BOTH dimensions") {
     // bucket = top 6 z-bits fixes each dimension's top 3 bits, so a
     // bucket can never span more than a 32-aligned block in u OR d —

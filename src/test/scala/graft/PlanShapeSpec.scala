@@ -110,6 +110,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"df-cap filter missing from the plan:\n$p")
   }
 
+  test("bm25 ranks via distributed take-ordered, never a global sort") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k should be TakeOrderedAndProject:\n$p")
+  }
+
+  test("weighted sampling selects via the bounded aggregate, not a window") {
+    val p = plan("q_weighted_sample")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      s"weighted sample fell back to a window rank over the corpus:\n$p")
+  }
+
+  test("sketch partials merge map-side (partial hll aggregation present)") {
+    val p = plan("q_hll_partials")
+    assert(p.contains("hll_union_agg") || p.contains("HllUnionAgg"),
+      s"weekly rollup should union stored sketches:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("range join bands as an equi-join (no nested loop, no cartesian)") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+  }
+
   test("filter predicates reach the parquet scan") {
     val p = plan("q_select_filter")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,

@@ -457,6 +457,73 @@ object ScaleOps {
       .limit(25)
   }
 
+  /** #111 PRODUCT-QUANTIZATION ANN (Jégou et al. 2011) — the vector
+    * compression missing between #69's int8 scalar quant and #57's
+    * IVF: 64 dims split into M=8 subspaces, a K=4 codebook per
+    * subspace trained with one Lloyd round from fixed seed vectors
+    * (ids 0-15), every vector encoded to 8 small codes, and queries
+    * answered with ASYMMETRIC DISTANCE COMPUTATION: a per-query
+    * (M×K) distance TABLE is built against the codebook (M·K per query — tiny
+    * rows, broadcast) and each corpus vector's distance is the sum
+    * of 8 table lookups — the corpus moves as codes, never as
+    * floats. All assignment argmins are min(struct(dist, code))
+    * (lexicographic, deterministic); ranking is the bounded
+    * map-side TopKAgg. The oracle replays seeding, the Lloyd round,
+    * encoding and the ADC lookup verbatim. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (m8, k16) = (8, 16)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val sub = e.select(col("vec_id"),
+      explode(array((0 until m8).map(m =>
+        struct(lit(m).as("m"), slice(col("v"), m * 8 + 1, 8).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    // seed codebook: the sub-vectors of vectors 0..3
+    val seeds = sub.filter(col("vec_id") < k16)
+      .select(col("m"), col("vec_id").cast("int").as("c"), col("sv").as("cv"))
+    // one Lloyd round: assign to seeds, recompute subspace means
+    val a0 = sub.join(broadcast(seeds), "m")
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(dist2(col("sv"), col("cv")).as("d"), col("c"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.c").as("c"))
+    val dimSums = (0 until 8).map(j =>
+      avg(element_at(col("sv"), j + 1)).as(s"s$j"))
+    val cb = sub.join(a0.hint("shuffle_hash"), Seq("vec_id", "m"))
+      .groupBy(col("m"), col("c"))
+      .agg(dimSums.head, dimSums.tail: _*)
+      .select(col("m"), col("c"),
+        array((0 until 8).map(j => col(s"s$j")): _*).as("cv"))
+    // encode the corpus against the trained codebook
+    val codes = sub.join(broadcast(cb), "m")
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(dist2(col("sv"), col("cv")).as("d"), col("c"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.c").as("c"))
+    // ADC: per-query (m, c) distance table — M×K×queries tiny rows
+    val dtab = sub.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+      .join(broadcast(cb), "m")
+      .select(col("q_id"), col("m"), col("c"), dist2(col("sv"), col("cv")).as("d"))
+    val adist = codes.join(broadcast(dtab), Seq("m", "c"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adist"))
+    adist.select(col("q_id"), (-col("adist")).as("score"), col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.plans.TopKAgg(5).toColumn)
+      .flatMap { case (q, top) =>
+        top.zipWithIndex.map { case ((score, id), i) =>
+          (q, (i + 1).toLong, id, -score) }
+      }
+      .toDF("q_id", "rank", "n_id", "adist")
+      .withColumn("adist", round(col("adist"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_partials"   -> hllPartials _,
     "q_range_join"     -> rangeJoin _,
@@ -470,7 +537,8 @@ object ScaleOps {
     "q_bm25"           -> bm25 _,
     "q_quantile_partials" -> quantilePartials _,
     "q_weighted_sample" -> weightedSample _,
-    "q_term_pmi"       -> termPmi _
+    "q_term_pmi"       -> termPmi _,
+    "q_ann_pq"         -> annPq _
   )
 
   /** The z-value bit-interleave replayed as explicit shift/mask sums
@@ -596,6 +664,44 @@ object ScaleOps {
         |  CAST(med_bin AS BIGINT) AS med_bin,
         |  ROUND(lo + (med_bin + 0.5) * ((hi - lo) / 512), 6) AS est_p50
         |FROM m""".stripMargin,
+    // replays PQ end-to-end: seed codebook from vecs 0-15, one Lloyd
+    // round per subspace, corpus encoding, per-query ADC tables
+    "q_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, m, v[(m*8 + 1):(m*8 + 8)] AS sv
+        |  FROM e, (SELECT unnest(range(0, 8)) AS m)),
+        |seeds AS (SELECT m, CAST(vec_id AS INT) AS c, sv AS cv
+        |  FROM sub WHERE vec_id < 16),
+        |a0 AS (SELECT vec_id, m, c, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id, m
+        |    ORDER BY list_sum(list_transform(range(1, 9),
+        |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), c) AS rn
+        |  FROM sub JOIN seeds USING (m)),
+        |asg AS (SELECT vec_id, m, c FROM a0 WHERE rn = 1),
+        |cbl AS (SELECT m, c, j, AVG(sv[j]) AS mv
+        |  FROM sub JOIN asg USING (vec_id, m),
+        |    (SELECT unnest(range(1, 9)) AS j)
+        |  GROUP BY 1, 2, 3),
+        |cb AS (SELECT m, c, list(mv ORDER BY j) AS cv FROM cbl GROUP BY 1, 2),
+        |enc0 AS (SELECT vec_id, m, c, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id, m
+        |    ORDER BY list_sum(list_transform(range(1, 9),
+        |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), c) AS rn
+        |  FROM sub JOIN cb USING (m)),
+        |codes AS (SELECT vec_id, m, c FROM enc0 WHERE rn = 1),
+        |dtab AS (SELECT s.vec_id AS q_id, s.m, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      j -> (s.sv[j] - cb.cv[j]) * (s.sv[j] - cb.cv[j]))) AS d
+        |  FROM sub s JOIN cb USING (m) WHERE s.vec_id < 3),
+        |ad AS (SELECT dtab.q_id, codes.vec_id, SUM(dtab.d) AS adist
+        |  FROM codes JOIN dtab ON codes.m = dtab.m AND codes.c = dtab.c
+        |  WHERE codes.vec_id <> dtab.q_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT q_id, vec_id, adist, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY adist, vec_id) AS rank FROM ad)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS n_id,
+        |  ROUND(adist, 6) AS adist
+        |FROM r WHERE rank <= 5""".stripMargin,
     "q_weighted_sample" -> {
       val weights = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
       val terms = weights.zipWithIndex.map { case (w, i) =>

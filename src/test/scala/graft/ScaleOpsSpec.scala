@@ -223,6 +223,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("ann_pq: codes are compact, ADC ranking finds real neighbors") {
+    val df = SparkEntry.queries("q_ann_pq")(spark, sf).cache()
+    assert(df.count() == 15) // 3 queries × top-5
+    assert(df.filter(col("adist") < 0).count() == 0)
+    // PQ is approximate, but with planted near-identical vectors the
+    // exact nearest neighbour must surface in the PQ top-5 for at
+    // least 2 of the 3 queries (ADC distance of a near-clone ≈ 0)
+    val exact = SparkEntry.queries("q_ann_topk")(spark, sf)
+      .filter(col("rank") === 1 && col("q_id") < 3)
+      .select(col("q_id"), col("n_id").as("exact_nn"))
+    val hit = df.join(exact, Seq("q_id"))
+      .filter(col("n_id") === col("exact_nn"))
+      .select(col("q_id")).distinct().count()
+    assert(hit >= 2, s"PQ top-5 recovered the exact NN for only $hit/3 queries")
+    df.unpersist()
+  }
+
   test("zorder_layout: every bucket is a ≤32-wide rectangle in BOTH dimensions") {
     // bucket = top 6 z-bits fixes each dimension's top 3 bits, so a
     // bucket can never span more than a 32-aligned block in u OR d —

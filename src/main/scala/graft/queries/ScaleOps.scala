@@ -524,6 +524,41 @@ object ScaleOps {
       .withColumn("adist", round(col("adist"), 6))
   }
 
+  /** #112 PSI DRIFT detection — the population-stability-index
+    * monitor a production pipeline runs before trusting a new
+    * period's data (the distribution-shape complement of the
+    * volume-drift check in validation/Checks): `value` is binned
+    * into 10 fixed buckets over the global range, the first and
+    * last 7-day periods are share-compared per bin, and
+    * PSI = Σ (p−q)·ln(p/q) with +1 Laplace smoothing (identical in
+    * both engines, no zero-share singularity). ONE scan computes
+    * both periods' bin counts as conditional aggregates; range and
+    * period bounds are two broadcast scalar rows. */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val bins = 10
+    val ev = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("value"))
+    val bounds = ev.agg(
+      min(col("value")).as("lo"), max(col("value")).as("hi"),
+      min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .select(
+        least(lit(bins - 1), floor((col("value") - col("lo")) /
+          ((col("hi") - col("lo")) / bins)).cast("int")).as("bin"),
+        (col("day") < date_add(col("d0"), 7)).as("in_a"),
+        (col("day") >= date_add(col("d1"), -6)).as("in_b"))
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(col("in_a").cast("long")).as("n_a"),
+        sum(col("in_b").cast("long")).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin").cast("long").as("bin"), col("n_a"), col("n_b"),
+        round((((col("n_a") + 1) / (col("ta") + bins)) -
+          ((col("n_b") + 1) / (col("tb") + bins))) *
+          log(((col("n_a") + 1) / (col("ta") + bins)) /
+            ((col("n_b") + 1) / (col("tb") + bins))), 6).as("psi_contrib"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_partials"   -> hllPartials _,
     "q_range_join"     -> rangeJoin _,
@@ -538,7 +573,8 @@ object ScaleOps {
     "q_quantile_partials" -> quantilePartials _,
     "q_weighted_sample" -> weightedSample _,
     "q_term_pmi"       -> termPmi _,
-    "q_ann_pq"         -> annPq _
+    "q_ann_pq"         -> annPq _,
+    "q_psi_drift"      -> psiDrift _
   )
 
   /** The z-value bit-interleave replayed as explicit shift/mask sums
@@ -664,6 +700,26 @@ object ScaleOps {
         |  CAST(med_bin AS BIGINT) AS med_bin,
         |  ROUND(lo + (med_bin + 0.5) * ((hi - lo) / 512), 6) AS est_p50
         |FROM m""".stripMargin,
+    "q_psi_drift" ->
+      """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
+        |    MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |x AS (SELECT
+        |    LEAST(9, CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS INT)) AS bin,
+        |    CAST(ts AS DATE) < d0 + 7 AS in_a,
+        |    CAST(ts AS DATE) >= d1 - 6 AS in_b
+        |  FROM events, b),
+        |c AS (SELECT bin,
+        |    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS n_b
+        |  FROM x GROUP BY 1),
+        |t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  ROUND((((n_a + 1.0) / (ta + 10)) - ((n_b + 1.0) / (tb + 10)))
+        |    * ln(((n_a + 1.0) / (ta + 10)) / ((n_b + 1.0) / (tb + 10))), 6)
+        |    AS psi_contrib
+        |FROM c, t""".stripMargin,
     // replays PQ end-to-end: seed codebook from vecs 0-15, one Lloyd
     // round per subspace, corpus encoding, per-query ADC tables
     "q_ann_pq" ->

@@ -240,6 +240,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("psi_drift: contributions non-negative, stationary corpus shows no material drift") {
+    val df = SparkEntry.queries("q_psi_drift")(spark, sf).cache()
+    assert(df.count() > 0)
+    // (p−q) and ln(p/q) always share sign → every contribution ≥ 0
+    assert(df.filter(col("psi_contrib") < 0).count() == 0)
+    val psi = df.agg(sum(col("psi_contrib"))).head.getDouble(0)
+    // the synthetic generator is stationary: PSI must sit far below
+    // the conventional 0.25 "significant drift" threshold
+    assert(psi >= 0 && psi < 0.25, s"unexpected drift psi=$psi")
+    df.unpersist()
+  }
+
   test("zorder_layout: every bucket is a ≤32-wide rectangle in BOTH dimensions") {
     // bucket = top 6 z-bits fixes each dimension's top 3 bits, so a
     // bucket can never span more than a 32-aligned block in u OR d —

@@ -5,14 +5,30 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Scale-technique batch (SURVEY §2 #98-102): the remaining
-  * 100 TB-shape patterns not yet on the gated surface — mergeable
-  * sketch partials (incremental COUNT(DISTINCT)), the banded
-  * big-big range join, skew-salted aggregation, the
-  * secondary-sort-by-aggregation timeline shape, and z-order
-  * layout for file skipping.
+/** Scale-technique batch (SURVEY §2 #98-112): the 100 TB-shape
+  * patterns the earlier surface lacked — the incremental/partial
+  * family (HLL sketch partials tumbling #98 and rolling #104,
+  * histogram percentile partials #108, incremental sessionization
+  * #103), the banded big-big range join #99, skew-salted
+  * aggregation #100, ordered-sequence assembly #101, z-order layout
+  * #102, SCD2 history #105, PageRank #106, BM25 retrieval #107,
+  * weighted sampling #109, term-pair PMI #110,
+  * product-quantization ANN #111, and PSI drift monitoring #112.
   */
 object ScaleOps {
+
+  /** Clamped fixed-width bin id over [lo, hi] (shared by #108 and
+    * #112). A degenerate range (hi == lo) maps every value to bin 0
+    * explicitly — the division would otherwise produce NaN on the
+    * Spark side and a different NULL/error path in DuckDB. */
+  private def binCol(value: Column, lo: Column, hi: Column, bins: Int): Column =
+    when(hi === lo, lit(0)).otherwise(
+      least(lit(bins - 1), floor((value - lo) / ((hi - lo) / bins)).cast("int")))
+
+  /** The SQL mirror of [[binCol]], spliced into both oracles. */
+  private def binSql(value: String, bins: Int): String =
+    s"CASE WHEN hi = lo THEN 0 ELSE LEAST(${bins - 1}, " +
+      s"CAST(FLOOR(($value - lo) / ((hi - lo) / $bins)) AS INT)) END"
 
   /** #98 INCREMENTAL DISTINCT via mergeable HLL sketch partials —
     * the pattern behind every "28-day MAU without re-scanning 28
@@ -67,7 +83,7 @@ object ScaleOps {
     * reference joins are all equi — this is the brief's "operator
     * Spark lacks, composed from existing ops".) */
   def rangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val B = 4 // band width (days), sized to the 2-day window
+    val B = 4 // band width (days), sized to the 3-day inclusive window
     val anchor = lit("1995-01-01").cast("date")
     val lin = Tables.lineitem(s, dir)
       .filter(col("l_returnflag") === "R")
@@ -112,7 +128,8 @@ object ScaleOps {
       .agg(round(sum(col("psum")), 6).as("sum_value"),
         sum(col("pn")).as("n_events"))
     val users = ev.select(col("event_type"), col("user_id")).distinct()
-      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      // count(col) skips a NULL user_id row, matching COUNT(DISTINCT)
+      .groupBy(col("event_type")).agg(count(col("user_id")).as("n_users"))
     merged.join(users, "event_type")
       .select(col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
   }
@@ -236,13 +253,17 @@ object ScaleOps {
     val runs = Tables.events(s, dir)
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("is_new",
-        when(lag(col("event_type"), 1).over(w).isNull ||
-          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+        // null-safe IS DISTINCT FROM (a null state is a state): the
+        // oracle's IS DISTINCT FROM has these exact semantics
+        when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L)
+          .otherwise(0L))
       .withColumn("run_id",
         sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("run_id"), col("event_type").as("state"))
       .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
-    val ws = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"))
+    // run_id in the order makes the lead deterministic when two runs
+    // share a start microsecond (same-ts events split across runs)
+    val ws = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"), col("run_id"))
     runs.select(col("user_id"), col("run_id"), col("state"), col("valid_from_us"),
       lead(col("valid_from_us"), 1).over(ws).as("valid_to_us"), col("n_events"))
   }
@@ -353,8 +374,7 @@ object ScaleOps {
     val range = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
     val binned = ev.crossJoin(broadcast(range))
       .select(date_trunc("week", col("ts")).cast("date").as("week_start"),
-        least(lit(bins - 1), floor((col("value") - col("lo")) /
-          ((col("hi") - col("lo")) / bins)).cast("int")).as("bin"),
+        binCol(col("value"), col("lo"), col("hi"), bins).as("bin"),
         col("lo"), col("hi"))
     // the daily-partial shape: bounded (day, bin) count rows; merged
     // here straight to weeks (a second tiny agg over partials)
@@ -459,17 +479,19 @@ object ScaleOps {
 
   /** #111 PRODUCT-QUANTIZATION ANN (Jégou et al. 2011) — the vector
     * compression missing between #69's int8 scalar quant and #57's
-    * IVF: 64 dims split into M=8 subspaces, a K=4 codebook per
+    * IVF: 64 dims split into M=8 subspaces, a K=16 codebook per
     * subspace trained with one Lloyd round from fixed seed vectors
     * (ids 0-15), every vector encoded to 8 small codes, and queries
     * answered with ASYMMETRIC DISTANCE COMPUTATION: a per-query
-    * (M×K) distance TABLE is built against the codebook (M·K per query — tiny
-    * rows, broadcast) and each corpus vector's distance is the sum
-    * of 8 table lookups — the corpus moves as codes, never as
-    * floats. All assignment argmins are min(struct(dist, code))
-    * (lexicographic, deterministic); ranking is the bounded
-    * map-side TopKAgg. The oracle replays seeding, the Lloyd round,
-    * encoding and the ADC lookup verbatim. */
+    * (M×K) distance TABLE is built against the codebook (M·K rows
+    * per query — tiny, broadcast) and each corpus vector's distance
+    * is the sum of 8 table lookups — the corpus moves as codes,
+    * never as floats. All assignment argmins are
+    * min(struct(dist, code)) (lexicographic, deterministic), and the
+    * final ranking orders on the ROUNDED distance (the #107
+    * convention) so both engines break near-ties identically; the
+    * bounded map-side TopKAgg selects. The oracle replays seeding,
+    * the Lloyd round, encoding and the ADC lookup verbatim. */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (m8, k16) = (8, 16)
@@ -482,7 +504,7 @@ object ScaleOps {
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
     def dist2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-    // seed codebook: the sub-vectors of vectors 0..3
+    // seed codebook: the sub-vectors of vectors 0..15
     val seeds = sub.filter(col("vec_id") < k16)
       .select(col("m"), col("vec_id").cast("int").as("c"), col("sv").as("cv"))
     // one Lloyd round: assign to seeds, recompute subspace means
@@ -492,11 +514,16 @@ object ScaleOps {
       .select(col("vec_id"), col("m"), col("mn.c").as("c"))
     val dimSums = (0 until 8).map(j =>
       avg(element_at(col("sv"), j + 1)).as(s"s$j"))
+    // the trained codebook is tiny (M×K rows) and feeds BOTH the
+    // corpus encoding and every query's distance table — stage it
+    // once so the Lloyd chain (and its embeddings scans) doesn't
+    // replay per consumer
     val cb = sub.join(a0.hint("shuffle_hash"), Seq("vec_id", "m"))
       .groupBy(col("m"), col("c"))
       .agg(dimSums.head, dimSums.tail: _*)
       .select(col("m"), col("c"),
         array((0 until 8).map(j => col(s"s$j")): _*).as("cv"))
+      .localCheckpoint()
     // encode the corpus against the trained codebook
     val codes = sub.join(broadcast(cb), "m")
       .groupBy(col("vec_id"), col("m"))
@@ -510,7 +537,10 @@ object ScaleOps {
     val adist = codes.join(broadcast(dtab), Seq("m", "c"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("d")).as("adist"))
+      // rank on the ROUNDED distance: summation order differs across
+      // engines, and an ulp flip at the top-5 boundary must not
+      // change the selection
+      .agg(round(sum(col("d")), 6).as("adist"))
     adist.select(col("q_id"), (-col("adist")).as("score"), col("vec_id"))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
@@ -521,7 +551,6 @@ object ScaleOps {
           (q, (i + 1).toLong, id, -score) }
       }
       .toDF("q_id", "rank", "n_id", "adist")
-      .withColumn("adist", round(col("adist"), 6))
   }
 
   /** #112 PSI DRIFT detection — the population-stability-index
@@ -543,8 +572,7 @@ object ScaleOps {
       min(col("day")).as("d0"), max(col("day")).as("d1"))
     val binned = ev.crossJoin(broadcast(bounds))
       .select(
-        least(lit(bins - 1), floor((col("value") - col("lo")) /
-          ((col("hi") - col("lo")) / bins)).cast("int")).as("bin"),
+        binCol(col("value"), col("lo"), col("hi"), bins).as("bin"),
         (col("day") < date_add(col("d0"), 7)).as("in_a"),
         (col("day") >= date_add(col("d1"), -6)).as("in_b"))
     val counts = binned.groupBy(col("bin"))
@@ -650,8 +678,8 @@ object ScaleOps {
         |    MIN(us) AS valid_from_us, COUNT(*) AS n_events
         |  FROM r GROUP BY 1, 2, 3)
         |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state, valid_from_us,
-        |  LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
-        |    AS valid_to_us,
+        |  LEAD(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us, run_id) AS valid_to_us,
         |  n_events
         |FROM s""".stripMargin,
     "q_bm25" -> {
@@ -681,9 +709,9 @@ object ScaleOps {
     // replays the histogram build, merge and cumsum inversion
     // verbatim — the gate is exact, no tolerance column
     "q_quantile_partials" ->
-      """WITH r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      s"""WITH r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
         |b AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
-        |    LEAST(511, CAST(FLOOR((value - lo) / ((hi - lo) / 512)) AS INT)) AS bin,
+        |    ${binSql("value", 512)} AS bin,
         |    lo, hi
         |  FROM events, r),
         |wk AS (SELECT week_start, bin, lo, hi, COUNT(*) AS c
@@ -701,11 +729,11 @@ object ScaleOps {
         |  ROUND(lo + (med_bin + 0.5) * ((hi - lo) / 512), 6) AS est_p50
         |FROM m""".stripMargin,
     "q_psi_drift" ->
-      """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
+      s"""WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
         |    MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
         |  FROM events),
         |x AS (SELECT
-        |    LEAST(9, CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS INT)) AS bin,
+        |    ${binSql("value", 10)} AS bin,
         |    CAST(ts AS DATE) < d0 + 7 AS in_a,
         |    CAST(ts AS DATE) >= d1 - 6 AS in_b
         |  FROM events, b),
@@ -749,14 +777,13 @@ object ScaleOps {
         |    list_sum(list_transform(range(1, 9),
         |      j -> (s.sv[j] - cb.cv[j]) * (s.sv[j] - cb.cv[j]))) AS d
         |  FROM sub s JOIN cb USING (m) WHERE s.vec_id < 3),
-        |ad AS (SELECT dtab.q_id, codes.vec_id, SUM(dtab.d) AS adist
+        |ad AS (SELECT dtab.q_id, codes.vec_id, ROUND(SUM(dtab.d), 6) AS adist
         |  FROM codes JOIN dtab ON codes.m = dtab.m AND codes.c = dtab.c
         |  WHERE codes.vec_id <> dtab.q_id
         |  GROUP BY 1, 2),
         |r AS (SELECT q_id, vec_id, adist, ROW_NUMBER() OVER (
         |    PARTITION BY q_id ORDER BY adist, vec_id) AS rank FROM ad)
-        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS n_id,
-        |  ROUND(adist, 6) AS adist
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS n_id, adist
         |FROM r WHERE rank <= 5""".stripMargin,
     "q_weighted_sample" -> {
       val weights = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)

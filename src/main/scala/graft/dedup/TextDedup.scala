@@ -62,6 +62,11 @@ object TextDedup {
     * has null signature slots and must not collide with other
     * null-signature docs — DuckDB `||` propagates null the same way. */
   def bandKeys(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // a remainder would silently drop the trailing signature columns
+    // from every band — the caller would run lower-k LSH (less
+    // recall) with no error
+    require(k % rowsPerBand == 0,
+      s"k ($k) must be a multiple of rowsPerBand ($rowsPerBand)")
     val bandStructs = (0 until k / rowsPerBand).map { b =>
       val key = concat(
         (0 until rowsPerBand).flatMap(r =>
@@ -178,9 +183,14 @@ object TextDedup {
     * shingle-local, not all-pairs).
     *
     * @param maxDf document-frequency cap: shingles appearing in more
-    *              than `maxDf` docs are dropped from CANDIDATE
-    *              GENERATION (pair counts still use full per-doc
-    *              sizes). A shingle shared by m docs contributes
+    *              than `maxDf` docs are dropped BEFORE the self-join,
+    *              which affects BOTH candidate generation and the
+    *              intersection count (denominator sizes stay full
+    *              per-doc) — a pair sharing capped shingles scores
+    *              LOWER than its true Jaccard, by design the price of
+    *              the capped plan (the capped oracle replays the same
+    *              cap; exact callers pass `None`). A shingle shared
+    *              by m docs contributes
     *              O(m²) pairs — at corpus scale a handful of stop-
     *              shingles would otherwise dominate the join; capping
     *              df bounds the blowup at maxDf² per shingle. ON by
@@ -269,10 +279,14 @@ object TextDedup {
     // sets. A cross-doc collision (p ≈ 2⁻⁴⁸ corpus-wide) could
     // perturb one overlap count by 1; the string-exact DuckDB oracle
     // gate would flag it.
+    // persist, NOT localCheckpoint: the cached blocks are a
+    // best-effort compute-once (evicted or executor-lost blocks
+    // recompute from lineage), where a checkpoint's unreplicated
+    // blocks would fail the whole job on one executor loss
     val base = docs.select(col(idCol).as("__id"),
       array_distinct(transform(TextAnalysis.shinglesOfText(col(textCol)),
         s => xxhash64(s))).as("__shs"))
-      .localCheckpoint()
+      .persist()
     val ex = base.select(col("__id"), explode(col("__shs")).as("h"))
     val dfTab = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfTab.hint("shuffle_hash"), "h")

@@ -59,11 +59,12 @@ object BinaryDocs {
     bin.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          ImageDecode.decode(bytes) match {
-            case Some(p) =>
-              val thumb = ImageDecode.resize(bytes, maxW, maxH).map(_.length.toLong).getOrElse(0L)
+          // one ImageIO decode serves both the stats and the thumbnail
+          ImageDecode.decodeWithThumb(bytes, maxW, maxH) match {
+            case Some((p, thumb)) =>
               DecodedImage(id, p.width.toLong, p.height.toLong,
-                p.meanR, p.meanG, p.meanB, thumb, decoded = true)
+                p.meanR, p.meanG, p.meanB,
+                thumb.map(_.length.toLong).getOrElse(0L), decoded = true)
             case None =>
               DecodedImage(id, 0L, 0L, 0.0, 0.0, 0.0, 0L, decoded = false)
           }
@@ -110,8 +111,11 @@ object BinaryDocs {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the Hamming predicate is row-local and
+      // band collisions vastly outnumber true near-dups, so pruning
+      // first keeps far pairs out of the distinct's shuffle
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** REAL audio PCM sample decode over the binary column, batch-wise

@@ -85,6 +85,29 @@ object ImageDecode {
   /** Decode + dHash; None on undecodable bytes. */
   def dhashBytes(bytes: Array[Byte]): Option[Long] = read(bytes).map(dhash)
 
+  /** Decode ONCE and derive both the stats and the resampled
+    * thumbnail from the same BufferedImage — the batch decode path
+    * calls this instead of `decode` + `resize`, which would each run
+    * a full ImageIO pixel decode of the same blob (the stage's
+    * dominant cost, paid twice). */
+  def decodeWithThumb(bytes: Array[Byte], maxW: Int, maxH: Int): Option[(Pixels, Option[Array[Byte]])] =
+    read(bytes).map { img =>
+      val p = stats(img)
+      val scale = math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight)
+      val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+        math.max(1, (img.getHeight * scale).toInt))
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val gfx = out.createGraphics()
+      try {
+        gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(img, 0, 0, w, h, null)
+      } finally gfx.dispose()
+      val buf = new ByteArrayOutputStream()
+      val thumb = if (ImageIO.write(out, "png", buf)) Some(buf.toByteArray) else None
+      (p, thumb)
+    }
+
   /** Real resample into a bounding box (aspect preserved), re-encoded
     * as PNG bytes. */
   def resize(bytes: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] =

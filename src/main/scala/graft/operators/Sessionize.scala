@@ -78,9 +78,12 @@ object Sessionize {
     * not events.
     *
     * Node ids pack (key, epochday, per-day session ordinal) into one
-    * long: the per-day ordinal is structurally < 64 (each new
-    * session needs a > 30-min idle gap, so a day holds at most 48),
-    * epochday gets 15 bits (through 2059), the key the top 42.
+    * long: the ordinal field is sized to the ACTUAL gap (a day holds
+    * at most day/gap + 1 sessions, since each new session needs a
+    * > gap idle stretch — 6 bits at the 30-min default), epochday
+    * gets 15 bits (through 2059), the key the remaining top bits.
+    * Gaps above one day are rejected (the adjacent-day stitch can't
+    * merge across an empty day).
     *
     * Output is identical to [[sessionWindows]] over the full
     * history — the equivalence is the correctness gate. */
@@ -90,6 +93,17 @@ object Sessionize {
       tsCol: String,
       order: Seq[Column],
       gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    // the day-split + adjacent-day stitch presumes a gap below one
+    // day (a longer gap would have to merge across EMPTY days, which
+    // the epochday→epochday-1 edge join cannot see)
+    require(gapUs > 0 && gapUs <= dayUs,
+      s"gapUs must be in (0, 1 day]; got $gapUs")
+    // per-day session ordinal bound: each new session needs a > gap
+    // idle stretch, so a day holds at most dayUs/gapUs + 1 sessions —
+    // size the ordinal bit field to the ACTUAL gap instead of
+    // assuming the 30-minute default's 6 bits
+    val sidBits = 64 - java.lang.Long.numberOfLeadingZeros(dayUs / gapUs + 1)
     // 1. the daily job: per-(key, day) sessionization
     val withDay = events.withColumn("__day", to_date(col(tsCol)))
     val daily = sessionWindows(withDay, Seq(key, "__day"), tsCol, order, gapUs)
@@ -98,7 +112,8 @@ object Sessionize {
       .withColumn("epochday",
         datediff(col("__day"), lit("1970-01-01").cast("date")).cast("long"))
       .withColumn("nid",
-        shiftleft(col(key), 21) + shiftleft(col("epochday"), 6) + col("session_id"))
+        shiftleft(col(key), 15 + sidBits) +
+          shiftleft(col("epochday"), sidBits) + col("session_id"))
     // 2. boundary edges: last session of day d ↔ first session of day
     // d+1 for the same key, when the cross-midnight gap fits
     val lastOf = sess.groupBy(col(key), col("epochday"))

@@ -175,13 +175,13 @@ object CurationC {
   def embeddingPca(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dims = 64
-    // stage the parsed double vectors ONCE: every power-iteration
-    // round re-reads the vector table, and float→double parsing is
-    // the per-round scan cost — the same stage-the-iterated-frame
-    // move as Resolve's per-round localCheckpoint
+    // cache the parsed double vectors across the three rounds
+    // (persist, not localCheckpoint: lost blocks recompute from the
+    // scan instead of failing the job); released after the loop —
+    // the result is a driver-side vector, independent of the cache
     val e = Tables.embeddings(s, dir)
       .select(Embeddings.asDouble(col("embedding")).as("v"))
-      .localCheckpoint()
+      .persist()
     var vcur = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
     var norm = 1.0
     var n = 0L
@@ -209,6 +209,7 @@ object CurationC {
       if (n == 0) Seq.empty[(Long, Double, Double)]
       else vcur.zipWithIndex.toSeq
         .map { case (pc, i) => ((i + 1).toLong, pc, norm / n) }
+    e.unpersist(blocking = false) // rounds are done; result is driver-side
     // rounding via Spark's round(), not driver math — same HALF_UP
     // path as every other oracle-compared float in the surface
     s.createDataFrame(rows).toDF("dim", "pc", "lambda")

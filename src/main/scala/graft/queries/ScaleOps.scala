@@ -523,7 +523,7 @@ object ScaleOps {
       .agg(dimSums.head, dimSums.tail: _*)
       .select(col("m"), col("c"),
         array((0 until 8).map(j => col(s"s$j")): _*).as("cv"))
-      .localCheckpoint()
+      .persist() // tiny (M×K rows); lost blocks recompute from lineage
     // encode the corpus against the trained codebook
     val codes = sub.join(broadcast(cb), "m")
       .groupBy(col("vec_id"), col("m"))

@@ -57,15 +57,8 @@ object Compact {
     val (nFiles, totalBytes) = stats(spark, path)
     val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (nFiles <= want) return (nFiles, nFiles)
-    val staging = path + ".compact-staging"
-    val fs = new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(staging), true)
-    spark.read.parquet(path).coalesce(want)
-      .write.mode("overwrite").parquet(staging)
-    // staged write is durably committed: swap from a re-read of it
-    spark.read.parquet(staging)
-      .write.mode("overwrite").parquet(path)
-    fs.delete(new Path(staging), true)
+    // one shared durable swap implementation (Writers.stageAndSwap)
+    Writers.stageAndSwap(spark.read.parquet(path).coalesce(want), path, None)
     (nFiles, stats(spark, path)._1)
   }
 
@@ -87,20 +80,18 @@ object Compact {
       .collect { case (v, n) if n > maxFilesPerPartition => v }
       .sorted
     if (hot.isEmpty) return Seq.empty
-    val staging = path + ".compact-staging"
-    fs.delete(new Path(staging), true)
     // partition pruning limits the read to the hot partitions; one
-    // task per partition value makes one output file per partition
-    spark.read.parquet(path)
+    // task per partition value makes one output file per partition.
+    // The partition column is CAST to string so the rewritten
+    // directory names are byte-identical to the originals — a
+    // re-inferred value (date 2024-1-5 → 2024-01-05) would otherwise
+    // land in a new directory while dynamic overwrite leaves the old
+    // one alive, duplicating the partition.
+    val frame = spark.read.parquet(path)
+      .withColumn(dateCol, col(dateCol).cast("string"))
       .where(col(dateCol).isin(hot: _*))
       .repartition(hot.size, col(dateCol))
-      .write.mode("overwrite").partitionBy(dateCol).parquet(staging)
-    spark.read.parquet(staging)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(dateCol)
-      .parquet(path)
-    fs.delete(new Path(staging), true)
+    Writers.stageAndSwap(frame, path, Some(dateCol))
     hot
   }
 }

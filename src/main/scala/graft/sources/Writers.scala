@@ -99,6 +99,37 @@ object Writers {
     * truncated (a `localCheckpoint` here would lose data if an
     * executor died mid-overwrite on a real cluster).
     */
+  /** Durable stage-to-temp-and-swap write, the ONE implementation of
+    * the sequence every self-overwriting writer needs (upsert,
+    * compaction): write the frame as a complete committed parquet
+    * under `<path>.staging` (clearing any leftover from a previous
+    * failed run), then overwrite the target FROM A RE-READ of the
+    * staged files — never from recomputable lineage over the
+    * partitions being replaced — then drop staging. A failure at any
+    * point leaves the target either byte-identical or fully
+    * rewritten, never half-truncated. With `partitionCol` set the
+    * final write is a dynamic partition overwrite (untouched
+    * partitions are never written); the caller must have CAST the
+    * partition column to a canonical string so the staged directory
+    * names are byte-identical to the target's (a re-inferred value
+    * like date 2024-1-5 → 2024-01-05 would land in a NEW directory
+    * and leave the old one alive — duplicated rows). */
+  private[sources] def stageAndSwap(
+      df: DataFrame, path: String, partitionCol: Option[String]): Unit = {
+    val spark = df.sparkSession
+    val staging = path + ".staging"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(stagingPath, true)
+    val w0 = df.write.mode(SaveMode.Overwrite)
+    partitionCol.fold(w0)(c => w0.partitionBy(c)).parquet(staging)
+    val back = spark.read.parquet(staging)
+    val w1 = back.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+    partitionCol.fold(w1)(c => w1.partitionBy(c)).parquet(path)
+    fs.delete(stagingPath, true)
+  }
+
   def upsertDatePartitions(
       df: DataFrame, prefix: String, stage: String, task: String, source: String,
       dateCol: String, keys: Seq[String]): Unit = {
@@ -111,22 +142,7 @@ object Writers {
       val kept = existing
         .join(broadcast(affectedDates), Seq("__date"), "left_semi") // prune to affected partitions
         .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti") // drop updated keys
-      val staging = path + ".staging"
-      val hadoopConf = spark.sparkContext.hadoopConfiguration
-      val stagingPath = new org.apache.hadoop.fs.Path(staging)
-      val fs = stagingPath.getFileSystem(hadoopConf)
-      fs.delete(stagingPath, true) // clear any leftover from a previous failed run
-      kept.unionByName(incoming)
-        .write.mode(SaveMode.Overwrite).partitionBy("__date").parquet(staging)
-      // the staged write is durably committed: overwrite the target
-      // from a fresh scan of the staged files (no dependency on the
-      // partitions being replaced), then drop the staging prefix
-      spark.read.parquet(staging)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__date")
-        .parquet(path)
-      fs.delete(stagingPath, true)
+      stageAndSwap(kept.unionByName(incoming), path, Some("__date"))
     } else {
       incoming.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")

@@ -73,14 +73,27 @@ object EventsStream {
             // not unbounded. The STATE entry stays O(1) regardless
             // (one SessionState per user). Production posture for
             // large state: [[configureRocksDbState]].
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.user_id))
+            // full-microsecond event time (getTime alone truncates the
+            // sub-millisecond part the batch sessionizer keeps)
+            def fullUs(e: Ev): Long =
+              e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            val sorted = evs.toSeq.sortBy(e => (fullUs(e), e.user_id))
             var cur = state.getOption
             val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000
+              val us = fullUs(e)
               cur match {
-                case Some(st) if us - st.last <= gapUs =>
-                  cur = Some(st.copy(last = us, n = st.n + 1))
+                // a late-but-admissible CROSS-BATCH event can precede
+                // the open session (us < st.start): clamp both ends so
+                // the session never runs backwards and the timeout
+                // never moves earlier than the true last event
+                case Some(st) if us >= st.start - gapUs && us - st.last <= gapUs =>
+                  cur = Some(SessionState(math.min(st.start, us),
+                    math.max(st.last, us), st.n + 1))
+                case Some(st) if us < st.start - gapUs =>
+                  // older than the open session by more than the gap:
+                  // a completed singleton session from the past
+                  out += SessionOut(uid, us, 0L, 1L)
                 case Some(st) =>
                   out += SessionOut(uid, st.start, st.last - st.start, st.n)
                   cur = Some(SessionState(us, us, 1))

@@ -88,6 +88,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.session_len_us == 5L * 60 * 1000 * 1000)
   }
 
+  test("streaming sessionize absorbs a late-but-admissible cross-batch event without corrupting the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.sessionize(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_late").start()
+    // batch 1: session opens at 00:20
+    mem.addData(Ev(5, ts(20), "click", 0))
+    q.processAllAvailable()
+    // batch 2: a LATE event at 00:10 — within the 30-min watermark, so
+    // Spark admits it; the session must extend BACKWARD, not run
+    // negative or move its end earlier
+    mem.addData(Ev(5, ts(10), "click", 0))
+    q.processAllAvailable()
+    // advance the watermark past 00:20+gap and fire the timeout
+    mem.addData(Ev(99, Timestamp.valueOf("2024-01-01 03:00:00"), "click", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(99, Timestamp.valueOf("2024-01-01 03:00:30"), "click", 0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss_late").as[SessionOut].collect().filter(_.user_id == 5L)
+    assert(out.length == 1)
+    assert(out.head.n_events == 2)
+    assert(out.head.session_start_us ==
+      Timestamp.valueOf("2024-01-01 00:10:00").getTime * 1000)
+    assert(out.head.session_len_us == 10L * 60 * 1000 * 1000) // POSITIVE ten minutes
+  }
+
   test("sessionize runs on the RocksDB state store (production posture)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

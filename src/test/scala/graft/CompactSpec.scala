@@ -26,6 +26,26 @@ class CompactSpec extends AnyFunSuite {
     assert(Compact.compactDir(spark, dir, 8L * 1024 * 1024) == (1, 1))
   }
 
+  test("compaction preserves non-canonical partition directory names (no duplicated partition)") {
+    val dir = Files.createTempDirectory("compactnc").toString + "/t"
+    import spark.implicits._
+    (1 to 300).map(i => (i.toLong, "2024-01-05")).toDF("id", "d")
+      .repartition(8).write.partitionBy("d").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an upstream writer that used a NON-canonical date form:
+    // if compaction round-trips the value through type inference, the
+    // rewrite lands in d=2024-01-05 while dynamic overwrite leaves
+    // d=2024-1-5 alive — every row duplicated
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/d=2024-01-05"),
+      new org.apache.hadoop.fs.Path(s"$dir/d=2024-1-5")))
+    val rewritten = Compact.compactDatePartitions(spark, dir, "d", 4)
+    assert(rewritten == Seq("2024-1-5"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 300, "partition was duplicated by the rewrite")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/d=2024-1-5")))
+  }
+
   test("compactDatePartitions rewrites only hot partitions") {
     val dir = Files.createTempDirectory("compactp").toString + "/t"
     import spark.implicits._

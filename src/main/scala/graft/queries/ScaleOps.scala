@@ -587,6 +587,46 @@ object ScaleOps {
             ((col("n_b") + 1) / (col("tb") + bins))), 6).as("psi_contrib"))
   }
 
+  /** #113 WINDOWED HEAVY HITTERS from stored daily sketch partials —
+    * the top-k member of the incremental family (#98 distinct, #108
+    * percentiles): a daily job stores ONE ≤k-entry Misra-Gries
+    * summary per day; any window's candidate set is a merge of the
+    * stored partials ([[graft.plans.MgMergeAgg]] — mergeable with
+    * no false negatives above N/(k+1), Agarwal et al. 2012), and
+    * one exact recount over candidates confirms, so the OUTPUT is
+    * exact (k=128 covers the N/96 threshold with margin; the
+    * sketch only prunes — the #75/#96 philosophy). Raw events feed
+    * the sketch path once ever; per-week heavy users with count >
+    * weekly_total/96. */
+  def topkPartials(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 128
+    val ev = Tables.events(s, dir).select(
+      to_date(col("ts")).cast("string").as("day"),
+      date_trunc("week", col("ts")).cast("date").cast("string").as("week"),
+      concat(lit("u"), col("user_id")).as("term"))
+    // the stored daily partials: one bounded summary per (week, day)
+    val daily = ev.as[(String, String, String)]
+      .groupByKey(t => (t._2, t._1))
+      .mapValues(_._3)
+      .agg(graft.plans.HeavyHittersAgg(k).toColumn)
+    // window rollup merges ONLY the partials (≤ 7 summaries per week)
+    val cands = daily
+      .groupByKey(_._1._1)
+      .mapValues(_._2)
+      .agg(graft.plans.MgMergeAgg(k).toColumn)
+      .flatMap { case (week, summary) => summary.keysIterator.map(week -> _) }
+      .toDF("week", "term")
+    // exact recount over candidates; totals are per-week scalars
+    val counts = ev.groupBy(col("week"), col("term")).agg(count(lit(1)).as("cnt"))
+      .join(cands.hint("shuffle_hash"), Seq("week", "term"), "left_semi")
+    val totals = ev.groupBy(col("week")).agg(count(lit(1)).as("total"))
+    counts.join(broadcast(totals), "week")
+      .filter(col("cnt") > col("total") / 96.0)
+      .select(col("week").cast("date").as("week_start"), col("term"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_partials"   -> hllPartials _,
     "q_range_join"     -> rangeJoin _,
@@ -602,7 +642,8 @@ object ScaleOps {
     "q_weighted_sample" -> weightedSample _,
     "q_term_pmi"       -> termPmi _,
     "q_ann_pq"         -> annPq _,
-    "q_psi_drift"      -> psiDrift _
+    "q_psi_drift"      -> psiDrift _,
+    "q_topk_partials"  -> topkPartials _
   )
 
   /** The z-value bit-interleave replayed as explicit shift/mask sums
@@ -728,6 +769,16 @@ object ScaleOps {
         |  CAST(med_bin AS BIGINT) AS med_bin,
         |  ROUND(lo + (med_bin + 0.5) * ((hi - lo) / 512), 6) AS est_p50
         |FROM m""".stripMargin,
+    // the sketch only PRUNES (no false negatives above the
+    // threshold), so plain threshold SQL is the oracle
+    "q_topk_partials" ->
+      """WITH e AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+        |    'u' || CAST(user_id AS VARCHAR) AS term FROM events),
+        |t AS (SELECT week_start, COUNT(*) AS total FROM e GROUP BY 1),
+        |c AS (SELECT week_start, term, COUNT(*) AS cnt FROM e GROUP BY 1, 2)
+        |SELECT c.week_start, term, cnt,
+        |  ROUND(cnt * 1.0 / total, 6) AS share
+        |FROM c JOIN t USING (week_start) WHERE cnt > total / 96.0""".stripMargin,
     "q_psi_drift" ->
       s"""WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
         |    MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1

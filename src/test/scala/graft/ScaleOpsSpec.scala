@@ -252,6 +252,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("topk_partials: sketch-pruned result ≡ full per-week threshold aggregation") {
+    val pruned = SparkEntry.queries("q_topk_partials")(spark, sf)
+    // the ground truth computed WITHOUT the sketch path
+    val ev = graft.sources.Tables.events(spark, sf).select(
+      date_trunc("week", col("ts")).cast("date").as("week_start"),
+      concat(lit("u"), col("user_id")).as("term"))
+    val totals = ev.groupBy(col("week_start")).agg(count(lit(1)).as("total"))
+    val full = ev.groupBy(col("week_start"), col("term")).agg(count(lit(1)).as("cnt"))
+      .join(totals, "week_start")
+      .filter(col("cnt") > col("total") / 96.0)
+      .select(col("week_start"), col("term"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share"))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "merged daily MG partials must prune with NO false negatives above the threshold")
+  }
+
   test("zorder_layout: every bucket is a ≤32-wide rectangle in BOTH dimensions") {
     // bucket = top 6 z-bits fixes each dimension's top 3 bits, so a
     // bucket can never span more than a 32-aligned block in u OR d —

@@ -596,15 +596,18 @@ object ScaleOps {
     * one exact recount over candidates confirms, so the OUTPUT is
     * exact (k=128 covers the N/96 threshold with margin; the
     * sketch only prunes — the #75/#96 philosophy). Raw events feed
-    * the sketch path once ever; per-week heavy users with count >
-    * weekly_total/96. */
+    * the sketch path once ever; per-week heavy value buckets with
+    * count > weekly_total/96. */
   def topkPartials(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 128
     val ev = Tables.events(s, dir).select(
       to_date(col("ts")).cast("string").as("day"),
       date_trunc("week", col("ts")).cast("date").cast("string").as("week"),
-      concat(lit("u"), col("user_id")).as("term"))
+      // floor(value) as the term: its distribution is skewed and
+      // SF-invariant, so the heavy set stays non-trivial at every
+      // scale factor (per-user shares would shrink as users grow)
+      concat(lit("v"), floor(col("value")).cast("long")).as("term"))
     // the stored daily partials: one bounded summary per (week, day)
     val daily = ev.as[(String, String, String)]
       .groupByKey(t => (t._2, t._1))
@@ -773,7 +776,8 @@ object ScaleOps {
     // threshold), so plain threshold SQL is the oracle
     "q_topk_partials" ->
       """WITH e AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
-        |    'u' || CAST(user_id AS VARCHAR) AS term FROM events),
+        |    'v' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS term
+        |  FROM events),
         |t AS (SELECT week_start, COUNT(*) AS total FROM e GROUP BY 1),
         |c AS (SELECT week_start, term, COUNT(*) AS cnt FROM e GROUP BY 1, 2)
         |SELECT c.week_start, term, cnt,

@@ -257,7 +257,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     // the ground truth computed WITHOUT the sketch path
     val ev = graft.sources.Tables.events(spark, sf).select(
       date_trunc("week", col("ts")).cast("date").as("week_start"),
-      concat(lit("u"), col("user_id")).as("term"))
+      concat(lit("v"), floor(col("value")).cast("long")).as("term"))
     val totals = ev.groupBy(col("week_start")).agg(count(lit(1)).as("total"))
     val full = ev.groupBy(col("week_start"), col("term")).agg(count(lit(1)).as("cnt"))
       .join(totals, "week_start")

@@ -322,7 +322,12 @@ object ScaleOps {
     * score (+ doc_id tie-break) so both engines select identically.
     * Ranking selection at scale ships k rows per partition, never a
     * global sort. */
-  def bm25(s: SparkSession, dir: String): DataFrame = {
+  def bm25(s: SparkSession, dir: String): DataFrame = bm25TopK(s, dir, 10)
+
+  /** BM25 ranking at an arbitrary depth — #107 uses k=10; the hybrid
+    * fusion query (#117) reuses the identical scoring at k=20 so both
+    * arms of the fused ranker share one implementation. */
+  private[queries] def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val terms = Seq("vector", "stream", "join")
     val (k1, b) = (1.2, 0.75)
     val toks = split(col("text"), " ")
@@ -348,10 +353,10 @@ object ScaleOps {
       .select(col("doc_id"), round(score, 6).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
+      .limit(k)
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("doc_id")))) // 10 rows — trivial
+          .orderBy(col("score").desc, col("doc_id")))) // k rows — trivial
       .select(col("rank").cast("long").as("rank"), col("doc_id"), col("score"))
   }
 
@@ -664,6 +669,35 @@ object ScaleOps {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** The BM25 oracle replay as a reusable CTE chain ending in
+    * `bm25_ranked(rank, doc_id, score)` — shared by the #107 gate and
+    * the #117 fusion gate so both verify the same scoring. */
+  private[queries] def bm25OracleCtes(k: Int): String = {
+    val terms = Seq("vector", "stream", "join")
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0 END) AS df$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      s"""ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * 2.2
+         | / (tf$i + 1.2 * (0.25 + 0.75 * len / avglen))""".stripMargin
+    }.mkString("\n|    + ")
+    s"""bm25_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bm25_f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS len, $tfs FROM bm25_t),
+       |bm25_st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(len) AS avglen,
+       |  $dfs FROM bm25_f),
+       |bm25_sc AS (SELECT doc_id, ROUND(
+       |    $score, 6) AS score
+       |  FROM bm25_f, bm25_st),
+       |bm25_top AS (SELECT doc_id, score FROM bm25_sc WHERE score > 0
+       |  ORDER BY score DESC, doc_id LIMIT $k),
+       |bm25_ranked AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |      AS rank, doc_id, score
+       |  FROM bm25_top)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // tolerance gate (q_approx_sketch convention): exact columns
     // recomputed; the 0/1 flag is constant 1 when the merged sketch
@@ -726,30 +760,9 @@ object ScaleOps {
         |    ORDER BY valid_from_us, run_id) AS valid_to_us,
         |  n_events
         |FROM s""".stripMargin,
-    "q_bm25" -> {
-      val terms = Seq("vector", "stream", "join")
-      val tfs = terms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
-      }.mkString(", ")
-      val dfs = terms.indices.map(i =>
-        s"SUM(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0 END) AS df$i").mkString(", ")
-      val score = terms.indices.map { i =>
-        s"""ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * 2.2
-           | / (tf$i + 1.2 * (0.25 + 0.75 * len / avglen))""".stripMargin
-      }.mkString("\n|    + ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS len, $tfs FROM t),
-         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(len) AS avglen,
-         |  $dfs FROM f),
-         |sc AS (SELECT doc_id, ROUND(
-         |    $score, 6) AS score
-         |  FROM f, st),
-         |top AS (SELECT doc_id, score FROM sc WHERE score > 0
-         |  ORDER BY score DESC, doc_id LIMIT 10)
-         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-         |    AS rank, doc_id, score
-         |FROM top""".stripMargin
-    },
+    "q_bm25" ->
+      s"""WITH ${bm25OracleCtes(10)}
+         |SELECT rank, doc_id, score FROM bm25_ranked""".stripMargin,
     // replays the histogram build, merge and cumsum inversion
     // verbatim — the gate is exact, no tolerance column
     "q_quantile_partials" ->

@@ -135,6 +135,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"range join fell back to a nested loop:\n$p")
   }
 
+  test("attribution runs as one window pass — no join anywhere in the plan") {
+    val p = plan("q_attribution")
+    assert(!p.contains("Join"),
+      s"attribution should credit via a running window, not a touch/conversion join:\n$p")
+  }
+
+  test("rrf fusion plan is shuffle-free (both arms bounded before the fuse)") {
+    val p = plan("q_rrf_fusion")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"rrf fusion should fuse two bounded top-k arms without a keyed shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"rrf arms should select top-k via TakeOrderedAndProject:\n$p")
+  }
+
   test("filter predicates reach the parquet scan") {
     val p = plan("q_select_filter")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,

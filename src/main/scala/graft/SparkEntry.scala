@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Extras, LlmData, Operational, Relational, RelationalB, ScaleOps}
+import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Extras, LlmData, Operational, Relational, RelationalB, ScaleOps, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RelationalB.queries ++ CohortQueries.queries ++
       Analytics.queries ++ LlmData.queries ++ Extras.queries ++ Curation.queries ++
-      CurationB.queries ++ CurationC.queries ++ ScaleOps.queries ++ Operational.queries
+      CurationB.queries ++ CurationC.queries ++ ScaleOps.queries ++ Operational.queries ++
+      Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalB.oracles ++ CohortQueries.oracles ++
       Analytics.oracles ++ LlmData.oracles ++ Extras.oracles ++ Curation.oracles ++
-      CurationB.oracles ++ CurationC.oracles ++ ScaleOps.oracles ++ Operational.oracles
+      CurationB.oracles ++ CurationC.oracles ++ ScaleOps.oracles ++ Operational.oracles ++
+      Stats.oracles
 }

@@ -149,6 +149,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rrf arms should select top-k via TakeOrderedAndProject:\n$p")
   }
 
+  test("entity match: the block-local levenshtein join is shuffle-hash, never nested-loop") {
+    val p = plan("q_entity_match")
+    assert(p.contains("ShuffledHashJoin"), s"blocking join lost its hint:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocking failed — unkeyed join appeared:\n$p")
+  }
+
+  test("triangle count: both graph joins stay shuffle-hash (edges never broadcast)") {
+    val p = plan("q_triangle_count")
+    assert("ShuffledHashJoin".r.findAllIn(p).length >= 2,
+      s"wedge/closure joins lost their hints:\n$p")
+  }
+
+  test("markov chain shuffles raw events exactly once (window), cells are tiny") {
+    val p = plan("q_markov_chain")
+    // raw events cross one exchange (the user window); the cell agg and
+    // the row-normalizing window shuffle only the pre-aggregated
+    // |event_types|² cell frame, and the agg is map-side combined
+    assert(exchanges(p) <= 3, s"markov grew shuffles:\n$p")
+    assert(p.contains("partial_count"), s"cell agg lost map-side combine:\n$p")
+  }
+
+  test("ab lift: experiment readout aggregates in one pass, no join") {
+    val p = plan("q_ab_lift")
+    assert(!p.contains("Join"), s"ab_lift should need no join:\n$p")
+  }
+
   test("filter predicates reach the parquet scan") {
     val p = plan("q_select_filter")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,

@@ -199,13 +199,20 @@ object Stats {
     * parts sharing an order) — the graph-density summary next to
     * the iterative family (PageRank, connected components).
     *
-    * Scale shape: edges are ORIENTED (pa < pb) so each triangle is
-    * counted exactly once by the wedge join; both joins are
-    * SHUFFLE_HASH on edge keys (never broadcast — the edge set is
-    * the big side at scale); wedge counts come from the degree
-    * frame, Σ deg·(deg−1)/2 in exact integers. The one-row outputs
-    * compose via broadcast-scalar cross joins (the Analytics.scala
-    * factor idiom). */
+    * Scale shape: the co-purchase pair set is materialized ONCE
+    * (eager localCheckpoint — its four consumers would otherwise
+    * each replay the lineitem self-join; the bench cost of the
+    * naive plan was 4× the whole query). Edges are then ORIENTED by
+    * the (degree, id) total order — the compact-forward trick: every
+    * out-neighborhood is O(√m), so the wedge join materializes the
+    * minimum Σ outdeg² intermediate instead of hub-sized wedge lists
+    * (the skew killer on a power-law graph). Each triangle a<b<c in
+    * that order appears exactly once as wedge a→b→c closed by a→c.
+    * Both graph joins are SHUFFLE_HASH on edge keys (never broadcast
+    * — the edge set is the big side at scale); wedge counts come
+    * from the degree frame, Σ deg·(deg−1)/2 in exact integers. The
+    * one-row outputs compose via broadcast-scalar cross joins (the
+    * Analytics.scala factor idiom). */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -215,6 +222,7 @@ object Stats {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .distinct()
+      .localCheckpoint() // computed once; deg + orientation reuse it
     val deg = pairs.select(col("pa").as("node"))
       .unionByName(pairs.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -222,11 +230,22 @@ object Stats {
       count(lit(1)).as("n_nodes"),
       (sum(col("deg")) / 2).cast("long").as("n_edges"),
       (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
-    // oriented wedge a<b<c closed by edge (a,c): each triangle once
-    val tri = pairs.as("e1")
-      .join(pairs.as("e2").hint("shuffle_hash"), col("e1.pb") === col("e2.pa"))
-      .select(col("e1.pa").as("pa"), col("e2.pb").as("pb"))
-      .join(pairs.hint("shuffle_hash"), Seq("pa", "pb"))
+    val degA = deg.select(col("node").as("pa"), col("deg").as("deg_a"))
+    val degB = deg.select(col("node").as("pb"), col("deg").as("deg_b"))
+    val oriented = pairs
+      .join(degA.hint("shuffle_hash"), Seq("pa"))
+      .join(degB.hint("shuffle_hash"), Seq("pb"))
+      .select(
+        when(col("deg_a") < col("deg_b") ||
+          (col("deg_a") === col("deg_b") && col("pa") < col("pb")),
+          struct(col("pa").as("s"), col("pb").as("d")))
+        .otherwise(struct(col("pb").as("s"), col("pa").as("d"))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .localCheckpoint() // three consumers below
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2").hint("shuffle_hash"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      .join(oriented.hint("shuffle_hash"), Seq("src", "dst"))
       .agg(count(lit(1)).as("n_triangles"))
     nodesEdges.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),

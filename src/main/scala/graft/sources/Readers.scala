@@ -54,6 +54,26 @@ object Readers {
   def avro(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).format(AvroProvider).load(path)
 
+  /** Directory-of-media-files source (`binaryFile` format): each file
+    * becomes one row keyed by a stable 64-bit hash of its path, with
+    * the raw bytes in `media` — the ingestion front door for the
+    * multimodal decode path ([[graft.multimodal.BinaryDocs]] keys on
+    * `(doc_id, media)`). `glob` pushes the extension filter into the
+    * FILE LISTING (non-matching files are never opened, let alone
+    * read); at scale, cap per-file bytes with
+    * `spark.sql.sources.binaryFile.maxLength` so one oversized blob
+    * can't blow an executor, and land decoded features to parquet
+    * rather than re-reading raw media per query. */
+  def binaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"),
+        xxhash64(col("path")).as("doc_id"),
+        col("content").as("media"))
+  }
+
   /** XML source (built into Spark 4): `rowTag` names the repeating
     * element that becomes a row. The odd one out of the file surface —
     * XML feeds are interchange, not analytics; land them to parquet at

@@ -163,6 +163,29 @@ object EventsStream {
   def enrichWithDims(stream: DataFrame, dims: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dims), Seq(key), "left")
 
+  /** STREAMING VOLUME-ANOMALY MONITOR — the continuous sibling of the
+    * batch median/MAD detector (queries/Operational.anomalyMad):
+    * watermarked tumbling-window counts per event_type, flagged
+    * against a STATIC baseline frame `(event_type, med, mad)`
+    * trained by the batch job. The baseline joins broadcast (no
+    * streaming state beyond the window agg, so watermark semantics
+    * are unchanged); window counts beyond `k`×MAD of the stored
+    * median flag `is_anomaly`. Types with no baseline row pass
+    * through unflagged (left join, NULL-safe flag) rather than
+    * crashing the stream on a new event type — the
+    * new-data-never-kills-the-pipeline posture of the batch
+    * validation family. */
+  def volumeAnomaly(
+      events: DataFrame, baseline: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours",
+      k: Double = 3.0): DataFrame =
+    windowedCounts(events, window_, watermark)
+      .join(org.apache.spark.sql.functions.broadcast(baseline), Seq("event_type"), "left")
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        when(col("med").isNotNull &&
+            abs(col("n_events") - col("med")) > col("mad") * k + lit(1e-9), 1)
+          .otherwise(0).as("is_anomaly"))
+
   /** foreachBatch sink: applies the batch writer to each micro-batch —
     * the streaming analogue of the reference's per-day load step
     * (daily partitioned append becomes continuous micro-batch

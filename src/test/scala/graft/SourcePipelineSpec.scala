@@ -204,6 +204,35 @@ class SourcePipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/staging-rev-t").count() == 4)
   }
 
+  test("binaryFiles source: directory of media files feeds the distributed image decode") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val dir = Files.createTempDirectory("graft-binfiles")
+    def writePng(name: String, w: Int, h: Int, rgb: Int): Unit = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      ImageIO.write(img, "png", dir.resolve(name).toFile)
+    }
+    writePng("red.png", 20, 10, 0xff0000)
+    writePng("blue.png", 8, 8, 0x0000ff)
+    Files.write(dir.resolve("notes.txt"), "not an image".getBytes("UTF-8"))
+
+    // the glob filters at the LISTING: the txt file never becomes a row
+    val bin = graft.sources.Readers.binaryFiles(spark, dir.toString, "*.png")
+    assert(bin.count() == 2)
+    assert(bin.select("doc_id").distinct().count() == 2, "path hash ids collide")
+    val lens = bin.select("length", "media").collect()
+    assert(lens.forall(r => r.getAs[Long]("length") == r.getAs[Array[Byte]]("media").length))
+
+    val decoded = graft.multimodal.BinaryDocs.decodeImages(bin, maxW = 16, maxH = 16)
+      .join(bin.select(col("doc_id"), col("path")), Seq("doc_id"))
+      .collect().map(r => r.getAs[String]("path").split('/').last -> r).toMap
+    assert(decoded("red.png").getAs[Boolean]("decoded"))
+    assert(decoded("red.png").getAs[Long]("width") == 20)
+    assert(decoded("red.png").getAs[Double]("mean_r") == 255.0)
+    assert(decoded("blue.png").getAs[Double]("mean_b") == 255.0)
+  }
+
   test("writeLatest snapshots only the max date in one derived pass") {
     val out = Files.createTempDirectory("graft-latest").toString
     val events = Tables.events(spark, sf)

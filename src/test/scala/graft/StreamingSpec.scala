@@ -447,4 +447,26 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.doc_id).toSet
     assert(got == Set(10L, 20L))
   }
+
+  test("streaming volume anomaly flags against the broadcast baseline; unknown types pass unflagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // clicks: 5 in hour 0 vs baseline med=2 mad=1 -> |5-2| > 3*1 is false (3 !> 3+eps)… use 6
+    mem.addData(
+      (1 to 6).map(i => Ev(i.toLong, ts(i), "click", 1.0)) ++
+        Seq(Ev(9, ts(10), "purchase", 5.0),
+          Ev(10, ts(12), "mystery", 1.0)): _*)
+    val baseline = Seq(("click", 2.0, 1.0), ("purchase", 1.0, 1.0))
+      .toDF("event_type", "med", "mad")
+    val out = EventsStream.volumeAnomaly(mem.toDF(), baseline, "1 hour", "2 hours")
+    val q = out.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("vol_anom").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("vol_anom").collect()
+      .map(r => r.getString(1) -> r.getInt(3)).toMap
+    assert(rows("click") == 1, "6 clicks vs med 2 mad 1 must flag")
+    assert(rows("purchase") == 0, "1 purchase vs med 1 must not flag")
+    assert(rows("mystery") == 0, "unknown type must pass through unflagged")
+  }
 }

@@ -29,7 +29,11 @@ object ScaleProbe {
     val queries = Seq("q_dedup_pipeline", "q_curation_pipeline", "q_dedup_spans",
       "q_tfidf", "q_dedup_minhash_pairs", "q_decontaminate",
       "q_lm_score", "q_winnow", "q_substring_dedup", "q_source_overlap",
-      "q_dedup_prefix_filter", "q_bm25")
+      "q_dedup_prefix_filter", "q_bm25",
+      // events/lineitem members: replicas are DISJOINT shifted copies
+      // (constant per-user and per-order density), so these probe the
+      // plan's growth, not densification of the synthetic data
+      "q_markov_chain", "q_triangle_count")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {
@@ -50,6 +54,21 @@ object ScaleProbe {
           col("embedding"), col("label"))
       }.reduce(_ unionByName _)
       embOut.write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      val evOut = (0 until n).map { k =>
+        if (k == 0) ev
+        else ev.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(k * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+      evOut.write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      val liOut = (0 until n).map { k =>
+        if (k == 0) li
+        else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+      liOut.write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
       dir
     }
 

@@ -86,7 +86,9 @@ object Stats {
     val dict = Tables.part(s, dir)
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("n_recs"))
-      .withColumn("block", split(col("p_name"), " ").getItem(1))
+      // coalesce to '' so a single-token name blocks like DuckDB's
+      // split_part (which returns '' past the last token, not NULL)
+      .withColumn("block", coalesce(split(col("p_name"), " ").getItem(1), lit("")))
     dict.as("a")
       .join(dict.as("b").hint("shuffle_hash"),
         col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))

@@ -176,6 +176,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"ab_lift should need no join:\n$p")
   }
 
+  test("association rules: basket pair join is shuffle-hash; order count never re-joins per rule") {
+    val p = plan("q_assoc_rules")
+    assert(p.contains("ShuffledHashJoin"), s"pair/item joins lost their hints:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      "BroadcastExchange|BroadcastNestedLoop".r.findFirstIn(p).isDefined,
+      s"the scalar order count must attach via broadcast, not a real cartesian:\n$p")
+  }
+
   test("filter predicates reach the parquet scan") {
     val p = plan("q_select_filter")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Extras, Lifecycle, LlmData, Operational, Recommend, Relational, RelationalB, ScaleOps, Stats, StatsB}
+import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Extras, GraphB, Lifecycle, LlmData, Operational, Recommend, Relational, RelationalB, ScaleOps, Stats, StatsB}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -14,7 +14,8 @@ object SparkEntry {
     Relational.queries ++ RelationalB.queries ++ CohortQueries.queries ++
       Analytics.queries ++ LlmData.queries ++ Extras.queries ++ Curation.queries ++
       CurationB.queries ++ CurationC.queries ++ ScaleOps.queries ++ Operational.queries ++
-      Stats.queries ++ StatsB.queries ++ Lifecycle.queries ++ Recommend.queries
+      Stats.queries ++ StatsB.queries ++ Lifecycle.queries ++ Recommend.queries ++
+      GraphB.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
     Relational.oracles ++ RelationalB.oracles ++ CohortQueries.oracles ++
       Analytics.oracles ++ LlmData.oracles ++ Extras.oracles ++ Curation.oracles ++
       CurationB.oracles ++ CurationC.oracles ++ ScaleOps.oracles ++ Operational.oracles ++
-      Stats.oracles ++ StatsB.oracles ++ Lifecycle.oracles ++ Recommend.oracles
+      Stats.oracles ++ StatsB.oracles ++ Lifecycle.oracles ++ Recommend.oracles ++
+      GraphB.oracles
 }

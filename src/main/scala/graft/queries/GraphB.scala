@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph/sequence/sketch batch (SURVEY §2 #136-140): label-propagation
+  * communities, multi-source BFS reachability, per-edge Jaccard link
+  * prediction, contiguous event-sequence mining, and KMV
+  * distinct-intersection sketches — the graph-analytics and
+  * set-sketch surface beyond the iterative family already present
+  * (#106 PageRank, #56b connected components, #123 triangles).
+  *
+  * All five run on the same co-purchase graph / events tables the
+  * existing graph queries mine, with fully deterministic results so
+  * every one carries an exact-hash DuckDB oracle.
+  */
+object GraphB {
+
+  /** Distinct co-purchase pairs (pa < pb) — same edge definition as
+    * #106/#123; materialized once per query (multiple consumers would
+    * otherwise each replay the lineitem self-join). */
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a")
+      .join(li.as("b").hint("shuffle_hash"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** Both directions of the undirected pair set. */
+  private def bidirected(pairs: DataFrame): DataFrame =
+    pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+
+  /** #136 LABEL PROPAGATION communities — 2 synchronous rounds of the
+    * classic LPA (Raghavan et al. 2007): every node starts in its own
+    * community (label = node id) and each round adopts the most
+    * frequent label among its neighbors, ties broken toward the
+    * smallest label so the rounds are fully deterministic (plain LPA
+    * breaks ties randomly and does not oracle).
+    *
+    * Scale shape: each round is ONE edge-sized SHUFFLE_HASH join
+    * (labels onto edge destinations) followed by two map-side-combined
+    * hash aggs — (node, label) vote counts, then a `max_by` argmax per
+    * node. No window over the edge list, no driver-side graph state;
+    * per-round `localCheckpoint` truncates lineage exactly like the
+    * CC resolve loop (dedup/Resolve.scala:33). Fixed 2 rounds keeps
+    * the oracle a finite CTE chain (production LPA iterates to a
+    * convergence probe like Resolve.connectedComponents). */
+  def labelProp(s: SparkSession, dir: String): DataFrame =
+    lpaRounds(bidirected(copurchasePairs(s, dir)).localCheckpoint(), 2)
+      .select(col("node").as("part"), col("label").as("community"))
+
+  /** The LPA kernel on an arbitrary bidirectional edge frame
+    * (src, dst) — factored so specs can drive crafted graphs.
+    * `checkpoint = false` keeps rounds in one lazy plan so plan-shape
+    * specs can assert the round join strategy (production path
+    * truncates lineage eagerly per round). */
+  private[graft] def lpaRounds(ed: DataFrame, rounds: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    def stage(df: DataFrame) = if (checkpoint) df.localCheckpoint() else df
+    var labels = stage(ed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
+    for (_ <- 1 to rounds) {
+      labels = stage(ed.join(labels.hint("shuffle_hash"), col("dst") === col("node"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src").as("node"))
+        .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl"))).as("label")))
+    }
+    labels
+  }
+
+  /** #137 MULTI-SOURCE BFS — minimum hop distance (≤ 3 hops) from a
+    * deterministic seed set (parts ≡ 0 mod 97) over the co-purchase
+    * graph, reported as a reachability histogram: how much of the
+    * catalog is within k recommendation hops of the seed assortment.
+    *
+    * Scale shape: each round is one edge-sized SHUFFLE_HASH join
+    * (frontier expansion) + one map-side-combined `min` agg — the
+    * textbook Pregel BFS step expressed relationally. The distance
+    * frame is node-count-sized and localCheckpoint'ed per round.
+    * (A frontier-only delta join — expanding just rows whose distance
+    * changed — is the production refinement; at 3 fixed rounds the
+    * full-frame join keeps the oracle replay exact.) */
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val ed = bidirected(copurchasePairs(s, dir)).localCheckpoint()
+    val seeds = ed.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(97)) === 0)
+    bfsRounds(ed, seeds, 3)
+      .groupBy(col("d").as("hops")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** The BFS kernel: min-distance frame (node, d) from `seeds` after
+    * `rounds` expansions over bidirectional edges (src, dst). */
+  private[graft] def bfsRounds(ed: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    def stage(df: DataFrame) = if (checkpoint) df.localCheckpoint() else df
+    var dist = stage(seeds.select(col("node"), lit(0L).as("d")))
+    for (_ <- 1 to rounds) {
+      val frontier = ed.join(dist.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("d") + 1).as("d"))
+      dist = stage(dist.unionByName(frontier)
+        .groupBy(col("node")).agg(min(col("d")).as("d")))
+    }
+    dist
+  }
+
+  /** #138 EDGE JACCARD (link prediction) — for each co-purchase edge,
+    * the Jaccard similarity of the two endpoints' neighborhoods
+    * |N(u)∩N(v)| / |N(u)∪N(v)|: the classic neighborhood-overlap
+    * link-strength score. Top-50 strongest edges by (rounded score,
+    * id) so both engines cut identically.
+    *
+    * Scale shape: common-neighbor counts are PER-EDGE TRIANGLE counts,
+    * computed by enumerating each triangle exactly once on
+    * degree-oriented (compact-forward) edges — the same skew-proof
+    * wedge join as #123 (out-neighborhoods O(√m), intermediate
+    * Σ outdeg²) — then exploding each triangle into its 3 canonical
+    * edges and hash-aggregating. A naive per-edge neighborhood
+    * intersection would join hub adjacency lists pairwise (Σ deg²
+    * with full hub lists); orientation bounds it. The top-50 is a
+    * distributed TakeOrderedAndProject, never a global sort. */
+  def edgeJaccard(s: SparkSession, dir: String): DataFrame =
+    edgeJaccardOf(copurchasePairs(s, dir))
+      .orderBy(col("jaccard").desc, col("pa"), col("pb"))
+      .limit(50)
+
+  /** Per-edge common-neighbor counts + Jaccard on an arbitrary
+    * canonical (pa < pb) pair frame — factored for crafted-graph
+    * specs; only edges closing ≥ 1 triangle appear (others score 0). */
+  private[graft] def edgeJaccardOf(pairs: DataFrame): DataFrame = {
+    val deg = bidirected(pairs)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val degA = deg.select(col("node").as("pa"), col("deg").as("deg_a"))
+    val degB = deg.select(col("node").as("pb"), col("deg").as("deg_b"))
+    val oriented = pairs
+      .join(degA.hint("shuffle_hash"), Seq("pa"))
+      .join(degB.hint("shuffle_hash"), Seq("pb"))
+      .select(
+        when(col("deg_a") < col("deg_b") ||
+          (col("deg_a") === col("deg_b") && col("pa") < col("pb")),
+          struct(col("pa").as("s"), col("pb").as("d")))
+        .otherwise(struct(col("pb").as("s"), col("pa").as("d"))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .localCheckpoint() // wedge + closure consumers
+    val triangles = oriented.as("e1")
+      .join(oriented.as("e2").hint("shuffle_hash"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(oriented.hint("shuffle_hash"),
+        col("a") === col("src") && col("c") === col("dst"))
+    def edge(x: Column, y: Column) =
+      struct(least(x, y).as("pa"), greatest(x, y).as("pb"))
+    val common = triangles
+      .select(explode(array(
+        edge(col("a"), col("b")),
+        edge(col("b"), col("c")),
+        edge(col("a"), col("c")))).as("e"))
+      .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    common
+      .join(degA.hint("shuffle_hash"), Seq("pa"))
+      .join(degB.hint("shuffle_hash"), Seq("pb"))
+      .select(col("pa"), col("pb"), col("common_neighbors"),
+        round(col("common_neighbors").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common_neighbors")), 6).as("jaccard"))
+  }
+
+  /** #139 SEQUENCE MINING — the 20 most frequent contiguous
+    * event-type trigrams across per-user timelines ("what do users do
+    * next"): the n-gram cut of sequential pattern mining, which is
+    * how production clickstream miners bound PrefixSpan's
+    * combinatorial candidate space.
+    *
+    * Scale shape: ONE shuffle assembles each user's ordered sequence
+    * (sort_array over collect_list — the #101 timeline idiom, no
+    * window); trigram extraction is row-local (slice of length 3 per
+    * position — linear, not the HOF-lambda quadratic trap); counts are
+    * a map-side-combined hash agg and the top-20 is a distributed
+    * TakeOrderedAndProject. */
+  def seqTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val seq0 = sort_array(collect_list(struct(
+      col("ts"), col("event_id"), col("event_type"))))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(seq0.as("seq"))
+      .select(transform(col("seq"), x => x.getField("event_type")).as("types"))
+      .filter(size(col("types")) >= 3)
+      .select(explode(transform(
+        sequence(lit(1), size(col("types")) - 2),
+        i => array_join(slice(col("types"), i, lit(3)), ">"))).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(20)
+  }
+
+  /** #140 KMV DISTINCT-INTERSECTION sketch — bottom-k (k-minimum-
+    * values) sketches of the 'view' and 'purchase' user sets, merged
+    * to estimate |A∪B| and |A∩B| (Beyer et al. 2007). This is the
+    * sketch HLL cannot provide: HLL unions losslessly but cannot
+    * intersect; KMV supports both, so overlap questions ("how many
+    * viewers also purchase") run on stored per-cohort sketches
+    * without re-scanning events. Exact counts ride along as the
+    * accuracy report.
+    *
+    * Deterministic md5 hashing (the #92 uniform-hash idiom) makes the
+    * sketch itself reproducible, so the oracle replays hash → bottom-k
+    * → merge → estimate exactly — an exact-hash gate on an
+    * approximation algorithm (the #36f MinHash-accuracy pattern).
+    *
+    * Scale shape: the per-cohort bottom-k runs through the bounded
+    * map-side TopKAgg (each map task ships ≤ k rows — the user set
+    * never shuffles); the merge/estimate is row-local array math on
+    * two k-sized sketch rows; exact counts are one map-side-combined
+    * agg over the distinct (type,user) frame. */
+  def kmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 256
+    val ue = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type").as("t"), col("user_id")).distinct()
+      .localCheckpoint() // sketch + exact consumers share it
+    // 32-bit uniform hash from the first 8 md5 hex digits — exact in
+    // a double, replayed digit-by-digit by the oracle
+    val h = md5(concat(col("user_id").cast("string"), lit(":kmv")))
+    val hex = "0123456789abcdef"
+    val hv = (1 to 8).map(i =>
+      (instr(lit(hex), substring(h, i, 1)) - 1).cast("double")
+        * math.pow(16, 8 - i)).reduce(_ + _)
+    val sketches = ue
+      .select(col("t"), (-hv).as("score"), col("user_id").cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.plans.TopKAgg(k).toColumn)
+      .map { case (t, top) => (t, top.map(-_._1)) } // hv ascending
+      .toDF("t", "sk")
+    val a = sketches.filter(col("t") === "view").select(col("sk").as("ska"))
+    val b = sketches.filter(col("t") === "purchase").select(col("sk").as("skb"))
+    val exact = ue.groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("nt") === 2, 1L).otherwise(0L)).as("exact_inter"))
+    val merged = slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)
+    val est = a.crossJoin(broadcast(b))
+      .select(col("ska"), col("skb"), merged.as("m"))
+      .select(col("ska"), col("skb"), col("m"),
+        size(col("m")).as("n_merged"),
+        element_at(col("m"), size(col("m"))).as("tau"))
+      .select(col("n_merged").cast("long").as("n_merged"),
+        // fewer than k distinct hashes ⇒ the sketch IS the union
+        round(when(col("n_merged") < k, col("n_merged").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("tau")), 6)
+          .as("est_union"),
+        (size(array_intersect(col("m"), array_intersect(col("ska"), col("skb"))))
+          .cast("double") / col("n_merged")).as("jacc"))
+      .select(col("n_merged"),
+        col("est_union"),
+        round(col("jacc") * col("est_union"), 6).as("est_inter"))
+    est.crossJoin(broadcast(exact))
+      .select(lit(k.toLong).as("k"), col("n_merged"), col("est_union"),
+        col("est_inter"), col("exact_union"), col("exact_inter"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_prop"    -> labelProp _,
+    "q_bfs_hops"      -> bfsHops _,
+    "q_edge_jaccard"  -> edgeJaccard _,
+    "q_seq_trigrams"  -> seqTrigrams _,
+    "q_kmv_intersect" -> kmvIntersect _
+  )
+
+  /** Shared graph CTEs: distinct co-purchase pairs + both-direction
+    * edges (the #106/#123 edge definition). */
+  private val graphCtes =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pr AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |ed AS (SELECT pa AS src, pb AS dst FROM pr
+      |       UNION ALL SELECT pb, pa FROM pr)""".stripMargin
+
+  private def lpaRound(r: Int): String =
+    s"""c$r AS (
+       |  SELECT e.src AS node, l.label, COUNT(*) AS c
+       |  FROM ed e JOIN l${r - 1} l ON e.dst = l.node GROUP BY 1, 2),
+       |l$r AS (
+       |  SELECT node, label FROM (
+       |    SELECT node, label,
+       |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+       |    FROM c$r) WHERE rn = 1)""".stripMargin
+
+  private def bfsRound(r: Int): String =
+    s"""r$r AS (
+       |  SELECT node, MIN(d) AS d FROM (
+       |    SELECT node, d FROM r${r - 1}
+       |    UNION ALL
+       |    SELECT e.dst AS node, x.d + 1 AS d
+       |    FROM ed e JOIN r${r - 1} x ON e.src = x.node) GROUP BY 1)""".stripMargin
+
+  private val kmvHashTerms: String = {
+    val weights = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+    weights.zipWithIndex.map { case (w, i) =>
+      s"(strpos('0123456789abcdef', substr(hh, ${i + 1}, 1)) - 1) * $w"
+    }.mkString("\n|      + ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_label_prop" ->
+      s"""WITH $graphCtes,
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+         |${lpaRound(1)},
+         |${lpaRound(2)}
+         |SELECT node AS part, label AS community FROM l2""".stripMargin,
+    "q_bfs_hops" ->
+      s"""WITH $graphCtes,
+         |r0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d
+         |       FROM ed WHERE src % 97 = 0),
+         |${bfsRound(1)},
+         |${bfsRound(2)},
+         |${bfsRound(3)}
+         |SELECT d AS hops, COUNT(*) AS n_nodes FROM r3 GROUP BY 1""".stripMargin,
+    "q_edge_jaccard" ->
+      s"""WITH $graphCtes,
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM ed GROUP BY 1),
+         |cn AS (
+         |  SELECT p.pa, p.pb, COUNT(*) AS common_neighbors
+         |  FROM pr p
+         |  JOIN ed e1 ON e1.src = p.pa
+         |  JOIN ed e2 ON e2.src = p.pb AND e2.dst = e1.dst
+         |  GROUP BY 1, 2)
+         |SELECT c.pa, c.pb, c.common_neighbors,
+         |  ROUND(CAST(c.common_neighbors AS DOUBLE)
+         |    / (da.deg + db.deg - c.common_neighbors), 6) AS jaccard
+         |FROM cn c
+         |JOIN deg da ON da.node = c.pa
+         |JOIN deg db ON db.node = c.pb
+         |ORDER BY jaccard DESC, c.pa, c.pb LIMIT 50""".stripMargin,
+    "q_seq_trigrams" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT unnest(list_transform(range(1, len(types) - 1),
+        |    i -> array_to_string(types[i:i+2], '>'))) AS trigram
+        |  FROM s WHERE len(types) >= 3)
+        |SELECT trigram, COUNT(*) AS n FROM t
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
+    "q_kmv_intersect" ->
+      s"""WITH ue AS (
+         |  SELECT DISTINCT event_type AS t, user_id FROM events
+         |  WHERE event_type IN ('view', 'purchase')),
+         |hh AS (SELECT t, user_id,
+         |    md5(CAST(user_id AS VARCHAR) || ':kmv') AS hh FROM ue),
+         |hv AS (SELECT t, user_id,
+         |    CAST($kmvHashTerms AS DOUBLE) AS hv
+         |  FROM hh),
+         |rk AS (SELECT t, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY t ORDER BY hv, user_id) AS rn
+         |  FROM hv),
+         |sk AS (SELECT t, hv FROM rk WHERE rn <= 256),
+         |m AS (SELECT DISTINCT hv FROM sk ORDER BY hv LIMIT 256),
+         |mm AS (SELECT COUNT(*) AS n_merged, MAX(hv) AS tau FROM m),
+         |nb AS (
+         |  SELECT COUNT(*) AS n_both FROM m
+         |  WHERE hv IN (SELECT hv FROM sk WHERE t = 'view')
+         |    AND hv IN (SELECT hv FROM sk WHERE t = 'purchase')),
+         |ex AS (
+         |  SELECT COUNT(*) AS exact_union,
+         |    SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS exact_inter
+         |  FROM (SELECT user_id, COUNT(*) AS nt FROM ue GROUP BY 1)),
+         |est AS (
+         |  SELECT mm.n_merged,
+         |    ROUND(CASE WHEN mm.n_merged < 256 THEN CAST(mm.n_merged AS DOUBLE)
+         |      ELSE 255.0 * 4294967296.0 / mm.tau END, 6) AS est_union,
+         |    CAST(nb.n_both AS DOUBLE) / mm.n_merged AS jacc
+         |  FROM mm, nb)
+         |SELECT CAST(256 AS BIGINT) AS k, n_merged, est_union,
+         |  ROUND(jacc * est_union, 6) AS est_inter,
+         |  exact_union, CAST(exact_inter AS BIGINT) AS exact_inter
+         |FROM est, ex""".stripMargin
+  )
+}

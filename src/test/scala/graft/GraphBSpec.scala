@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.GraphB
+
+class GraphBSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    val p = pairs.toSeq.toDF("pa", "pb")
+    p.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(p.select(col("pb").as("src"), col("pa").as("dst")))
+  }
+
+  test("label propagation: two triangles over a bridge — hand-replayed rounds") {
+    // triangle A {1,2,3}, triangle B {5,6,7}, bridge 3-5.
+    val ed = edges((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L), (5L, 7L), (6L, 7L), (3L, 5L))
+    val l2 = GraphB.lpaRounds(ed, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: every neighborhood votes distinct labels → min neighbor id;
+    // round 2: majority forms — hand-computed fixture
+    assert(l2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 3L, 7L -> 3L))
+  }
+
+  test("label propagation: output is a partition and labels are node ids") {
+    val df = SparkEntry.queries("q_label_prop")(spark, sf).cache()
+    val nodes = df.select(col("part")).distinct().count()
+    assert(df.count() == nodes, "every graph node appears exactly once")
+    val nonNode = df.join(df.select(col("part").as("community")).distinct(),
+      Seq("community"), "left_anti")
+    assert(nonNode.count() == 0, "every community label is itself a node id")
+    df.unpersist()
+  }
+
+  test("bfs: path graph distances and unreachability") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5, seed {0}: after 3 rounds d=0..3; nodes 4,5 absent
+    val ed = edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Seq(0L).toDF("node")
+    val d = GraphB.bfsRounds(ed, seeds, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("bfs: a shorter path found in a later round wins (min semantics)") {
+    import spark.implicits._
+    // two seeds: 0 and 4; node 2 is 2 hops from both; node 3 is 1 from 4
+    val ed = edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val seeds = Seq(0L, 4L).toDF("node")
+    val d = GraphB.bfsRounds(ed, seeds, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("edge jaccard: K4 — every edge has 2 common neighbors, jaccard 0.5") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("pa", "pb")
+    val j = GraphB.edgeJaccardOf(pairs).collect()
+    assert(j.length == 6)
+    assert(j.forall(r => r.getLong(2) == 2L && r.getDouble(3) == 0.5))
+  }
+
+  test("edge jaccard: bridge edge closing no triangle is absent; star has no triangles") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("pa", "pb") // star
+    assert(GraphB.edgeJaccardOf(pairs).count() == 0)
+  }
+
+  test("seq trigrams: top-20 of 'a>b>c'-shaped windows, descending counts") {
+    val df = SparkEntry.queries("q_seq_trigrams")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getString(0).split(">").length == 3))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "top-20 must arrive count-descending")
+  }
+
+  test("kmv: estimates bracket exact counts within sketch error") {
+    val r = SparkEntry.queries("q_kmv_intersect")(spark, sf).collect().head
+    val (k, nMerged) = (r.getLong(0), r.getLong(1))
+    val (estU, estI) = (r.getDouble(2), r.getDouble(3))
+    val (exU, exI) = (r.getLong(4), r.getLong(5))
+    assert(k == 256 && nMerged <= k)
+    assert(exI <= exU)
+    assert(estI <= estU + 1e-9)
+    // KMV rel. error ~ 1/sqrt(k-1) ≈ 6.3%; assert a generous 5σ band
+    assert(math.abs(estU - exU) <= 0.32 * exU,
+      s"union estimate $estU too far from exact $exU")
+    // when the union fits in the sketch the estimate IS exact
+    if (nMerged < k) assert(estU == exU.toDouble)
+  }
+}

@@ -184,6 +184,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the scalar order count must attach via broadcast, not a real cartesian:\n$p")
   }
 
+  test("graph batch: LPA and BFS rounds join shuffle-hash (edges never broadcast)") {
+    // the production paths checkpoint each round eagerly, so the final
+    // executed plan is a checkpoint scan — drive the kernels lazily to
+    // see the round shape
+    import spark.implicits._
+    val ed = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val lpa = graft.queries.GraphB.lpaRounds(ed, 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    val bfs = graft.queries.GraphB.bfsRounds(ed, seeds, 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    for ((q, p) <- Seq("lpa" -> lpa, "bfs" -> bfs)) {
+      assert(p.contains("ShuffledHashJoin"), s"$q round join lost its hint:\n$p")
+      // label/distance frames are node-count-sized but grow with the
+      // graph — nothing in the round may broadcast
+      assert(!p.contains("BroadcastHashJoin"), s"$q broadcast a graph side:\n$p")
+    }
+  }
+
+  test("edge jaccard: top-50 is a distributed TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_edge_jaccard")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 fell back to sort+limit:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"wedge joins lost their hints:\n$p")
+  }
+
+  test("seq trigrams: one shuffle assembles timelines, no window operator") {
+    val p = plan("q_seq_trigrams")
+    assert(!p.contains("Window"), s"trigram mining must not window the event log:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 fell back to sort+limit:\n$p")
+  }
+
+  test("kmv: bottom-k sketches aggregate map-side (partial agg before the shuffle)") {
+    val p = plan("q_kmv_intersect")
+    assert(!p.contains("Window"), s"sketch build must not rank via window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"TopKAgg partial missing:\n$p")
+  }
+
   test("filter predicates reach the parquet scan") {
     val p = plan("q_select_filter")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,

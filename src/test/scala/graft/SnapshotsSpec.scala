@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Snapshots
+
+class SnapshotsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("snapshots").toString + "/tbl"
+
+  test("commit/read round-trip and version monotonicity") {
+    import spark.implicits._
+    val root = tmpRoot()
+    assert(Snapshots.latestVersion(root).isEmpty)
+    val v0 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    val v1 = Snapshots.commit(Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), root)
+    assert(v0 == 0 && v1 == 1)
+    assert(Snapshots.latestVersion(root).contains(1L))
+    assert(Snapshots.versions(root) == Seq(0L, 1L))
+    val latest = Snapshots.read(spark, root).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest == Map(1L -> "a2", 3L -> "c"))
+  }
+
+  test("time travel: old versions stay readable and immutable after new commits") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq((1L, 10L)).toDF("id", "x"), root)
+    Snapshots.commit(Seq((1L, 20L)).toDF("id", "x"), root)
+    Snapshots.commit(Seq((1L, 30L)).toDF("id", "x"), root)
+    assert(Snapshots.readVersion(spark, root, 0).head().getLong(1) == 10L)
+    assert(Snapshots.readVersion(spark, root, 1).head().getLong(1) == 20L)
+    assert(Snapshots.read(spark, root).head().getLong(1) == 30L)
+  }
+
+  test("rollback repoints latest without destroying newer snapshots; next commit continues the history") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    Snapshots.commit(Seq(2L).toDF("id"), root)
+    Snapshots.rollback(root, 0)
+    assert(Snapshots.read(spark, root).head().getLong(0) == 1L)
+    // newer snapshot still reachable by explicit version
+    assert(Snapshots.readVersion(spark, root, 1).head().getLong(0) == 2L)
+    // a commit after rollback resumes numbering from the POINTER (0),
+    // overwriting the rolled-back v1 — roll-forward-by-rewrite
+    val v = Snapshots.commit(Seq(3L).toDF("id"), root)
+    assert(v == 1L)
+    assert(Snapshots.read(spark, root).head().getLong(0) == 3L)
+  }
+
+  test("a crashed commit (data written, pointer not moved) is invisible and self-heals") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    // simulate a crash between data write and pointer swap: orphan v=1 data
+    Seq(99L).toDF("id").write.parquet(s"$root/data/v=1")
+    assert(Snapshots.latestVersion(root).contains(0L), "orphan must not be visible")
+    assert(Snapshots.read(spark, root).head().getLong(0) == 1L)
+    // next commit claims version 1, overwriting the orphan
+    val v = Snapshots.commit(Seq(2L).toDF("id"), root)
+    assert(v == 1L)
+    assert(Snapshots.read(spark, root).head().getLong(0) == 2L)
+  }
+
+  test("vacuum drops only versions beyond retention and never the pointer target") {
+    import spark.implicits._
+    val root = tmpRoot()
+    (1L to 5L).foreach(i => Snapshots.commit(Seq(i).toDF("id"), root)) // v0..v4
+    val dropped = Snapshots.vacuum(root, keep = 1)                     // keep v3, v4
+    assert(dropped == Seq(0L, 1L, 2L))
+    assert(Snapshots.versions(root) == Seq(3L, 4L))
+    assert(Snapshots.read(spark, root).head().getLong(0) == 5L)
+    assert(Snapshots.readVersion(spark, root, 3).head().getLong(0) == 4L)
+    intercept[IllegalArgumentException](Snapshots.readVersion(spark, root, 0))
+    assert(!Files.isDirectory(Paths.get(s"$root/data/v=0")), "vacuumed data must be gone")
+  }
+
+  test("schema evolution across versions: readers of each version see its own schema") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    Snapshots.commit(Seq((1L, "a", 3.5)).toDF("id", "v", "score"), root)
+    assert(Snapshots.readVersion(spark, root, 0).columns.toSeq == Seq("id", "v"))
+    assert(Snapshots.read(spark, root).columns.toSeq == Seq("id", "v", "score"))
+  }
+}

@@ -20,15 +20,23 @@ object GraphB {
 
   /** Distinct co-purchase pairs (pa < pb) — same edge definition as
     * #106/#123; materialized once per query (multiple consumers would
-    * otherwise each replay the lineitem self-join). */
+    * otherwise each replay the pair generation).
+    *
+    * BASKET-LOCAL generation: one shuffle groups each order's part
+    * set, pairs enumerate row-locally from the sorted set (Σ|basket|²
+    * — the bound every basket-pair consumer already carries), then
+    * one distinct. The equivalent self-join formulation exchanges the
+    * item table twice more (distinct by (order, part), re-shuffle by
+    * order for the join) for the same pair stream. */
   private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a")
-      .join(li.as("b").hint("shuffle_hash"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val sorted = array_sort(collect_set(col("l_partkey")))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey")).agg(sorted.as("items"))
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
       .distinct()
       .localCheckpoint()
   }
@@ -53,9 +61,21 @@ object GraphB {
     * CC resolve loop (dedup/Resolve.scala:33). Fixed 2 rounds keeps
     * the oracle a finite CTE chain (production LPA iterates to a
     * convergence probe like Resolve.connectedComponents). */
-  def labelProp(s: SparkSession, dir: String): DataFrame =
-    lpaRounds(bidirected(copurchasePairs(s, dir)).localCheckpoint(), 2)
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    // persist (not localCheckpoint): the cached plan KEEPS its
+    // hash(dst) partitioning, so each round's label join reuses it
+    // and only the node-sized label frame shuffles (the #106 lesson)
+    val ed = bidirected(copurchasePairs(s, dir))
+      .repartition(col("dst")).persist()
+    // round 1 from identity labels needs no join: every neighbor votes
+    // its own id with count 1, so the argmax degenerates to min(dst)
+    val l1 = ed.groupBy(col("src").as("node")).agg(min(col("dst")).as("label"))
+      .localCheckpoint()
+    val out = lpaRounds(ed, 1, init = Some(l1))
       .select(col("node").as("part"), col("label").as("community"))
+    ed.unpersist(blocking = false) // rounds materialized via checkpoint
+    out
+  }
 
   /** The LPA kernel on an arbitrary bidirectional edge frame
     * (src, dst) — factored so specs can drive crafted graphs.
@@ -63,10 +83,11 @@ object GraphB {
     * specs can assert the round join strategy (production path
     * truncates lineage eagerly per round). */
   private[graft] def lpaRounds(ed: DataFrame, rounds: Int,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true, init: Option[DataFrame] = None): DataFrame = {
     def stage(df: DataFrame) = if (checkpoint) df.localCheckpoint() else df
-    var labels = stage(ed.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")))
+    var labels = init.getOrElse(
+      stage(ed.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))))
     for (_ <- 1 to rounds) {
       labels = stage(ed.join(labels.hint("shuffle_hash"), col("dst") === col("node"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
@@ -89,11 +110,16 @@ object GraphB {
     * changed — is the production refinement; at 3 fixed rounds the
     * full-frame join keeps the oracle replay exact.) */
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
-    val ed = bidirected(copurchasePairs(s, dir)).localCheckpoint()
+    // partitioned on the frontier-join key and persisted, so the three
+    // rounds shuffle only the node-sized distance frame
+    val ed = bidirected(copurchasePairs(s, dir))
+      .repartition(col("src")).persist()
     val seeds = ed.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(97)) === 0)
-    bfsRounds(ed, seeds, 3)
+    val out = bfsRounds(ed, seeds, 3)
       .groupBy(col("d").as("hops")).agg(count(lit(1)).as("n_nodes"))
+    ed.unpersist(blocking = false)
+    out
   }
 
   /** The BFS kernel: min-distance frame (node, d) from `seeds` after

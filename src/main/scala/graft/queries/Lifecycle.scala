@@ -102,10 +102,58 @@ object Lifecycle {
       round(col("n_users").cast("double") / sum(col("n_users")).over(w), 6).as("share"))
   }
 
+  /** #141 PEAK CONCURRENCY — the maximum number of simultaneously
+    * active sessions per day (capacity planning's load gauge), via a
+    * DISTRIBUTED SWEEP-LINE: each session contributes +1 at its start
+    * and −1 at its end (inclusive ends: starts sort before ends at an
+    * equal timestamp), each DAY runs its own ordered cumsum from
+    * zero, and a per-day carry-in (the cumulative net of all prior
+    * days' deltas — sessions still open at midnight) lifts the local
+    * curve to the global one: peak(D) = carry_in(D) + max(0, local
+    * running max). The naive formulation is ONE global ordered cumsum
+    * — a single-partition sort that cannot scale; the split/carry
+    * decomposition is the same partial-then-merge shape as the
+    * incremental quantile partials (#108).
+    *
+    * Scale shape: sessionization is the existing #53 operator; the
+    * sweep is one window per DAY partition (change points, not raw
+    * events); the carry-in window runs over the tiny per-day frame. */
+  def concurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.operators.Sessionize.sessionWindows(
+      Tables.events(s, dir), Seq("user_id"), "ts", Seq(col("ts"), col("event_id")))
+      .select(col("session_start_us").as("start_us"),
+        (col("session_start_us") + col("session_len_us")).as("end_us"))
+    concurrencyOf(sess)
+  }
+
+  /** The sweep-line kernel on an arbitrary (start_us, end_us)
+    * interval frame — factored for crafted-interval specs. */
+  private[graft] def concurrencyOf(sess: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltas = sess.select(col("start_us").as("us"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("end_us").as("us"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("us"))))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = deltas
+      .withColumn("run", sum(col("delta")).over(wDay))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("local_peak"), sum(col("delta")).as("net"))
+    // carry-in: sessions opened on earlier days and not yet closed —
+    // a window over the per-DAY frame (tiny), not the change points
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("carry_in", coalesce(sum(col("net")).over(wDays), lit(0L)))
+      .select(col("day"),
+        (col("carry_in") + greatest(col("local_peak"), lit(0L))).as("peak_concurrency"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_retention_curve" -> retentionCurve _,
     "q_funnel_timing"   -> funnelTiming _,
-    "q_dormancy"        -> dormancy _
+    "q_dormancy"        -> dormancy _,
+    "q_concurrency"     -> concurrency _
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,6 +210,40 @@ object Lifecycle {
         |c AS (SELECT segment, COUNT(*) AS n_users FROM b GROUP BY 1)
         |SELECT segment, n_users,
         |  ROUND(CAST(n_users AS DOUBLE) / SUM(n_users) OVER (), 6) AS share
+        |FROM c""".stripMargin,
+    "q_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |        - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM s GROUP BY 1, 2),
+        |d AS (
+        |  SELECT start_us AS us, 1 AS delta FROM sess
+        |  UNION ALL SELECT end_us, -1 FROM sess),
+        |dd AS (SELECT us, delta, CAST(make_timestamp(us) AS DATE) AS day FROM d),
+        |r AS (
+        |  SELECT day, delta,
+        |    SUM(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM dd),
+        |p AS (SELECT day, MAX(run) AS local_peak, SUM(delta) AS net FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT day, local_peak,
+        |    COALESCE(SUM(net) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in
+        |  FROM p)
+        |SELECT day, CAST(carry_in + GREATEST(local_peak, 0) AS BIGINT) AS peak_concurrency
         |FROM c""".stripMargin
   )
 }

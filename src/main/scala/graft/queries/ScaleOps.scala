@@ -280,13 +280,17 @@ object ScaleOps {
     * (never co-purchased) have no edges and are excluded on both
     * sides. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = li.as("a")
-      .join(li.as("b").hint("shuffle_hash"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    // basket-local pair generation (one shuffle + row-local pair
+    // explode) — the self-join formulation exchanges the item table
+    // twice more for the same pair stream (GraphB.copurchasePairs)
+    val sorted = array_sort(collect_set(col("l_partkey")))
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey")).agg(sorted.as("items"))
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
       .distinct()
     val ed = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))

@@ -68,4 +68,36 @@ class LifecycleSpec extends AnyFunSuite {
     assert(math.abs(shareSum - 1.0) < 1e-4)
     df.unpersist()
   }
+
+  test("concurrency sweep-line: crafted overlaps, midnight carry-in, touching endpoints") {
+    import spark.implicits._
+    val day = 86400L * 1000 * 1000 // µs
+    // day0: [10,20], [15,30] overlap → peak 2; [40,50] alone
+    // [day0 23h, day1 +1h] spans midnight → day1 starts with carry_in 1
+    // day1: [+0.5h, +3h] overlaps the carried session until +1h → peak 2
+    // day2: two sessions touching at an endpoint: [10,20],[20,30] →
+    //   inclusive ends: the start sorts before the end → peak 2
+    val h = 3600L * 1000 * 1000
+    val sess = Seq(
+      (10L, 20L), (15L, 30L), (40L, 50L),
+      (23 * h, day + h),
+      (day + h / 2, day + 3 * h),
+      (2 * day + 10L, 2 * day + 20L), (2 * day + 20L, 2 * day + 30L)
+    ).toDF("start_us", "end_us")
+    val got = graft.queries.Lifecycle.concurrencyOf(sess).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == Map("1970-01-01" -> 2L, "1970-01-02" -> 2L, "1970-01-03" -> 2L))
+  }
+
+  test("concurrency: a day of only session ends still reports the carried peak") {
+    import spark.implicits._
+    val day = 86400L * 1000 * 1000
+    // two sessions open across midnight, both closing on day1 with no
+    // new starts: day1's local running max is negative — peak must be
+    // the carry-in (2), not carry_in + a negative run
+    val sess = Seq((10L, day + 10L), (20L, day + 20L)).toDF("start_us", "end_us")
+    val got = graft.queries.Lifecycle.concurrencyOf(sess).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == Map("1970-01-01" -> 2L, "1970-01-02" -> 2L))
+  }
 }

@@ -13,14 +13,18 @@ import graft.sources.Tables
   */
 object Recommend {
 
-  /** Distinct (order, part) basket items — the shared input of both
-    * queries; one projection + map-side distinct, materialized ONCE
-    * (its four consumers — order count, item counts, both sides of
-    * the pair join — would otherwise each replay the scan+distinct,
-    * the same replay the triangle query's pair set had). */
+  /** Per-order sorted item sets — the shared input of both queries;
+    * ONE shuffle groups the baskets, materialized ONCE (its three
+    * consumers — order count, item counts, pair enumeration — would
+    * otherwise each replay the scan+group). Pair enumeration is then
+    * ROW-LOCAL on the sorted set (the basket-local Σ|basket|² shape)
+    * instead of a basket self-join, which would exchange the item
+    * table twice more for the same pair stream. */
   private def baskets(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
       .localCheckpoint()
 
   /** #134 ASSOCIATION RULES — pairwise rules a→b with support,
@@ -38,14 +42,14 @@ object Recommend {
     * the one canonical pair count. */
   def assocRules(s: SparkSession, dir: String, minPairCount: Long = 3): DataFrame = {
     val b = baskets(s, dir)
-    val nOrders = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val itemCnt = b.groupBy(col("l_partkey").as("item"))
-      .agg(count(lit(1)).as("item_cnt"))
-    val pairCnt = b.as("x")
-      .join(b.as("y").hint("shuffle_hash"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+    val nOrders = b.agg(count(lit(1)).as("n_orders"))
+    val itemCnt = b.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("item_cnt"))
+    val pairCnt = b
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("e"))
+      .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minPairCount)
     // both rule directions from the canonical a<b pair

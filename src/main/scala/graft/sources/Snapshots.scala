@@ -65,7 +65,31 @@ object Snapshots {
 
   /** Write `df` as the next snapshot version; returns the committed
     * version number. Readers of prior versions are unaffected. */
-  def commit(df: DataFrame, root: String): Long = {
+  def commit(df: DataFrame, root: String): Long = commitInternal(df, root, None)
+
+  /** IDEMPOTENT commit keyed by an external batch id (a Structured
+    * Streaming micro-batch id): replaying a batch id ≤ the last
+    * committed one is a NO-OP, so a foreachBatch sink writing through
+    * this method is exactly-once — the snapshot equivalent of
+    * [[graft.streaming.EventsStream.idempotentBatchWriter]], with the
+    * version history as a bonus (each micro-batch is a time-travel
+    * point). Returns the committed (or already-current) version. */
+  def commitBatch(df: DataFrame, root: String, batchId: Long): Long = {
+    val latest = latestVersion(root)
+    if (latest.exists(v => batchIdOf(root, v).exists(_ >= batchId))) latest.get
+    else commitInternal(df, root, Some(batchId))
+  }
+
+  /** The batch id recorded in a version's manifest, if any. */
+  def batchIdOf(root: String, v: Long): Option[Long] = {
+    val m = manifest(root, v)
+    if (!Files.exists(m)) None
+    else "\"batchId\":(-?\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+      .map(_.group(1).toLong)
+  }
+
+  private def commitInternal(df: DataFrame, root: String, batchId: Option[Long]): Long = {
     val next = latestVersion(root).getOrElse(-1L) + 1
     // 1. data (distributed; overwrite clears any orphan from a crash)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, next))
@@ -73,8 +97,9 @@ object Snapshots {
     //    that sees the pointer always finds the manifest)
     val rows = df.sparkSession.read.parquet(dataDir(root, next)).count()
     Files.createDirectories(manifest(root, next).getParent)
+    val batchField = batchId.map(b => s""","batchId":$b""").getOrElse("")
     Files.write(manifest(root, next),
-      s"""{"version":$next,"rows":$rows,"parent":${next - 1}}"""
+      s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField}"""
         .getBytes(StandardCharsets.UTF_8))
     // 3. commit point: atomic pointer swap
     val tmp = Paths.get(s"$root/_latest.tmp")

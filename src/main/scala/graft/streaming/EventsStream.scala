@@ -226,6 +226,19 @@ object EventsStream {
       .foreachBatch(idempotentBatchWriter(path) _)
       .start()
 
+  /** VERSIONED exactly-once sink: each micro-batch commits a new
+    * [[graft.sources.Snapshots]] version keyed by its batch id —
+    * replayed batches are no-ops (the manifest remembers the last
+    * batch id), and every micro-batch becomes a time-travel point a
+    * reader can pin while the stream keeps committing. */
+  def foreachBatchSnapshot(df: DataFrame, root: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.Snapshots.commitBatch(batch.toDF(), root, id): Unit
+      }
+      .start()
+
   /** Batch-drive a streaming query over a parquet directory for tests:
     * memory sink + processAllAvailable. */
   def runOnce(spark: SparkSession, df: DataFrame, name: String): DataFrame = {

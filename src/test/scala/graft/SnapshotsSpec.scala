@@ -80,6 +80,22 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(!Files.isDirectory(Paths.get(s"$root/data/v=0")), "vacuumed data must be gone")
   }
 
+  test("commitBatch: replaying a micro-batch id is a no-op (exactly-once), new ids advance") {
+    import spark.implicits._
+    val root = tmpRoot()
+    assert(Snapshots.commitBatch(Seq(1L).toDF("id"), root, batchId = 0) == 0L)
+    assert(Snapshots.commitBatch(Seq(2L).toDF("id"), root, batchId = 1) == 1L)
+    // replay of batch 1 (crash between sink write and checkpoint
+    // commit) — even with DIFFERENT recomputed data — must not commit
+    assert(Snapshots.commitBatch(Seq(99L).toDF("id"), root, batchId = 1) == 1L)
+    assert(Snapshots.versions(root) == Seq(0L, 1L))
+    assert(Snapshots.read(spark, root).head().getLong(0) == 2L)
+    assert(Snapshots.batchIdOf(root, 1).contains(1L))
+    // next live batch continues
+    assert(Snapshots.commitBatch(Seq(3L).toDF("id"), root, batchId = 2) == 2L)
+    assert(Snapshots.read(spark, root).head().getLong(0) == 3L)
+  }
+
   test("schema evolution across versions: readers of each version see its own schema") {
     import spark.implicits._
     val root = tmpRoot()

@@ -171,6 +171,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkPath).count() == 1)
   }
 
+  test("versioned snapshot sink: micro-batches become time-travel points, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val root = java.nio.file.Files.createTempDirectory("snapsink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("snapsinkck").toString
+    val q = EventsStream.foreachBatchSnapshot(mem.toDF(), root, ckpt)
+    mem.addData(Ev(1L, Timestamp.valueOf("2024-01-01 00:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(2L, Timestamp.valueOf("2024-01-01 00:01:00"), "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    import graft.sources.Snapshots
+    assert(Snapshots.versions(root).size == 2, "each micro-batch is a version")
+    assert(Snapshots.readVersion(spark, root, 0).count() == 1)
+    // a crash-replay of the LAST batch id must be a no-op
+    val last = Snapshots.batchIdOf(root, Snapshots.latestVersion(root).get).get
+    Snapshots.commitBatch(Seq(99L).toDF("user_id"), root, last)
+    assert(Snapshots.versions(root).size == 2)
+  }
+
   test("stream-stream interval join attributes purchases to preceding clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -164,7 +164,34 @@ object Operational {
         col("rrf_score"))
   }
 
+  /** #142 CDC APPLY — collapse a change-data-capture log
+    * (upsert/delete operations per key, ordered by a sequence) into
+    * the CURRENT table state: the Debezium-merge every warehouse
+    * ingest runs. The log is derived deterministically from events
+    * (op = 'D' when event_id ≡ 0 mod 10, else 'U'; sequence =
+    * (ts, event_id)); a key whose LAST operation is a delete is
+    * ABSENT from the result — the semantics a plain latest-row upsert
+    * (#21) cannot express.
+    *
+    * Scale shape: ONE map-side-combined `max_by` hash agg picks each
+    * key's last operation (no window rank over the log — the
+    * log-sized sort is the naive shape), then a row-local filter
+    * drops deleted keys. At 100 TB the log shuffles once, keyed. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id")).as("seq"),
+        struct(
+          when(pmod(col("event_id"), lit(10)) === 0, "D").otherwise("U").as("op"),
+          col("event_type"), round(col("value"), 6).as("value")).as("payload"))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("payload"), col("seq")).as("last"))
+      .filter(col("last.op") =!= "D")
+      .select(col("user_id"), col("last.event_type").as("event_type"),
+        col("last.value").as("value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_apply"   -> cdcApply _,
     "q_gap_fill"    -> gapFill _,
     "q_attribution" -> attribution _,
     "q_anomaly_mad" -> anomalyMad _,
@@ -172,6 +199,15 @@ object Operational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_type, ROUND(value, 6) AS value,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, value
+        |FROM log WHERE rn = 1 AND op <> 'D'""".stripMargin,
     "q_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -33,7 +33,8 @@ object ScaleProbe {
       // events/lineitem members: replicas are DISJOINT shifted copies
       // (constant per-user and per-order density), so these probe the
       // plan's growth, not densification of the synthetic data
-      "q_markov_chain", "q_triangle_count")
+      "q_markov_chain", "q_triangle_count", "q_label_prop", "q_bfs_hops",
+      "q_concurrency")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

@@ -130,4 +130,23 @@ class OperationalSpec extends AnyFunSuite {
       && col("is_anomaly") === 1).count() == 0)
     out.unpersist()
   }
+
+  test("cdc_apply: survivors are exactly the keys whose LAST log op is not a delete") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q_cdc_apply")(spark, sf).cache()
+    // independent window-rank formulation of the same semantics
+    val ev = graft.sources.Tables.events(spark, sf)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = ev
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && pmod(col("event_id"), lit(10)) =!= 0)
+      .select(col("user_id"), col("event_type"), round(col("value"), 6).as("value"))
+    assert(got.count() == want.count())
+    assert(got.join(want, Seq("user_id", "event_type", "value"), "left_anti").count() == 0)
+    // at least one key must actually be deleted for the test to bite
+    val users = ev.select(col("user_id")).distinct().count()
+    assert(got.count() < users, "fixture needs at least one deleted key")
+    got.unpersist()
+  }
 }

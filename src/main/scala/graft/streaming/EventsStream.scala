@@ -160,6 +160,44 @@ object EventsStream {
     * restriction (unlike stream-stream joins). Left join: events
     * with no dim row pass through with nulls, the same IFNULL
     * posture as the batch attribution join. */
+  case class CdcOp(key: Long, us: Long, event_id: Long, op: String,
+    event_type: String, value: Double)
+  case class CdcState(us: Long, event_id: Long, op: String,
+    event_type: String, value: Double)
+  case class CdcOut(key: Long, op: String, event_type: String, value: Double)
+
+  /** STREAMING CDC APPLY — the continuous face of the batch #142
+    * operator: a change log (upsert/delete ops per key, sequenced by
+    * (us, event_id)) maintained as keyed state, emitting each key's
+    * CURRENT state whenever a micro-batch changes it. Downstream, a
+    * snapshot sink materializes the continuously-current table; a 'D'
+    * current state is emitted as a tombstone row so consumers can
+    * retract.
+    *
+    * State is one fixed-size record per key (the last operation) —
+    * O(keys), no growth with log length; out-of-order operations
+    * within the admissible window are resolved by the sequence
+    * compare, so replayed or late log entries never regress state. */
+  def cdcStream(log: Dataset[CdcOp]): Dataset[CdcOut] = {
+    import log.sparkSession.implicits._
+    log.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, ops: Iterator[CdcOp], state: GroupState[CdcState]) => {
+          val incoming = ops.maxBy(o => (o.us, o.event_id))
+          val best = state.getOption match {
+            case Some(cur) if cur.us > incoming.us ||
+              (cur.us == incoming.us && cur.event_id >= incoming.event_id) => cur
+            case _ => CdcState(incoming.us, incoming.event_id, incoming.op,
+              incoming.event_type, incoming.value)
+          }
+          if (state.getOption.contains(best)) Iterator.empty // no change: emit nothing
+          else {
+            state.update(best)
+            Iterator.single(CdcOut(key, best.op, best.event_type, best.value))
+          }
+        })
+  }
+
   def enrichWithDims(stream: DataFrame, dims: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dims), Seq(key), "left")
 

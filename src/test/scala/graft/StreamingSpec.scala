@@ -171,6 +171,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkPath).count() == 1)
   }
 
+  test("streaming cdc apply: state converges to the last op, late entries never regress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStream.{CdcOp, CdcOut}
+    val mem = MemoryStream[CdcOp]
+    val q = EventsStream.cdcStream(mem.toDS()).writeStream
+      .outputMode(OutputMode.Update).format("memory").queryName("cdc").start()
+    // batch 0: two fresh keys
+    mem.addData(
+      CdcOp(1L, 100L, 1L, "U", "view", 1.0),
+      CdcOp(2L, 100L, 2L, "U", "click", 2.0))
+    q.processAllAvailable()
+    val b0 = spark.table("cdc").as[CdcOut].collect().toSet
+    assert(b0 == Set(CdcOut(1L, "U", "view", 1.0), CdcOut(2L, "U", "click", 2.0)))
+    // batch 1: key1 deleted (newer seq); key2 gets a LATE older op
+    // (must not regress, must not emit); key3 appears
+    mem.addData(
+      CdcOp(1L, 200L, 3L, "D", "view", 0.0),
+      CdcOp(2L, 50L, 0L, "U", "stale", 9.0),
+      CdcOp(3L, 150L, 4L, "U", "buy", 3.0))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("cdc").as[CdcOut].collect()
+    val b1 = all.toSet -- b0
+    assert(b1 == Set(CdcOut(1L, "D", "view", 0.0), CdcOut(3L, "U", "buy", 3.0)),
+      s"late op must not re-emit key 2: $b1")
+    assert(all.length == 4, "no-change keys emit nothing")
+  }
+
   test("versioned snapshot sink: micro-batches become time-travel points, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -639,7 +640,42 @@ object ScaleOps {
         round(col("cnt") / col("total"), 6).as("share"))
   }
 
+  /** #143 EXACT DISTRIBUTED MEDIAN — the k-th order statistic with NO
+    * global sort and NO single-node value buffer (what Spark's exact
+    * `percentile` does: every value into one aggregation buffer — the
+    * cost `q_approx_sketch` measures). Two passes:
+    *  1. a map-side-combined HISTOGRAM (fixed-width buckets) + a
+    *     cumsum over the tiny bucket frame locates the bucket holding
+    *     rank k and the offset within it;
+    *  2. a second scan keeps ONLY that bucket's values (predicate on
+    *     the scan) and ranks the small subset to pick the offset-th.
+    * The within-bucket rank is a single-partition window over ONE
+    * bucket (~n/buckets rows; a skewed bucket would recurse the same
+    * split — one level suffices here). This is the selection-algorithm
+    * shape Chaudhuri-style distributed quantile engines run.
+    * Everything is exact — the oracle is the plain ROW_NUMBER order
+    * statistic. */
+  def exactMedian(s: SparkSession, dir: String): DataFrame = {
+    val bucket = floor(col("v") / lit(100.0)).as("b")
+    val vals = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+    val nk = vals.agg(count(lit(1)).as("n"))
+      .select(col("n"), floor((col("n") + 1) / lit(2.0)).cast("long").as("k"))
+    val hist = vals.groupBy(bucket).agg(count(lit(1)).as("c"))
+    val wb = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val target = hist
+      .withColumn("before", coalesce(sum(col("c")).over(wb), lit(0L)))
+      .crossJoin(broadcast(nk))
+      .filter(col("before") < col("k") && col("before") + col("c") >= col("k"))
+      .select(col("b"), (col("k") - col("before")).as("off"), col("n"), col("k"))
+    val w1 = Window.partitionBy(col("b")).orderBy(col("v"))
+    vals.join(broadcast(target), bucket === col("b"))
+      .withColumn("rn", row_number().over(w1).cast("long"))
+      .filter(col("rn") === col("off"))
+      .select(col("n"), col("k"), round(col("v"), 6).as("exact_median"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exact_median"   -> exactMedian _,
     "q_hll_partials"   -> hllPartials _,
     "q_range_join"     -> rangeJoin _,
     "q_skew_agg"       -> skewAgg _,
@@ -703,6 +739,13 @@ object ScaleOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_exact_median" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+        |nk AS (SELECT COUNT(*) AS n,
+        |  CAST(FLOOR((COUNT(*) + 1) / 2.0) AS BIGINT) AS k FROM v),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v)
+        |SELECT nk.n, nk.k, ROUND(r.v, 6) AS exact_median
+        |FROM r, nk WHERE r.rn = nk.k""".stripMargin,
     // tolerance gate (q_approx_sketch convention): exact columns
     // recomputed; the 0/1 flag is constant 1 when the merged sketch
     // holds its rel-ε

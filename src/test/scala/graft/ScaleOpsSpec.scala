@@ -268,6 +268,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       "merged daily MG partials must prune with NO false negatives above the threshold")
   }
 
+  test("exact_median: histogram-selected value ≡ the global order statistic") {
+    val df = SparkEntry.queries("q_exact_median")(spark, sf).cache()
+    assert(df.count() == 1)
+    val row = df.head
+    val (n, k, med) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(k == (n + 1) / 2)
+    // ground truth WITHOUT the two-pass path: the k-th value of the
+    // full sort (single-partition window — test-scale only)
+    import org.apache.spark.sql.expressions.Window
+    val truth = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice").as("v"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"))).cast("long"))
+      .filter(col("rn") === k)
+      .select(round(col("v"), 6)).head.getDouble(0)
+    assert(med == truth, s"two-pass median $med != order statistic $truth")
+    df.unpersist()
+  }
+
   test("zorder_layout: every bucket is a ≤32-wide rectangle in BOTH dimensions") {
     // bucket = top 6 z-bits fixes each dimension's top 3 bits, so a
     // bucket can never span more than a 32-aligned block in u OR d —

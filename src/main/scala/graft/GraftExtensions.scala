@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.plans.{CosineSimilarity, MinHashSigs, SimHashBits, WordShingles}
+import graft.plans.{CosineSimilarity, MinHashSigs, NfcNormalize, SimHashBits, WordShingles}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql` users get the codegen
@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[MinHashSigs].getName, "minhash_sigs"),
         GraftExtensions.minhashBuilder))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NfcNormalize].getName, "nfc_normalize"),
+        GraftExtensions.nfcBuilder))
   }
 }
 
@@ -64,6 +69,9 @@ object GraftExtensions {
       MinHashSigs(args.head, k, n)
     }
 
+  private[graft] val nfcBuilder: Seq[Expression] => Expression =
+    args => NfcNormalize(args.head)
+
   /** Register the graft SQL functions on an already-running session
     * (the builder-time path is `.withExtensions(new GraftExtensions)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -72,5 +80,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("word_shingles", shinglesBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("simhash_bits", simhashBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sigs", minhashBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", nfcBuilder, "scala_udf")
   }
 }

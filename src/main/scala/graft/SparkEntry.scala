@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Diagnostics, Extras, GraphB, Lifecycle, LlmData, Operational, Privacy, Recommend, Relational, RelationalB, ScaleOps, ScaleOpsB, Stats, StatsB}
+import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Diagnostics, Evaluation, Extras, GraphB, Lifecycle, LlmData, Operational, Privacy, Recommend, Relational, RelationalB, ScaleOps, ScaleOpsB, Stats, StatsB, StatsC}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -15,7 +15,8 @@ object SparkEntry {
       Analytics.queries ++ LlmData.queries ++ Extras.queries ++ Curation.queries ++
       CurationB.queries ++ CurationC.queries ++ ScaleOps.queries ++ Operational.queries ++
       Stats.queries ++ StatsB.queries ++ Lifecycle.queries ++ Recommend.queries ++
-      GraphB.queries ++ Diagnostics.queries ++ Privacy.queries ++ ScaleOpsB.queries
+      GraphB.queries ++ Diagnostics.queries ++ Privacy.queries ++ ScaleOpsB.queries ++
+      StatsC.queries ++ Evaluation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       Analytics.oracles ++ LlmData.oracles ++ Extras.oracles ++ Curation.oracles ++
       CurationB.oracles ++ CurationC.oracles ++ ScaleOps.oracles ++ Operational.oracles ++
       Stats.oracles ++ StatsB.oracles ++ Lifecycle.oracles ++ Recommend.oracles ++
-      GraphB.oracles ++ Diagnostics.oracles ++ Privacy.oracles ++ ScaleOpsB.oracles
+      GraphB.oracles ++ Diagnostics.oracles ++ Privacy.oracles ++ ScaleOpsB.oracles ++
+      StatsC.oracles ++ Evaluation.oracles
 }

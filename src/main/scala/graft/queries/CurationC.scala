@@ -272,6 +272,40 @@ object CurationC {
       base.unionByName(variants), "doc_id", "text", 0.6)
   }
 
+  /** #157 UNICODE TEXT NORMALIZATION — NFC canonical composition (the
+    * native [[graft.plans.NfcNormalize]] codegen kernel: "é" as
+    * U+0065+U+0301 must equal U+00E9 before ANY hash-keyed operator
+    * sees the text) + whitespace canonicalization (NBSP/tab/CRLF →
+    * space, runs collapsed, trimmed). The corpus is pure ASCII, so —
+    * the #79 planted-probe pattern — each doc gets a deterministic
+    * messy decoration (combining marks, NBSP, CRLF, doubled spaces)
+    * derived from its id, and the oracle replays the same plant
+    * through DuckDB's `nfc_normalize` (both implement UAX #15, which
+    * is what makes the gate exact).
+    *
+    * Scale shape: entirely row-local on the scan — the kernel stays
+    * inside whole-stage codegen (a Scala UDF here would break the
+    * scan stage's codegen for every downstream dedup operator), with
+    * an isNormalized fast path so already-clean corpora pay one
+    * read-only pass, no allocation. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(
+      lit("Cafe\u0301"), // e + COMBINING ACUTE -> NFC composes to é
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit(" A\u030Angstro\u0308m")) // combining ring + diaeresis
+        .otherwise(lit(" ascii")),
+      lit("\u00A0tab\there\r\nand  doubled "), // NBSP + tab + CRLF + doubles
+      substring(col("text"), 1, 40))
+    val nfc = graft.plans.NfcNormalize(messy)
+    val ws = regexp_replace(nfc, "[\\u00A0\\t\\r\\n]", " ")
+    val clean = trim(regexp_replace(ws, " +", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), messy.as("raw"), clean.as("clean"))
+      .select(col("doc_id"), col("clean"),
+        length(col("raw")).as("len_raw"),
+        length(col("clean")).as("len_clean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_dedup" -> substringDedup _,
     "q_budget_sample"   -> budgetSample _,
@@ -279,7 +313,8 @@ object CurationC {
     "q_ann_filtered"    -> annFiltered _,
     "q_embedding_pca"   -> embeddingPca _,
     "q_heavy_hitters"   -> heavyHitters _,
-    "q_dedup_prefix_filter" -> dedupPrefixFilter _
+    "q_dedup_prefix_filter" -> dedupPrefixFilter _,
+    "q_text_normalize"  -> textNormalize _
   )
 
   /** The power-iteration oracle: three rounds replayed verbatim in
@@ -411,6 +446,23 @@ object CurationC {
         |SELECT a.source AS source_a, b.source AS source_b,
         |  COUNT(*) AS shared_spans
         |FROM x a JOIN x b ON a.h = b.h AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q_text_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |    'Cafe' || chr(769) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |      ELSE ' ascii' END ||
+        |    chr(160) || 'tab' || chr(9) || 'here' || chr(13) || chr(10) ||
+        |    'and  doubled ' || substr(text, 1, 40) AS raw
+        |  FROM documents),
+        |c AS (SELECT doc_id, raw,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+        |      '[\x{A0}\t\r\n]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |  FROM m)
+        |SELECT doc_id, clean,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(clean) AS BIGINT) AS len_clean
+        |FROM c""".stripMargin
   )
 }

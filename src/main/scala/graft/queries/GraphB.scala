@@ -292,12 +292,61 @@ object GraphB {
         col("est_inter"), col("exact_union"), col("exact_inter"))
   }
 
+  /** #153 GRAPH RANDOM-WALK SAMPLING — the DeepWalk/node2vec
+    * neighborhood sampler and the Monte-Carlo PPR estimator's inner
+    * loop: one 3-step walk per seed node over the co-purchase graph,
+    * reported as per-node visit counts (n_visits, n_walks). Production
+    * walk counts are higher; the per-step shape is what scales.
+    *
+    * DETERMINISTIC next-hop: at step i from node u, the walk moves to
+    * argmin over out-neighbors v of md5(u ':' v ':rw' i) — an unbiased
+    * pseudo-random pick that is REPLAYABLE, so the oracle re-walks the
+    * exact same paths (plain rand() walks cannot be cross-checked).
+    * The argmin is a plain string MIN over concat(md5hex,
+    * lpad(dst, 12, '0')) — hash first so order is pseudo-random, dst
+    * appended so even a hash collision breaks ties identically in
+    * both engines; the winner decodes back out of the suffix.
+    *
+    * Scale shape: walk state is one (walk, cur) row per seed — each
+    * step is ONE frontier-sized SHUFFLE_HASH join against edges
+    * (partitioned by src, persisted across steps, the #137 BFS frame)
+    * + one map-side-combined string-MIN agg per walk. Nothing
+    * edge-sized ever accumulates; walks never strand because every
+    * node of the bidirected edge set has an out-neighbor. */
+  def randomWalk(s: SparkSession, dir: String): DataFrame = {
+    val ed = bidirected(copurchasePairs(s, dir))
+      .repartition(col("src")).persist()
+    val seeds = ed.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(97)) === 0)
+    var walk = seeds.select(col("node").as("walk"), col("node").as("cur"))
+      .localCheckpoint()
+    var visits = walk.select(col("walk"), col("cur").as("node"))
+    for (i <- 1 to 3) {
+      val key = concat(
+        md5(concat(col("cur").cast("string"), lit(":"),
+          col("dst").cast("string"), lit(s":rw$i"))),
+        lpad(col("dst").cast("string"), 12, "0"))
+      walk = ed.join(walk.hint("shuffle_hash"), col("src") === col("cur"))
+        .groupBy(col("walk")).agg(min(key).as("k"))
+        .select(col("walk"),
+          substring(col("k"), 33, 12).cast("long").as("cur"))
+        .localCheckpoint()
+      visits = visits.unionByName(walk.select(col("walk"), col("cur").as("node")))
+    }
+    val out = visits.groupBy(col("node"))
+      .agg(count(lit(1)).as("n_visits"),
+        countDistinct(col("walk")).as("n_walks"))
+    ed.unpersist(blocking = false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_label_prop"    -> labelProp _,
     "q_bfs_hops"      -> bfsHops _,
     "q_edge_jaccard"  -> edgeJaccard _,
     "q_seq_trigrams"  -> seqTrigrams _,
-    "q_kmv_intersect" -> kmvIntersect _
+    "q_kmv_intersect" -> kmvIntersect _,
+    "q_random_walk"   -> randomWalk _
   )
 
   /** Shared graph CTEs: distinct co-purchase pairs + both-direction
@@ -328,6 +377,16 @@ object GraphB {
        |    UNION ALL
        |    SELECT e.dst AS node, x.d + 1 AS d
        |    FROM ed e JOIN r${r - 1} x ON e.src = x.node) GROUP BY 1)""".stripMargin
+
+  private def walkRound(r: Int): String =
+    s"""s$r AS (
+       |  SELECT w.walk,
+       |    MIN(md5(CAST(w.cur AS VARCHAR) || ':' ||
+       |      CAST(e.dst AS VARCHAR) || ':rw$r') ||
+       |      lpad(CAST(e.dst AS VARCHAR), 12, '0')) AS k
+       |  FROM w${r - 1} w JOIN ed e ON e.src = w.cur GROUP BY 1),
+       |w$r AS (SELECT walk, CAST(substr(k, 33, 12) AS BIGINT) AS cur
+       |        FROM s$r)""".stripMargin
 
   private val kmvHashTerms: String = {
     val weights = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
@@ -409,6 +468,20 @@ object GraphB {
          |SELECT CAST(256 AS BIGINT) AS k, n_merged, est_union,
          |  ROUND(jacc * est_union, 6) AS est_inter,
          |  exact_union, CAST(exact_inter AS BIGINT) AS exact_inter
-         |FROM est, ex""".stripMargin
+         |FROM est, ex""".stripMargin,
+    "q_random_walk" ->
+      s"""WITH $graphCtes,
+         |w0 AS (SELECT DISTINCT src AS walk, src AS cur
+         |       FROM ed WHERE src % 97 = 0),
+         |${walkRound(1)},
+         |${walkRound(2)},
+         |${walkRound(3)},
+         |v AS (SELECT walk, cur AS node FROM w0
+         |  UNION ALL SELECT walk, cur FROM w1
+         |  UNION ALL SELECT walk, cur FROM w2
+         |  UNION ALL SELECT walk, cur FROM w3)
+         |SELECT node, COUNT(*) AS n_visits,
+         |  COUNT(DISTINCT walk) AS n_walks
+         |FROM v GROUP BY 1""".stripMargin
   )
 }

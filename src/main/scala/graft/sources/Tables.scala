@@ -20,16 +20,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS): read as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and convert to a
-    * microsecond TimestampType column. Oracles use
-    * CAST(ts AS TIMESTAMP) for the same ns→µs truncation.
+  /** `events.ts` normalization — the generator has shipped the column
+    * as parquet TIMESTAMP(NANOS) (read as long nanos via
+    * spark.sql.legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS)
+    * (read as timestamp, NTZ when isAdjustedToUTC=false). Branch on
+    * the type actually read so both vintages land on the same
+    * session-UTC microsecond TimestampType column. Oracles use
+    * CAST(ts AS TIMESTAMP), which is the identical normalization on
+    * the DuckDB side.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
     import org.apache.spark.sql.functions._
-    // integer division — a double roundtrip would lose ns precision
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      // nanos-as-long: integer division — a double roundtrip would
+      // lose ns precision
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      // TIMESTAMP_NTZ: reinterpret the wall-clock in the session tz
+      // (pinned UTC in GraftSession) — same instant the generator wrote
+      case _             => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

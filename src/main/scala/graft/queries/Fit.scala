@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,37 +32,41 @@ object Fit {
     * EXACT arithmetic: x and y are integer cents summed as
     * decimal(38,0) (Σy² at 100 TB overflows a long — ~1e14 per row),
     * so every sufficient statistic is an exact integer and both
-    * engines divide the SAME integers; the only floats are the three
-    * final divisions (fixed order, rounded 6dp). R²'s squared
-    * numerator would need ~77 digits, so the num/den factors cast to
-    * double FIRST (a well-defined IEEE rounding of identical exact
-    * integers on both sides) and multiply as doubles.
-    *
-    * Scale shape: dim side broadcast; the fact scan prunes to 3
-    * columns; one hash agg, 5 groups out. */
-  def olsFit(s: SparkSession, dir: String): DataFrame = {
-    val x = round(col("c_acctbal") * 100).cast("long").cast("decimal(18,0)")
-    val y = round(col("o_totalprice") * 100).cast("long").cast("decimal(18,0)")
-    val joined = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("segment"), x.as("x"), y.as("y"))
-    val st = joined.groupBy(col("segment")).agg(
+    * engines see the SAME integers. Every DERIVED product (n·sxy,
+    * sx·sy, …) casts each factor to double FIRST and multiplies as
+    * doubles — a decimal(38,0)×decimal(38,0) product would cap at
+    * precision 38 and silently NULL on overflow (sy² alone reaches
+    * ~1e38 at the 100 TB posture) while DuckDB's hugeint errors;
+    * double-first is a well-defined identical IEEE rounding of
+    * identical exact integers on both sides, in one fixed op order. */
+  private[graft] def olsOf(pts: DataFrame): DataFrame = {
+    val st = pts.groupBy(col("segment")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"))
-    val covNum = st("n") * st("sxy") - st("sx") * st("sy")
-    val varX   = st("n") * st("sxx") - st("sx") * st("sx")
-    val varY   = st("n") * st("syy") - st("sy") * st("sy")
+    def d(c: Column) = c.cast("double")
+    val covNum = d(st("n")) * d(st("sxy")) - d(st("sx")) * d(st("sy"))
+    val varX   = d(st("n")) * d(st("sxx")) - d(st("sx")) * d(st("sx"))
+    val varY   = d(st("n")) * d(st("syy")) - d(st("sy")) * d(st("sy"))
     st.select(col("segment"), col("n"),
-      round(covNum.cast("double") / varX.cast("double"), 6).as("slope"),
+      round(covNum / varX, 6).as("slope"),
       // intercept in dollars: (Σy·Σx² − Σx·Σxy) / (n·varX-form) / 100
-      round((st("sy") * st("sxx") - st("sx") * st("sxy")).cast("double") /
-        varX.cast("double") / 100.0, 6).as("intercept"),
-      round((covNum.cast("double") * covNum.cast("double")) /
-        (varX.cast("double") * varY.cast("double")), 6).as("r2"))
+      round((d(st("sy")) * d(st("sxx")) - d(st("sx")) * d(st("sxy"))) /
+        varX / 100.0, 6).as("intercept"),
+      round((covNum * covNum) / (varX * varY), 6).as("r2"))
+  }
+
+  /** Scale shape: dim side broadcast; the fact scan prunes to 3
+    * columns; one hash agg, 5 groups out. */
+  def olsFit(s: SparkSession, dir: String): DataFrame = {
+    val x = round(col("c_acctbal") * 100).cast("long").cast("decimal(18,0)")
+    val y = round(col("o_totalprice") * 100).cast("long").cast("decimal(18,0)")
+    olsOf(Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), x.as("x"), y.as("y")))
   }
 
   /** #160 AUTOCORRELATION (ACF) of the daily event-count series at
@@ -74,23 +78,26 @@ object Fit {
     * series scaled by n — Xₜ = n·xₜ − S — is INTEGER, and
     * r_k = ΣXₜXₜ₊ₖ / ΣXₜ² (the n² factors cancel), so the whole
     * statistic is an integer ratio: no float mean ever subtracts, the
-    * one division is final (#154 discipline). Denominator-zero
-    * (a perfectly constant series) yields NULL, not a crash.
+    * one division is final (#154 discipline). Xₜ casts to
+    * decimal(38,0) BEFORE squaring — Xₜ² overflows a long once
+    * |Xₜ| > ~3e9 (plausible at the stated scale), and non-ANSI Spark
+    * would silently wrap where DuckDB's bigint multiply raises; the
+    * oracle mirrors with hugeint. Denominator-zero (a perfectly
+    * constant series) yields NULL, not a crash.
     *
     * Scale shape: raw events collapse to the per-DAY frame in ONE
     * map-side agg; lags are a ≤7-row broadcast cross on the tiny
     * daily frame; nothing larger than days × 7 ever joins. */
-  def acfDaily(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("x"))
+  private[graft] def acfOf(daily: DataFrame): DataFrame = {
     val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"))
     val centered = daily.crossJoin(broadcast(tot))
-      .select(col("d"), (col("n_days") * col("x") - col("sx")).as("xc"),
+      .select(col("d"),
+        (col("n_days") * col("x") - col("sx")).cast("decimal(38,0)").as("xc"),
         col("n_days"))
     val den = centered.agg(sum(col("xc") * col("xc")).as("den")).
       select(col("den"))
-    val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+    val lags = daily.sparkSession.range(1, 8)
+      .select(col("id").cast("int").as("lag"))
     val shifted = centered.select(col("d").as("d2"), col("xc").as("xc2"))
     centered.crossJoin(broadcast(lags))
       .join(shifted, expr("d2 = date_add(d, lag)"))
@@ -102,6 +109,11 @@ object Fit {
           .otherwise(round(col("num").cast("double") / col("den").cast("double"), 6))
           .as("acf"))
   }
+
+  def acfDaily(s: SparkSession, dir: String): DataFrame =
+    acfOf(Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x")))
 
   /** #161 BENFORD FIRST-DIGIT AUDIT of order totals — observed vs
     * log₁₀(1+1/d) expected share per leading digit plus the χ²
@@ -119,10 +131,9 @@ object Fit {
     *
     * Scale shape: one map-side agg to 9 rows; everything after is
     * digit-frame-local. */
-  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
-    val cents = round(col("o_totalprice") * 100).cast("long")
-    val per = Tables.orders(s, dir)
-      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+  private[graft] def benfordOf(cents: DataFrame): DataFrame = {
+    val per = cents
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val tot = per.agg(sum(col("n")).as("nt"))
     val wAll = Window.orderBy(col("digit"))
@@ -139,6 +150,10 @@ object Fit {
         round(col("e"), 6).as("exp_share"),
         round(sum(col("chi2_term")).over(wAll), 4).as("chi2"))
   }
+
+  def benfordDigits(s: SparkSession, dir: String): DataFrame =
+    benfordOf(Tables.orders(s, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents")))
 
   /** #162 ZIPF RANK-FREQUENCY FIT — log-log OLS slope over the top-200
     * corpus terms: natural text sits near slope −1, so a corpus whose
@@ -157,11 +172,7 @@ object Fit {
     *
     * Scale shape: vocabulary-sized map-side agg → bounded top-k →
     * all float work on ≤200 rows. */
-  def zipfFit(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+  private[graft] def zipfOf(counts: DataFrame): DataFrame = {
     val top = counts.orderBy(col("cnt").desc, col("term")).limit(200)
     val ranked = top.withColumn("rank",
       row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
@@ -185,6 +196,12 @@ object Fit {
         col("k"), 6).as("intercept"))
   }
 
+  def zipfFit(s: SparkSession, dir: String): DataFrame =
+    zipfOf(Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
+
   /** #163 HALF-LIFE-DECAYED ENGAGEMENT SCORE — per-user
     * Σ value·2^(−age_days) with a 1-day half-life, the recency
     * weighting a ranking/churn feature store keeps next to the raw
@@ -195,29 +212,36 @@ object Fit {
     * 2^(30−age) is an exact integer (age ≤ 30 enforced by the
     * horizon filter — also the scale posture: the scan prunes to the
     * decay horizon, where e-base weights would never reach exact 0);
-    * cents·2^(30−age) accumulates in decimal(38,0) — NO float is
-    * summed, the one division by 2³⁰·100 is final. The anchor date is
-    * the data's own max day (one tiny broadcast agg), so the score is
-    * reproducible from the table alone.
+    * cents casts to decimal(38,0) BEFORE the weight multiply — a
+    * long×long product wraps silently in non-ANSI Spark once per-event
+    * cents exceed ~8.6e9 (a > $86M line) while the oracle's bigint
+    * multiply would raise; the product then accumulates in decimal —
+    * NO float is summed, the one division by 2³⁰·100 is final. The
+    * anchor date is the data's own max day (one tiny broadcast agg),
+    * so the score is reproducible from the table alone.
     *
     * Scale shape: horizon filter + cents/weight arithmetic ride the
     * scan row-locally; ONE map-side agg to the per-user frame. */
-  def decayScore(s: SparkSession, dir: String): DataFrame = {
-    val anchor = Tables.events(s, dir).agg(max(to_date(col("ts"))).as("mx"))
-    Tables.events(s, dir)
-      .crossJoin(broadcast(anchor))
-      .select(col("user_id"),
-        round(col("value") * 100).cast("long").as("cents"),
-        datediff(col("mx"), to_date(col("ts"))).as("age"))
+  private[graft] def decayOf(aged: DataFrame): DataFrame = {
+    aged
       .filter(col("age") <= 30)
       .select(col("user_id"),
-        (col("cents") * pow(lit(2.0), lit(30) - col("age")).cast("long"))
-          .cast("decimal(38,0)").as("w"))
+        (col("cents").cast("decimal(38,0)") *
+          pow(lit(2.0), lit(30) - col("age")).cast("long")).as("w"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("w")).as("wsum"))
       .select(col("user_id"), col("n_events"),
         round(col("wsum").cast("double") / 1073741824.0 / 100.0, 6)
           .as("decay_score"))
+  }
+
+  def decayScore(s: SparkSession, dir: String): DataFrame = {
+    val anchor = Tables.events(s, dir).agg(max(to_date(col("ts"))).as("mx"))
+    decayOf(Tables.events(s, dir)
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        datediff(col("mx"), to_date(col("ts"))).as("age")))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -239,21 +263,25 @@ object Fit {
         |st AS (SELECT segment, COUNT(*) AS n,
         |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
         |    SUM(x*x) AS sxx, SUM(y*y) AS syy
-        |  FROM j GROUP BY 1)
+        |  FROM j GROUP BY 1),
+        |d AS (SELECT segment, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM st)
         |SELECT segment, n,
-        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
-        |    CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
-        |  ROUND(CAST(sy*sxx - sx*sxy AS DOUBLE) /
-        |    CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) AS intercept,
-        |  ROUND((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) /
-        |    (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
-        |FROM st""".stripMargin,
+        |  ROUND((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd), 6) AS slope,
+        |  ROUND((syd*sxxd - sxd*sxyd) /
+        |    (nd*sxxd - sxd*sxd) / 100.0, 6) AS intercept,
+        |  ROUND(((nd*sxyd - sxd*syd) * (nd*sxyd - sxd*syd)) /
+        |    ((nd*sxxd - sxd*sxd) * (nd*syyd - syd*syd)), 6) AS r2
+        |FROM d""".stripMargin,
     "q_acf_daily" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
         |    COUNT(*) AS x
         |  FROM events GROUP BY 1),
         |tot AS (SELECT COUNT(*) AS n_days, SUM(x) AS sx FROM daily),
-        |c AS (SELECT d, n_days * x - sx AS xc, n_days
+        |c AS (SELECT d, CAST(n_days * x - sx AS HUGEINT) AS xc, n_days
         |  FROM daily CROSS JOIN tot),
         |den AS (SELECT SUM(xc * xc) AS den FROM c),
         |lags AS (SELECT CAST(r AS INT) AS lag FROM range(1, 8) t(r)),
@@ -313,10 +341,9 @@ object Fit {
       """WITH anchor AS (SELECT MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS mx
         |  FROM events),
         |w AS (SELECT user_id,
-        |    CAST(CAST(ROUND(value * 100) AS BIGINT) *
+        |    CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) *
         |      CAST(POWER(2, 30 - date_diff('day',
-        |        CAST(CAST(ts AS TIMESTAMP) AS DATE), mx)) AS BIGINT)
-        |      AS HUGEINT) AS w
+        |        CAST(CAST(ts AS TIMESTAMP) AS DATE), mx)) AS BIGINT) AS w
         |  FROM events CROSS JOIN anchor
         |  WHERE date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE), mx) <= 30)
         |SELECT user_id, COUNT(*) AS n_events,

@@ -18,33 +18,14 @@ import graft.sources.Tables
   */
 object GraphB {
 
-  /** Distinct co-purchase pairs (pa < pb) — same edge definition as
-    * #106/#123; materialized once per query (multiple consumers would
-    * otherwise each replay the pair generation).
-    *
-    * BASKET-LOCAL generation: one shuffle groups each order's part
-    * set, pairs enumerate row-locally from the sorted set (Σ|basket|²
-    * — the bound every basket-pair consumer already carries), then
-    * one distinct. The equivalent self-join formulation exchanges the
-    * item table twice more (distinct by (order, part), re-shuffle by
-    * order for the join) for the same pair stream. */
-  private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val sorted = array_sort(collect_set(col("l_partkey")))
-    Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy(col("l_orderkey")).agg(sorted.as("items"))
-      .select(explode(flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + 2, size(col("items"))),
-          y => struct(x.as("pa"), y.as("pb")))))).as("e"))
-      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
-      .distinct()
-      .localCheckpoint()
-  }
+  /** Distinct co-purchase pairs / both-direction edges — the shared
+    * #106/#123 definitions, factored to GraphCore (one basket-local
+    * generation plan for every graph consumer). */
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    GraphCore.copurchasePairs(s, dir)
 
-  /** Both directions of the undirected pair set. */
   private def bidirected(pairs: DataFrame): DataFrame =
-    pairs.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    GraphCore.bidirected(pairs)
 
   /** #136 LABEL PROPAGATION communities — 2 synchronous rounds of the
     * classic LPA (Raghavan et al. 2007): every node starts in its own
@@ -102,13 +83,18 @@ object GraphB {
     * graph, reported as a reachability histogram: how much of the
     * catalog is within k recommendation hops of the seed assortment.
     *
-    * Scale shape: each round is one edge-sized SHUFFLE_HASH join
-    * (frontier expansion) + one map-side-combined `min` agg — the
-    * textbook Pregel BFS step expressed relationally. The distance
-    * frame is node-count-sized and localCheckpoint'ed per round.
-    * (A frontier-only delta join — expanding just rows whose distance
-    * changed — is the production refinement; at 3 fixed rounds the
-    * full-frame join keeps the oracle replay exact.) */
+    * Scale shape: each round is one SHUFFLE_HASH frontier join + one
+    * map-side-combined `min` agg — the textbook Pregel BFS step
+    * expressed relationally. The join probes only the DELTA frontier
+    * (nodes first reached in the previous round): a settled node's
+    * re-expansion can only reproduce distances its neighbors already
+    * hold, so dropping it is an exact refinement (spec proves delta ≡
+    * full-frame on crafted graphs; the oracle replays full-frame and
+    * still hash-matches). On a graph where round r's frontier is a
+    * shrinking fraction of reached nodes — every real diameter-bound
+    * walk — the join's stream side shrinks per round instead of
+    * growing with the reached set. The distance frame is
+    * node-count-sized and localCheckpoint'ed per round. */
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
     // partitioned on the frontier-join key and persisted, so the three
     // rounds shuffle only the node-sized distance frame
@@ -123,13 +109,20 @@ object GraphB {
   }
 
   /** The BFS kernel: min-distance frame (node, d) from `seeds` after
-    * `rounds` expansions over bidirectional edges (src, dst). */
+    * `rounds` expansions over bidirectional edges (src, dst).
+    * `delta = false` expands the FULL distance frame each round — the
+    * reference formulation the spec proves the delta frontier
+    * equivalent to. */
   private[graft] def bfsRounds(ed: DataFrame, seeds: DataFrame, rounds: Int,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true, delta: Boolean = true): DataFrame = {
     def stage(df: DataFrame) = if (checkpoint) df.localCheckpoint() else df
     var dist = stage(seeds.select(col("node"), lit(0L).as("d")))
-    for (_ <- 1 to rounds) {
-      val frontier = ed.join(dist.hint("shuffle_hash"), col("src") === col("node"))
+    for (r <- 1 to rounds) {
+      // level-synchronous invariant: a node first reached in round r
+      // has distance exactly r, so only last round's arrivals can
+      // contribute a NEW minimum anywhere
+      val src = if (delta) dist.filter(col("d") === (r - 1)) else dist
+      val frontier = ed.join(src.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"), (col("d") + 1).as("d"))
       dist = stage(dist.unionByName(frontier)
         .groupBy(col("node")).agg(min(col("d")).as("d")))
@@ -143,15 +136,20 @@ object GraphB {
     * link-strength score. Top-50 strongest edges by (rounded score,
     * id) so both engines cut identically.
     *
-    * Scale shape: common-neighbor counts are PER-EDGE TRIANGLE counts,
-    * computed by enumerating each triangle exactly once on
-    * degree-oriented (compact-forward) edges — the same skew-proof
-    * wedge join as #123 (out-neighborhoods O(√m), intermediate
-    * Σ outdeg²) — then exploding each triangle into its 3 canonical
-    * edges and hash-aggregating. A naive per-edge neighborhood
-    * intersection would join hub adjacency lists pairwise (Σ deg²
-    * with full hub lists); orientation bounds it. The top-50 is a
-    * distributed TakeOrderedAndProject, never a global sort. */
+    * Scale shape: common-neighbor counts are PER-EDGE TRIANGLE counts
+    * from the shared GraphCore enumerator — degree-oriented
+    * (compact-forward) edges, wedges generated ROW-LOCALLY from each
+    * source's sorted out-neighbor array (Σ outdeg² bound, skew-proof),
+    * one SHUFFLE_HASH closure probe — then each triangle explodes into
+    * its 3 canonical edges and ONE hash agg counts. Endpoint degrees
+    * ride the enumeration, so the Jaccard denominator
+    * deg(u)+deg(v)−common needs NO deg join-backs (the old plan paid
+    * two edge-sized SHUFFLE_HASH joins here plus an edge-edge wedge
+    * join — this plan is the same answer at half the exchanges). A
+    * naive per-edge neighborhood intersection would join hub adjacency
+    * lists pairwise (Σ deg² with full hub lists); orientation bounds
+    * it. The top-50 is a distributed TakeOrderedAndProject, never a
+    * global sort. */
   def edgeJaccard(s: SparkSession, dir: String): DataFrame =
     edgeJaccardOf(copurchasePairs(s, dir))
       .orderBy(col("jaccard").desc, col("pa"), col("pb"))
@@ -161,40 +159,21 @@ object GraphB {
     * canonical (pa < pb) pair frame — factored for crafted-graph
     * specs; only edges closing ≥ 1 triangle appear (others score 0). */
   private[graft] def edgeJaccardOf(pairs: DataFrame): DataFrame = {
-    val deg = bidirected(pairs)
-      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val degA = deg.select(col("node").as("pa"), col("deg").as("deg_a"))
-    val degB = deg.select(col("node").as("pb"), col("deg").as("deg_b"))
-    val oriented = pairs
-      .join(degA.hint("shuffle_hash"), Seq("pa"))
-      .join(degB.hint("shuffle_hash"), Seq("pb"))
-      .select(
-        when(col("deg_a") < col("deg_b") ||
-          (col("deg_a") === col("deg_b") && col("pa") < col("pb")),
-          struct(col("pa").as("s"), col("pb").as("d")))
-        .otherwise(struct(col("pb").as("s"), col("pa").as("d"))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .localCheckpoint() // wedge + closure consumers
-    val triangles = oriented.as("e1")
-      .join(oriented.as("e2").hint("shuffle_hash"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-      .join(oriented.hint("shuffle_hash"),
-        col("a") === col("src") && col("c") === col("dst"))
-    def edge(x: Column, y: Column) =
-      struct(least(x, y).as("pa"), greatest(x, y).as("pb"))
-    val common = triangles
+    val oriented = GraphCore.orientedDeg(pairs, GraphCore.degrees(pairs))
+    def edge(x: Column, dx: Column, y: Column, dy: Column) =
+      struct(least(x, y).as("pa"), greatest(x, y).as("pb"),
+        (dx + dy).as("dsum"))
+    GraphCore.triangles(oriented)
       .select(explode(array(
-        edge(col("a"), col("b")),
-        edge(col("b"), col("c")),
-        edge(col("a"), col("c")))).as("e"))
+        edge(col("a"), col("dega"), col("b"), col("degb")),
+        edge(col("b"), col("degb"), col("c"), col("degc")),
+        edge(col("a"), col("dega"), col("c"), col("degc")))).as("e"))
       .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
-      .agg(count(lit(1)).as("common_neighbors"))
-    common
-      .join(degA.hint("shuffle_hash"), Seq("pa"))
-      .join(degB.hint("shuffle_hash"), Seq("pb"))
+      // dsum is a function of the edge key — max() just carries it
+      .agg(count(lit(1)).as("common_neighbors"), max(col("e.dsum")).as("dsum"))
       .select(col("pa"), col("pb"), col("common_neighbors"),
         round(col("common_neighbors").cast("double") /
-          (col("deg_a") + col("deg_b") - col("common_neighbors")), 6).as("jaccard"))
+          (col("dsum") - col("common_neighbors")), 6).as("jaccard"))
   }
 
   /** #139 SEQUENCE MINING — the 20 most frequent contiguous

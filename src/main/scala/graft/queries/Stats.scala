@@ -202,56 +202,26 @@ object Stats {
     * the iterative family (PageRank, connected components).
     *
     * Scale shape: the co-purchase pair set is materialized ONCE
-    * (eager localCheckpoint — its four consumers would otherwise
-    * each replay the lineitem self-join; the bench cost of the
-    * naive plan was 4× the whole query). Edges are then ORIENTED by
-    * the (degree, id) total order — the compact-forward trick: every
-    * out-neighborhood is O(√m), so the wedge join materializes the
-    * minimum Σ outdeg² intermediate instead of hub-sized wedge lists
-    * (the skew killer on a power-law graph). Each triangle a<b<c in
-    * that order appears exactly once as wedge a→b→c closed by a→c.
-    * Both graph joins are SHUFFLE_HASH on edge keys (never broadcast
-    * — the edge set is the big side at scale); wedge counts come
-    * from the degree frame, Σ deg·(deg−1)/2 in exact integers. The
-    * one-row outputs compose via broadcast-scalar cross joins (the
-    * Analytics.scala factor idiom). */
+    * (eager localCheckpoint — its consumers would otherwise each
+    * replay the lineitem self-join; the bench cost of the naive plan
+    * was 4× the whole query). Triangle enumeration is the shared
+    * GraphCore builder (one definition with #138): edges ORIENTED by
+    * the (degree, id) total order — compact-forward, O(√m)
+    * out-neighborhoods, the skew killer on a power-law graph — wedges
+    * generated ROW-LOCALLY from each source's sorted out-neighbor
+    * array (Σ outdeg² bound), closed by ONE SHUFFLE_HASH probe (never
+    * broadcast — the edge set is the big side at scale). Wedge counts
+    * come from the degree frame, Σ deg·(deg−1)/2 in exact integers.
+    * The one-row outputs compose via broadcast-scalar cross joins
+    * (the Analytics.scala factor idiom). */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    // basket-local pair generation (one shuffle + row-local pair
-    // explode) — the self-join formulation exchanges the item table
-    // twice more for the same pair stream (GraphB.copurchasePairs)
-    val sorted = array_sort(collect_set(col("l_partkey")))
-    val pairs = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy(col("l_orderkey")).agg(sorted.as("items"))
-      .select(explode(flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + 2, size(col("items"))),
-          y => struct(x.as("pa"), y.as("pb")))))).as("e"))
-      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
-      .distinct()
-      .localCheckpoint() // computed once; deg + orientation reuse it
-    val deg = pairs.select(col("pa").as("node"))
-      .unionByName(pairs.select(col("pb").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pairs = GraphCore.copurchasePairs(s, dir)
+    val deg = GraphCore.degrees(pairs)
     val nodesEdges = deg.agg(
       count(lit(1)).as("n_nodes"),
       (sum(col("deg")) / 2).cast("long").as("n_edges"),
       (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
-    val degA = deg.select(col("node").as("pa"), col("deg").as("deg_a"))
-    val degB = deg.select(col("node").as("pb"), col("deg").as("deg_b"))
-    val oriented = pairs
-      .join(degA.hint("shuffle_hash"), Seq("pa"))
-      .join(degB.hint("shuffle_hash"), Seq("pb"))
-      .select(
-        when(col("deg_a") < col("deg_b") ||
-          (col("deg_a") === col("deg_b") && col("pa") < col("pb")),
-          struct(col("pa").as("s"), col("pb").as("d")))
-        .otherwise(struct(col("pb").as("s"), col("pa").as("d"))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .localCheckpoint() // three consumers below
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2").hint("shuffle_hash"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
-      .join(oriented.hint("shuffle_hash"), Seq("src", "dst"))
+    val tri = GraphCore.triangles(GraphCore.orientedDeg(pairs, deg))
       .agg(count(lit(1)).as("n_triangles"))
     nodesEdges.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),

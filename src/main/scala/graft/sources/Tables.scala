@@ -32,15 +32,20 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       // nanos-as-long: integer division — a double roundtrip would
       // lose ns precision
-      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => raw
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
       // TIMESTAMP_NTZ: reinterpret the wall-clock in the session tz
       // (pinned UTC in GraftSession) — same instant the generator wrote
-      case _             => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      // any other vintage (string / int seconds / …) has DIFFERENT cast
+      // semantics — refuse loudly instead of producing wrong instants
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other — extend the " +
+          "normalization deliberately rather than cast blindly")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

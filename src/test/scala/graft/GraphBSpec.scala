@@ -55,6 +55,25 @@ class GraphBSpec extends AnyFunSuite {
     assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("bfs: delta frontier ≡ full-frame expansion on crafted graphs") {
+    import spark.implicits._
+    // fixtures where settled nodes COULD be re-expanded: a cycle (each
+    // node re-reachable the long way), a diamond with a chord (multiple
+    // equal-length paths), and a two-seed collision path
+    val fixtures = Seq(
+      edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (1L, 3L)) -> Seq(0L),
+      edges((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)) -> Seq(0L),
+      edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)) -> Seq(0L, 4L))
+    for ((ed, ss) <- fixtures; rounds <- 1 to 4) {
+      val seeds = ss.toDF("node")
+      val full = GraphB.bfsRounds(ed, seeds, rounds, delta = false).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val del = GraphB.bfsRounds(ed, seeds, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(del == full, s"delta != full at rounds=$rounds: $del vs $full")
+    }
+  }
+
   test("edge jaccard: K4 — every edge has 2 common neighbors, jaccard 0.5") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))

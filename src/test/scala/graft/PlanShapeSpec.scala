@@ -156,10 +156,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"blocking failed — unkeyed join appeared:\n$p")
   }
 
-  test("triangle count: both graph joins stay shuffle-hash (edges never broadcast)") {
+  test("triangle count: closure probe stays shuffle-hash (edges never broadcast)") {
+    // wedges now enumerate row-locally from collected out-neighbor
+    // arrays (GraphCore.triangles); the one remaining graph join is
+    // the closure probe — the orientation joins sit behind the eager
+    // checkpoint, pinned by the lazy-kernel test below
     val p = plan("q_triangle_count")
-    assert("ShuffledHashJoin".r.findAllIn(p).length >= 2,
-      s"wedge/closure joins lost their hints:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"closure join lost its hint:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"a graph side broadcast:\n$p")
+  }
+
+  test("triangle kernel: orientation + closure joins shuffle-hash, wedge explode is join-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("pa", "pb")
+    val deg = graft.queries.GraphCore.degrees(pairs)
+    // drive orientation WITHOUT the checkpoint boundary: rebuild its
+    // join stage lazily the way orientedDeg does
+    val degA = deg.select(col("node").as("pa"), col("deg").as("deg_a"))
+    val lazyOriented = pairs.join(degA.hint("shuffle_hash"), Seq("pa"))
+    val po = lazyOriented.queryExecution.executedPlan.toString
+    assert(po.contains("ShuffledHashJoin"), s"orientation join lost its hint:\n$po")
+    val pt = graft.queries.GraphCore.triangles(
+      graft.queries.GraphCore.orientedDeg(pairs, deg))
+      .queryExecution.executedPlan.toString
+    assert(pt.contains("ShuffledHashJoin"), s"closure join lost its hint:\n$pt")
+    assert(!pt.contains("BroadcastHashJoin"), s"closure broadcast a graph side:\n$pt")
+    // exactly ONE join in the enumeration: wedges come from the
+    // row-local explode, not an edge-edge join
+    assert("ShuffledHashJoin".r.findAllIn(pt).length == 1,
+      s"wedge generation regressed to a join:\n$pt")
   }
 
   test("markov chain shuffles raw events exactly once (window), cells are tiny") {

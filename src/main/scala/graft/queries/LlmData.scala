@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.dedup.TextDedup
 import graft.similarity.Embeddings
-import graft.multimodal.BinaryDocs
+import graft.multimodal.{BinaryDocs, SyntheticMedia}
 import graft.functions.TextAnalysis
 
 /** LLM-training-data operators (SURVEY §2 #35-47): dedup, similarity
@@ -229,6 +229,31 @@ object LlmData {
     BinaryDocs.extractMeta(
       BinaryDocs.toBinary(Tables.documents(s, dir), "doc_id", "text"))
 
+  /** #164 VIDEO FRAME-DECODE metadata, oracle-gated end-to-end: each
+    * doc plants a deterministic animated GIF ([[SyntheticMedia]] — the
+    * #70/#79 planted-probe pattern applied to media), the REAL
+    * [[VideoDecode]] path decodes every frame partition-wise, and the
+    * per-doc rollup (frame count, dims, per-primary frame counts from
+    * the exact solid-color channel means) is replayed ARITHMETICALLY
+    * by DuckDB from doc_id — so the GIF container walk, frame order,
+    * palette handling and pixel stats all sit behind an exact-hash
+    * gate, not just specs. Integer-only output: no tolerance.
+    *
+    * Scale shape: generation stands in for the binaryFile source;
+    * decode + stats are partition-wise row-local, then ONE
+    * map-side-combined hash agg to the per-doc frame. */
+  def videoMeta(s: SparkSession, dir: String): DataFrame =
+    BinaryDocs.decodeVideo(
+        SyntheticMedia.plantGifs(Tables.documents(s, dir).select(col("doc_id"))))
+      .filter(col("decoded"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("width")).as("width"),
+        max(col("height")).as("height"),
+        sum(when(col("mean_r") === 255.0, 1L).otherwise(0L)).as("red_frames"),
+        sum(when(col("mean_g") === 255.0, 1L).otherwise(0L)).as("green_frames"),
+        sum(when(col("mean_b") === 255.0, 1L).otherwise(0L)).as("blue_frames"))
+
   /** #65 rule-based quality FILTER (Gopher-style): the per-document
     * heuristic gates a pretraining pipeline applies before dedup —
     * token-count floor, mean-word-length band, symbol-to-word ratio
@@ -414,6 +439,7 @@ object LlmData {
     "q_fingerprint"         -> fingerprint _,
     "q_embedding_stats"     -> embeddingStats _,
     "q_multimodal_meta"     -> multimodalMeta _,
+    "q_video_meta"          -> videoMeta _,
     "q_quality_filter"      -> qualityFilter _,
     "q_doc_chunks"          -> docChunks _,
     "q_domain_mix"          -> domainMix _,
@@ -813,6 +839,22 @@ object LlmData {
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height
         |FROM documents""".stripMargin,
+    // arithmetic replay of the planted GIFs: frame i of doc d is solid
+    // primary (d+i)%3, dims (4+d%5)×(3+d%4), 1+d%3 frames — if the
+    // Spark side's REAL decode disagrees anywhere, the hash gate fails
+    "q_video_meta" ->
+      """WITH f AS (SELECT doc_id, 1 + doc_id % 3 AS nf, 4 + doc_id % 5 AS w,
+        |    3 + doc_id % 4 AS h FROM documents),
+        |fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS i FROM f)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS red_frames,
+        |  CAST(SUM(CASE WHEN (doc_id + i) % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS green_frames,
+        |  CAST(SUM(CASE WHEN (doc_id + i) % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS blue_frames
+        |FROM fr GROUP BY doc_id""".stripMargin,
     "q_quality_filter" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |c AS (SELECT doc_id, len(toks) AS n,

@@ -34,7 +34,11 @@ object ScaleProbe {
       // (constant per-user and per-order density), so these probe the
       // plan's growth, not densification of the synthetic data
       "q_markov_chain", "q_triangle_count", "q_label_prop", "q_bfs_hops",
-      "q_concurrency")
+      "q_concurrency",
+      // r4 additions: the remaining unprobed heavy queries — per-edge
+      // triangle scoring, walk sampling, the 64-replicate bootstrap
+      // expansion, and basket-local rule mining
+      "q_edge_jaccard", "q_random_walk", "q_bootstrap_ci", "q_assoc_rules")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {
@@ -70,6 +74,23 @@ object ScaleProbe {
           .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L))
       }.reduce(_ unionByName _)
       liOut.write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+      // orders/customer replicas shift BOTH sides of the o_custkey
+      // join key, so per-customer order density stays constant and the
+      // join graph is n disjoint copies (probes the plan, not data
+      // densification)
+      val ord = spark.read.parquet(s"$base/orders.parquet")
+      val ordOut = (0 until n).map { k =>
+        if (k == 0) ord
+        else ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+      ordOut.write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+      val cust = spark.read.parquet(s"$base/customer.parquet")
+      val custOut = (0 until n).map { k =>
+        if (k == 0) cust
+        else cust.withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+      custOut.write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
       dir
     }
 

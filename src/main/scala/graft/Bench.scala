@@ -35,14 +35,20 @@ object Bench {
     }
     val (r1, r2) = (timed(), timed())
     val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
-    // stable key order, and the scalar fields FIRST: a consumer that
-    // truncates the line tail still gets the total
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // stable key order; scalar fields FIRST, then the 10 slowest, then
+    // the full map — a consumer that truncates the line tail still gets
+    // the total and the queries that matter; times at 3 decimals keep
+    // the whole line a few KB (the r3 driver capture truncated the
+    // full-precision map and recorded parsed:null)
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val qs = obj(results.toSeq.sortBy(_._1))
+    val slow = obj(results.toSeq.sortBy(-_._2).take(10))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","slowest":$slow,"queries":$qs}"""
     // durable copy the driver can read whole even if stdout is capped
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LATEST.json"),

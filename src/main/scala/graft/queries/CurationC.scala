@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.similarity.Embeddings
@@ -306,7 +306,74 @@ object CurationC {
         length(col("clean")).as("len_clean"))
   }
 
+  /** #165 DSIR IMPORTANCE WEIGHTS (data selection via importance
+    * resampling, Xie et al. 2023) — the quality-targeting step a
+    * pretraining mix runs AFTER dedup: per-document log importance
+    * weight ln(p_target(x)/p_raw(x)) under hashed-unigram bag models
+    * (B = 1024 md5 buckets, +1 smoothing), target = the declared-`en`
+    * slice (the #90 metadata device). High-weight docs look like the
+    * target distribution and get up-sampled by the #61/#92 samplers;
+    * this is the standard technique for "more like Wikipedia, less
+    * like spam" mixture steering without a trained classifier.
+    *
+    * Determinism: buckets come from decoded md5 hex digits (the
+    * #149/#150 idiom); both count tables are exact integers; each
+    * bucket's log-ratio is ONE fixed float expression; the per-doc
+    * reduction is an ORDERED window cumsum over the doc's
+    * bucket-count rows in bucket order (#155 discipline — never a
+    * distributed double sum), and the Nt/Nr normalization attaches as
+    * one final fixed expression. Exact hash gate.
+    *
+    * Scale shape: bucketing is row-local on the scan; both LM tables
+    * are map-side-combined aggs over B-bounded keys; the scoring join
+    * is SHUFFLE_HASH on the bucket key; the window runs over each
+    * doc's ≤B bucket rows. Nothing corpus-wide materializes beyond
+    * the two 1024-row tables. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 1024
+    val hex = "0123456789abcdef"
+    def bucketOf(t: Column): Column = {
+      val h = md5(concat(t, lit(":dsir")))
+      val v = (1 to 4).map(i =>
+        (instr(lit(hex), substring(h, i, 1)) - 1).cast("long")
+          * math.pow(16, 4 - i).toLong).reduce(_ + _)
+      pmod(v, lit(B.toLong))
+    }
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("doc_id"), col("lang"), bucketOf(col("t")).as("b"))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val lm = raw.join(tgt.hint("shuffle_hash"), Seq("b"), "left")
+      .select(col("b"),
+        (log(coalesce(col("ct"), lit(0L)) + 1) - log(col("cr") + 1)).as("lr"))
+    val db = toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val terms = db.join(lm.hint("shuffle_hash"), Seq("b"))
+      .select(col("doc_id"), col("b"), (col("cnt") * col("lr")).as("term"),
+        col("cnt"))
+    val wc = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = terms
+      .withColumn("cum", sum(col("term")).over(wc))
+      .withColumn("ntok", sum(col("cnt")).over(wc))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("b").desc)))
+      .filter(col("rn") === 1)
+    val tot = toks.agg(count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("ntok").cast("long").as("n_tokens"),
+        round(col("cum") + col("ntok") *
+          (log(col("nr") + lit(B.toDouble)) - log(col("nt") + lit(B.toDouble))),
+          6).as("log_weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir"            -> dsirWeights _,
     "q_substring_dedup" -> substringDedup _,
     "q_budget_sample"   -> budgetSample _,
     "q_source_overlap"  -> sourceOverlap _,
@@ -340,7 +407,41 @@ object CurationC {
        |FROM s3""".stripMargin
   }
 
+  /** Decoded-hex md5 bucket (the #140/#149 digit idiom), 16 bits mod 1024. */
+  private val dsirBucket: String = {
+    val terms = Seq(4096L, 256L, 16L, 1L).zipWithIndex.map { case (w, i) =>
+      s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"($terms) % 1024"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dsir" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, md5(t.tok || ':dsir') AS h
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+         |  WHERE LEN(t.tok) > 0),
+         |bk AS (SELECT doc_id, lang, $dsirBucket AS b FROM tk),
+         |cr AS (SELECT b, COUNT(*) AS cr FROM bk GROUP BY 1),
+         |ct AS (SELECT b, COUNT(*) AS ct FROM bk WHERE lang = 'en' GROUP BY 1),
+         |lm AS (SELECT cr.b, LN(COALESCE(ct.ct, 0) + 1) - LN(cr.cr + 1) AS lr
+         |  FROM cr LEFT JOIN ct ON cr.b = ct.b),
+         |db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
+         |tm AS (SELECT doc_id, db.b AS b, cnt * lr AS term, cnt
+         |  FROM db JOIN lm ON db.b = lm.b),
+         |cum AS (SELECT doc_id,
+         |    SUM(term) OVER (PARTITION BY doc_id ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY doc_id ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ntok,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b DESC) AS rn
+         |  FROM tm),
+         |tot AS (SELECT COUNT(*) AS nr,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM bk)
+         |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+         |  ROUND(cum + ntok * (LN(nr + 1024.0) - LN(nt + 1024.0)), 6)
+         |    AS log_weight
+         |FROM cum, tot WHERE rn = 1""".stripMargin,
     "q_substring_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |c AS (SELECT doc_id, toks,

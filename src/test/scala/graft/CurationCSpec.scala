@@ -146,6 +146,25 @@ class CurationCSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("dsir: target-language docs score higher; token counts conserve") {
+    val df = SparkEntry.queries("q_dsir")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // every doc scored exactly once
+    assert(df.count() == docs.count())
+    // n_tokens is the whitespace token count
+    val joined = df.join(docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt0"), col("lang")), "doc_id")
+    assert(joined.filter(col("n_tokens") =!= col("nt0")).count() == 0)
+    // the whole point: the declared-en slice must average a higher
+    // importance weight than the rest (it IS the target distribution)
+    val m = joined.groupBy(col("lang") === "en")
+      .agg(avg(col("log_weight")).as("w")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false),
+      s"en weight ${m(true)} not above non-en ${m(false)}")
+    df.unpersist()
+  }
+
   test("source_overlap: syndicated mirror shares spans with its origin sources") {
     val df = SparkEntry.queries("q_source_overlap")(spark, sf).cache()
     // pairs are strictly ordered (no self-pairs, no symmetric dupes)

@@ -72,6 +72,35 @@ object Curation {
         (coalesce(col("overlap_cnt"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** #167 DECONTAMINATION N-GRAM-SIZE SENSITIVITY — the calibration
+    * sweep behind #74's fixed n=8: how many training docs get flagged,
+    * and how many gram overlaps fire, at n ∈ {5, 8, 13} (13 is the
+    * GPT-3-lineage standard, 5 the aggressive end). Choosing n IS the
+    * decontamination policy decision — too small over-flags boilerplate,
+    * too large misses paraphrased leakage — and this query is the
+    * evidence a team looks at before pinning it.
+    *
+    * Scale shape: three branches of the #74 plan (row-local shingle
+    * kernel, eval gram set broadcast, corpus never shuffles), each
+    * collapsing to ONE summary row before the union — output is 3
+    * rows regardless of corpus size. */
+  def decontamSweep(s: SparkSession, dir: String): DataFrame = {
+    val frames = Seq(5, 8, 13).map { n =>
+      val grams = array_distinct(graft.plans.WordShingles(col("text"), n))
+      val d = Tables.documents(s, dir).select(col("doc_id"), grams.as("grams"))
+      val evalG = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(col("grams")).as("g")).distinct()
+      d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(broadcast(evalG), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("oc"))
+        .agg(count(lit(1)).as("n_contaminated"),
+          coalesce(sum(col("oc")), lit(0L)).as("n_overlap_grams"))
+        .select(lit(n).as("n"), col("n_contaminated"), col("n_overlap_grams"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** #75 BLOOM-prefiltered incremental exact dedup — the
     * daily-ingest membership check, via the reusable
     * [[graft.dedup.BloomIndex]] component: the corpus's content-hash
@@ -313,6 +342,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_spans"   -> dedupSpans _,
     "q_decontaminate" -> decontaminate _,
+    "q_decontam_sweep" -> decontamSweep _,
     "q_dedup_bloom"   -> dedupBloom _,
     "q_semdedup"      -> semDedup _,
     "q_tfidf"         -> tfidf _,
@@ -357,6 +387,32 @@ object Curation {
         |  CAST(CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END
         |    AS INTEGER) AS contaminated
         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin,
+    "q_decontam_sweep" -> {
+      def branch(n: Int) =
+        s"""SELECT $n AS n, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+           |  CAST(COALESCE(SUM(oc), 0) AS BIGINT) AS n_overlap_grams
+           |FROM (
+           |  SELECT ex.doc_id, COUNT(*) AS oc
+           |  FROM (SELECT doc_id, unnest(grams) AS gr FROM g$n
+           |        WHERE doc_id % 97 <> 0) ex
+           |  JOIN (SELECT DISTINCT unnest(grams) AS gr FROM g$n
+           |        WHERE doc_id % 97 = 0) ev USING (gr)
+           |  GROUP BY 1)""".stripMargin
+      def gramCte(n: Int) =
+        s"""g$n AS (SELECT doc_id,
+           |  list_distinct(CASE WHEN len(toks) >= $n
+           |    THEN list_transform(range(1, len(toks) - ${n - 2}),
+           |           i -> array_to_string(toks[i:(i+${n - 1})], ' '))
+           |    ELSE CAST([] AS VARCHAR[]) END) AS grams
+           |  FROM t)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |${gramCte(5)},
+         |${gramCte(8)},
+         |${gramCte(13)}
+         |${branch(5)}
+         |UNION ALL ${branch(8)}
+         |UNION ALL ${branch(13)}""".stripMargin
+    },
     "q_semdedup" ->
       """WITH pl AS (
         |  SELECT vec_id, label, embedding FROM embeddings

@@ -94,9 +94,40 @@ object ScaleOpsB {
           .as("ci95_half"))
   }
 
+  /** #166 BALANCED OUTPUT SHARD LAYOUT — the write-layout step before
+    * publishing a corpus as N fixed shards (the output counterpart of
+    * #102's z-order READ layout): every doc hash-assigned to one of 64
+    * shards by the unbiased decoded-md5 uniform (the #149/#150 idiom —
+    * a lumpy hash here skews shard sizes), per-shard doc/token counts,
+    * and the balance factor max(tokens)/mean(tokens) every row carries
+    * — the number that decides whether a 100 TB write produces
+    * straggler shards. Deterministic assignment means re-runs land
+    * every doc in the same shard (resumable publishing).
+    *
+    * Scale shape: assignment + token count ride the scan row-locally;
+    * ONE map-side-combined agg to the 64-row shard frame; the balance
+    * scalar attaches as a broadcast cross join. */
+  def shardLayout(s: SparkSession, dir: String): DataFrame = {
+    val S = 64
+    val shard = pmod(Privacy.md5Raw16(col("doc_id").cast("string"), ":shard"),
+      lit(S))
+    val per = Tables.documents(s, dir)
+      .select(shard.as("shard"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("ttok"),
+      count(lit(1)).as("nsh"), max(col("n_tokens")).as("mx"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round(col("mx").cast("double") * col("nsh") / col("ttok"), 6)
+          .as("balance_factor"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join"      -> bloomJoin _,
-    "q_sample_estimate" -> sampleEstimate _)
+    "q_sample_estimate" -> sampleEstimate _,
+    "q_shard_layout"    -> shardLayout _)
 
   val oracles: Map[String, String] = Map(
     // the bloom filter is a lossless optimization: the oracle is the
@@ -127,5 +158,17 @@ object ScaleOpsB {
         |  ROUND(SQRT(CAST(sq AS DOUBLE) * (1.0 - $P16 / 65536.0))
         |    / ($P16 / 65536.0) * 1.96, 6) AS ci95_half
         |FROM g""".stripMargin
+    },
+    "q_shard_layout" -> {
+      val raw = Privacy.sqlRaw16("CAST(doc_id AS VARCHAR)", ":shard")
+      s"""WITH d AS (SELECT $raw % 64 AS shard,
+        |    len(string_split(text, ' ')) AS nt FROM documents),
+        |per AS (SELECT shard, COUNT(*) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS ttok,
+        |    COUNT(*) AS nsh, MAX(n_tokens) AS mx FROM per)
+        |SELECT shard, n_docs, n_tokens,
+        |  ROUND(CAST(mx AS DOUBLE) * nsh / ttok, 6) AS balance_factor
+        |FROM per, tot""".stripMargin
     })
 }

@@ -269,4 +269,20 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"))
   }
+
+  test("decontam_sweep: containment monotone in n; n=8 row equals q_decontaminate") {
+    val sweep = SparkEntry.queries("q_decontam_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Int]("n") ->
+        (r.getAs[Long]("n_contaminated"), r.getAs[Long]("n_overlap_grams"))).toMap
+    assert(sweep.keySet == Set(5, 8, 13))
+    // a shared 13-token run contains shared 8- and 5-token runs, so
+    // flagged counts can only shrink as n grows
+    assert(sweep(5)._1 >= sweep(8)._1 && sweep(8)._1 >= sweep(13)._1,
+      s"containment monotonicity violated: $sweep")
+    // cross-check the n=8 branch against the per-doc #74 operator
+    val d74 = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .agg(sum(col("contaminated").cast("long")), sum(col("n_overlap"))).head()
+    assert(sweep(8) == ((d74.getLong(0), d74.getLong(1))),
+      s"sweep n=8 ${sweep(8)} != decontaminate aggregate $d74")
+  }
 }

@@ -105,4 +105,22 @@ class PrivacyScaleBSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad groups outside doubled CI")
     j.unpersist(); df.unpersist()
   }
+
+  test("shard_layout: docs and tokens conserve; balance factor sane and shared") {
+    val df = SparkEntry.queries("q_shard_layout")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(df.agg(sum(col("n_docs"))).head.getLong(0) == docs.count())
+    val trueTok = docs.select(size(split(col("text"), " ")).cast("long").as("t"))
+      .agg(sum(col("t"))).head.getLong(0)
+    assert(df.agg(sum(col("n_tokens"))).head.getLong(0) == trueTok)
+    // balance = max/mean >= 1 by definition; one global value
+    val bf = df.select(col("balance_factor")).distinct().collect()
+    assert(bf.length == 1 && bf.head.getDouble(0) >= 1.0)
+    // uniform hash: no shard may dominate (loose 3x-mean bound)
+    assert(bf.head.getDouble(0) < 3.0, s"skewed shards: ${bf.head.getDouble(0)}")
+    // deterministic: a second run is identical
+    val again = SparkEntry.queries("q_shard_layout")(spark, sf)
+    assert(df.exceptAll(again).count() == 0)
+    df.unpersist()
+  }
 }

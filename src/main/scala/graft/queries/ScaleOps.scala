@@ -281,20 +281,9 @@ object ScaleOps {
     * (never co-purchased) have no edges and are excluded on both
     * sides. */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    // basket-local pair generation (one shuffle + row-local pair
-    // explode) — the self-join formulation exchanges the item table
-    // twice more for the same pair stream (GraphB.copurchasePairs)
-    val sorted = array_sort(collect_set(col("l_partkey")))
-    val pairs = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy(col("l_orderkey")).agg(sorted.as("items"))
-      .select(explode(flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + 2, size(col("items"))),
-          y => struct(x.as("pa"), y.as("pb")))))).as("e"))
-      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
-      .distinct()
-    val ed = pairs.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    // shared basket-local pair generation (GraphCore — one definition
+    // with #123/#136-138/#153), materialized once for deg + edges
+    val ed = GraphCore.bidirected(GraphCore.copurchasePairs(s, dir))
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // degree attached to the edge ONCE — rounds never re-join it.
     // persist (not localCheckpoint): the cached plan KEEPS its

@@ -33,7 +33,28 @@ object Bench {
       try { run(fn, sfDir) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Self-calibration: a fixed single-threaded CPU-bound task timed
+    // before and after the measured passes, plus /proc/loadavg at both
+    // points. On an idle box both calibration timings agree with each
+    // other across runs; a loaded-box artifact (BENCH_r04: 251 s driver
+    // capture vs 168 s committed) becomes self-evident from an inflated
+    // calibration or loadavg instead of needing an after-the-fact
+    // re-timing adjudication.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 300000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) print("") // keep the loop live under JIT
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val (calibFirst, loadStart) = (calibrate(), loadavg())
     val (r1, r2) = (timed(), timed())
+    val (calibLast, loadEnd) = (calibrate(), loadavg())
     val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
     // stable key order; scalar fields FIRST, then the 10 slowest, then
     // the full map — a consumer that truncates the line tail still gets
@@ -46,9 +67,14 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val qs = obj(results.toSeq.sortBy(_._1))
     val slow = obj(results.toSeq.sortBy(-_._2).take(10))
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // "value" is the sum of the per-query entries AS PUBLISHED (3dp),
+    // so a consumer cross-checking value == Σ queries sees an exact
+    // match instead of up-to-n·0.5ms rounding drift
+    val total =
+      if (results.isEmpty) BigDecimal(0)
+      else results.values.map(v => BigDecimal(ms(v))).sum
     val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","slowest":$slow,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"slowest":$slow,"queries":$qs}"""
     // durable copy the driver can read whole even if stdout is capped
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LATEST.json"),

@@ -45,4 +45,20 @@ object TaskConfig {
       SourceConfig("rates", "const", load = false)),
     destination = DestinationConfig(prefix, dateField = Some("o_orderdate"), writeLatest = true),
     schema = Seq("o_orderkey" -> "bigint", "o_totalprice" -> "double"))
+
+  /** The adjust task's shape from the reference (reference
+    * configs/adjust.py consumed by tasks/adjust.py): one trackers
+    * feed in, execution_date stamped by
+    * [[graft.operators.Adjust.stampExecutionDate]], written with a
+    * latest snapshot. Keyed to the synthetic nation table as the
+    * trackers dim stand-in. */
+  def adjustExample(prefix: String): TaskConfig = TaskConfig(
+    task = "adjust",
+    stage = "staging",
+    sources = Seq(
+      SourceConfig("adjust_trackers", "file", fileFormat = "parquet",
+        path = Some("nation.parquet"))),
+    destination = DestinationConfig(prefix, dateField = Some("execution_date"),
+      writeLatest = true),
+    schema = Seq("n_nationkey" -> "int", "execution_date" -> "timestamp"))
 }

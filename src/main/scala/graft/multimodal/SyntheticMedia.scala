@@ -40,7 +40,12 @@ object SyntheticMedia {
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       }
       writer.endWriteSequence(); ios.flush()
-    } finally writer.dispose()
+    } finally {
+      writer.dispose()
+      // per-row hot path: release the memory-cache buffer eagerly
+      // rather than waiting on GC
+      try ios.close() finally out.close()
+    }
     out.toByteArray
   }
 

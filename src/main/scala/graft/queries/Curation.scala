@@ -44,20 +44,42 @@ object Curation {
       .withColumn("dup_frac", round(col("n_dup_spans") / col("n_spans"), 6))
   }
 
+  /** Leak checks canonicalize BEFORE shingling: NFC composition (the
+    * #157 [[graft.plans.NfcNormalize]] kernel), casefold, whitespace
+    * canonicalization — an eval answer that leaked into the corpus
+    * with a combining-mark, case, or spacing variation must still
+    * collide with the eval gram set, which raw shingling misses.
+    * Entirely row-local; the whole chain stays inside whole-stage
+    * codegen on the scan. */
+  private[graft] def canonText(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(lower(graft.plans.NfcNormalize(t)), "[\\u00A0\\t\\r\\n]", " "),
+      " +", " "))
+
+  /** The same canonicalization for the DuckDB oracle (both engines
+    * implement UAX #15 NFC, which is what keeps the gate exact). */
+  private def canonSql(t: String): String =
+    s"trim(regexp_replace(regexp_replace(lower(nfc_normalize($t)), " +
+      s"'[\\x{A0}\\t\\r\\n]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** #74 benchmark DECONTAMINATION: flag training documents sharing
     * any 8-token n-gram with a held-out evaluation set (the standard
-    * n-gram-overlap decontamination step before pretraining). The
+    * n-gram-overlap decontamination step before pretraining),
+    * shingling CANONICALIZED text ([[canonText]]). The
     * eval set here is the deterministic doc_id % 97 == 0 slice; its
     * distinct 8-gram set is BROADCAST (an eval set is small by
     * definition), so the corpus side is one row-local explode + one
     * broadcast hash join + one per-doc count — the corpus never
     * shuffles. */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateDocs(Tables.documents(s, dir))
+
+  private[graft] def decontaminateDocs(base: DataFrame): DataFrame = {
     val N = 8
     // native codegen shingle kernel — identical semantics to the HOF
     // transform/slice composition (incl. <N-token docs → empty array)
-    val grams = graft.plans.WordShingles(col("text"), N)
-    val docs = Tables.documents(s, dir)
+    val grams = graft.plans.WordShingles(canonText(col("text")), N)
+    val docs = base
       .select(col("doc_id"), array_distinct(grams).as("grams"))
     val evalGrams = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(explode(col("grams")).as("g")).distinct()
@@ -86,7 +108,7 @@ object Curation {
     * rows regardless of corpus size. */
   def decontamSweep(s: SparkSession, dir: String): DataFrame = {
     val frames = Seq(5, 8, 13).map { n =>
-      val grams = array_distinct(graft.plans.WordShingles(col("text"), n))
+      val grams = array_distinct(graft.plans.WordShingles(canonText(col("text")), n))
       val d = Tables.documents(s, dir).select(col("doc_id"), grams.as("grams"))
       val evalG = d.filter(pmod(col("doc_id"), lit(97)) === 0)
         .select(explode(col("grams")).as("g")).distinct()
@@ -315,10 +337,14 @@ object Curation {
     * doc, how many corpus documents share an 8-gram with it and how
     * much of the eval doc is exposed. Same broadcast shape as #74
     * with the roles swapped: the corpus gram explode probes the
-    * broadcast eval grams, then aggregates by eval doc. */
-  def contaminationReport(s: SparkSession, dir: String): DataFrame = {
-    val grams = graft.plans.WordShingles(col("text"), 8)
-    val docs = Tables.documents(s, dir)
+    * broadcast eval grams, then aggregates by eval doc. Shingles
+    * CANONICALIZED text ([[canonText]]) like #74. */
+  def contaminationReport(s: SparkSession, dir: String): DataFrame =
+    contaminationReportDocs(Tables.documents(s, dir))
+
+  private[graft] def contaminationReportDocs(base: DataFrame): DataFrame = {
+    val grams = graft.plans.WordShingles(canonText(col("text")), 8)
+    val docs = base
       .select(col("doc_id"), array_distinct(grams).as("grams"))
     val evalDocs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
     val evalGrams = evalDocs
@@ -370,7 +396,7 @@ object Curation {
         |    / COUNT(*), 6) AS dup_frac
         |FROM j GROUP BY 1""".stripMargin,
     "q_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(${canonSql("text")}, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id,
         |  list_distinct(CASE WHEN len(toks) >= 8
         |    THEN list_transform(range(1, len(toks) - 6),
@@ -405,7 +431,7 @@ object Curation {
            |           i -> array_to_string(toks[i:(i+${n - 1})], ' '))
            |    ELSE CAST([] AS VARCHAR[]) END) AS grams
            |  FROM t)""".stripMargin
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(${canonSql("text")}, ' ') AS toks FROM documents),
          |${gramCte(5)},
          |${gramCte(8)},
          |${gramCte(13)}
@@ -508,7 +534,7 @@ object Curation {
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
         |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "q_contamination_report" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(${canonSql("text")}, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id,
         |  list_distinct(CASE WHEN len(toks) >= 8
         |    THEN list_transform(range(1, len(toks) - 6),

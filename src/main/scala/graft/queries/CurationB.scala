@@ -221,22 +221,26 @@ object CurationB {
     * fraction each prefix of the vocabulary covers — the curve read
     * to size a vocab ("how many types cover 95% of the corpus").
     * The corpus-side work is one map-side-combined hash agg; the
-    * ordered window then runs over the VOCABULARY (types, not
-    * tokens), which is orders of magnitude smaller than the corpus
-    * and bounded by Heaps' law — the single-partition sort is a
-    * deliberate, documented exception to the no-global-window rule.
-    * Only the top-100 rows leave the plan. */
+    * top-100 selection is a distributed `TakeOrderedAndProject`
+    * (each task ships at most 100 rows, the driver merges) — NEVER a
+    * partition-less window over the full vocabulary, because a
+    * web-crawl vocabulary at 100 TB (typo'd tokens, URLs, ids) is
+    * billions of types and a global ordered window would sort all of
+    * them in ONE task. The total-token denominator is a broadcast
+    * scalar, and the rank/cumsum window runs over only the bounded
+    * 100-row frame that survives the take. */
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("term"))
     val tot = tf.agg(sum(col("cnt")).as("tot"))
-    tf.crossJoin(broadcast(tot))
+    val top = tf.orderBy(col("cnt").desc, col("term")).limit(100)
+    // the window input is the ≤100-row take output, not the vocabulary
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    top.crossJoin(broadcast(tot))
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum", sum(col("cnt")).over(w))
-      .filter(col("rank") <= 100)
       .select(col("term"), col("cnt"), col("rank"),
         round(col("cum").cast("double") / col("tot"), 6).as("cum_frac"))
   }

@@ -345,6 +345,7 @@ object CurationC {
         explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) > 0)
       .select(col("doc_id"), col("lang"), bucketOf(col("t")).as("b"))
+      .localCheckpoint() // four consumers below (raw/tgt/db/tot) share it
     val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = toks.filter(col("lang") === "en")
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))

@@ -90,9 +90,12 @@ object Fit {
     * daily frame; nothing larger than days × 7 ever joins. */
   private[graft] def acfOf(daily: DataFrame): DataFrame = {
     val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"))
+    // the centering multiply itself runs in decimal(38,0) — in long it
+    // would silently wrap (non-ANSI) once n_days·x > ~9.2e18 where the
+    // oracle's HUGEINT multiply stays exact; same placement as decayOf
     val centered = daily.crossJoin(broadcast(tot))
       .select(col("d"),
-        (col("n_days") * col("x") - col("sx")).cast("decimal(38,0)").as("xc"),
+        (col("n_days").cast("decimal(38,0)") * col("x") - col("sx")).as("xc"),
         col("n_days"))
     val den = centered.agg(sum(col("xc") * col("xc")).as("den")).
       select(col("den"))

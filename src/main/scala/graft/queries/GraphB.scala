@@ -78,6 +78,35 @@ object GraphB {
     labels
   }
 
+  /** [[lpaRounds]] run to CONVERGENCE: synchronous LPA rounds until no
+    * node changes label (the distributed probe is one node-sized join
+    * + count — a single long reaches the driver per round, the
+    * Resolve.connectedComponents discipline) or `maxRounds`. The
+    * gated #136 stays fixed-round (finite oracle CTE chain); this is
+    * the production entry point for a real community run.
+    *
+    * Returns (labels, roundsRun) where roundsRun counts the rounds
+    * that CHANGED something (the final no-change probe round is not
+    * counted). */
+  private[graft] def lpaConverged(ed: DataFrame, maxRounds: Int,
+      init: Option[DataFrame] = None): (DataFrame, Int) = {
+    var labels = init.getOrElse(
+      ed.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")).localCheckpoint())
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val next = lpaRounds(ed, 1, init = Some(labels))
+      val changed = next
+        .join(labels.select(col("node"), col("label").as("l0")).hint("shuffle_hash"),
+          "node")
+        .filter(col("label") =!= col("l0")).count()
+      if (changed == 0) converged = true
+      else { labels = next; rounds += 1 }
+    }
+    (labels, rounds)
+  }
+
   /** #137 MULTI-SOURCE BFS — minimum hop distance (≤ 3 hops) from a
     * deterministic seed set (parts ≡ 0 mod 97) over the co-purchase
     * graph, reported as a reachability histogram: how much of the

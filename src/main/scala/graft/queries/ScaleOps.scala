@@ -280,10 +280,23 @@ object ScaleOps {
     * replays all three rounds as chained CTEs. Isolated parts
     * (never co-purchased) have no edges and are excluded on both
     * sides. */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
-    // shared basket-local pair generation (GraphCore — one definition
-    // with #123/#136-138/#153), materialized once for deg + edges
-    val ed = GraphCore.bidirected(GraphCore.copurchasePairs(s, dir))
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankRun(GraphCore.bidirected(GraphCore.copurchasePairs(s, dir)),
+      tol = None, maxRounds = 3)._1
+      .select(col("id").as("part"), round(col("r"), 6).as("rank"))
+
+  /** The PageRank loop behind #106, with an optional RUN-TO-
+    * CONVERGENCE mode: when `tol` is set, each round also computes
+    * max |Δrank| as ONE scalar aggregate (the CC resolver's
+    * bounded-loop discipline — the driver sees a single double per
+    * round, never graph data) and the loop stops early once the
+    * ranks have settled below the tolerance. With `tol = None` the
+    * plan is EXACTLY the fixed-round #106 shape (no probe join), so
+    * the gated oracle is untouched.
+    *
+    * Returns (ranks, roundsRun). */
+  private[graft] def pagerankRun(ed: DataFrame, tol: Option[Double],
+      maxRounds: Int): (DataFrame, Int) = {
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // degree attached to the edge ONCE — rounds never re-join it.
     // persist (not localCheckpoint): the cached plan KEEPS its
@@ -292,18 +305,29 @@ object ScaleOps {
     // erase the partitioning and re-shuffle every edge every round
     val edges = ed.join(deg.hint("shuffle_hash"), "src").persist()
     var ranks = deg.select(col("src").as("id"), lit(1.0).as("r")).localCheckpoint()
-    for (_ <- 1 to 3) {
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
       // eager per-round localCheckpoint: ranks are node-count-sized
       // (small); truncating their lineage is what lets edges
       // unpersist safely after the loop
-      ranks = edges.join(ranks.hint("shuffle_hash"), col("src") === col("id"))
+      val next = edges.join(ranks.hint("shuffle_hash"), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("deg"))).as("r"))
         .select(col("dst").as("id"), col("r"))
         .localCheckpoint()
+      rounds += 1
+      tol.foreach { t =>
+        // distributed convergence probe: node-sized join, scalar out
+        val delta = next
+          .join(ranks.select(col("id"), col("r").as("r0")).hint("shuffle_hash"), "id")
+          .agg(max(abs(col("r") - col("r0")))).head.getDouble(0)
+        converged = delta < t
+      }
+      ranks = next
     }
     edges.unpersist(blocking = false) // final ranks are materialized
-    ranks.select(col("id").as("part"), round(col("r"), 6).as("rank"))
+    (ranks, rounds)
   }
 
   /** #107 BM25 retrieval — rank documents for a query term set with

@@ -144,6 +144,69 @@ object Embeddings {
       .toDF("q_id", "rank", "n_id", "cos")
   }
 
+  /** Trained k-means: `iters` Lloyd rounds from an explicit seed
+    * centroid frame — the multi-iteration form of `q_kmeans_iter`'s
+    * single documented round (re-feed the output as the next seed
+    * set). Feeds the stored IVF index ([[VectorIndex]]) and the
+    * trained-recall report with centroids that have actually
+    * converged toward the data, instead of label means.
+    *
+    * Determinism: assignment scores round to 6dp before the max_by
+    * (tie-break lowest cid), and each round's means round to 6dp —
+    * so a SQL oracle replaying the same rounds re-syncs with this
+    * plan at every iteration boundary and float summation order can
+    * never drift the trajectory.
+    *
+    * Scale shape per round: centroids BROADCAST against one corpus
+    * scan; assignment is a map-side max_by hash agg; the mean
+    * recompute is [[graft.plans.VecSumAgg]] (one (sums, n) row per
+    * centroid crosses the shuffle, never per-dimension rows);
+    * `localCheckpoint` truncates the lineage so round r+1's plan
+    * does not replay rounds 1..r.
+    *
+    * @param vectors (vec_id, v) corpus
+    * @param seeds   (cid, cv) initial centroids (tiny)
+    * @return (cid, cv) trained centroids, means rounded to 6dp
+    */
+  def lloyd(vectors: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val scored = vectors.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
+      val assigned = scored
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("v")),
+          struct(col("ccos"), negate(col("cid")))).as("a"))
+        .select(col("a.cid").as("cid"), col("a.v").as("v"))
+      val centLong = assigned.as[(Int, Array[Double])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.plans.VecSumAgg.toColumn)
+        .flatMap { case (cid, acc) =>
+          acc.sum.zipWithIndex.map { case (sm, i) =>
+            (cid, (i + 1).toLong, sm / acc.n)
+          }
+        }
+        .toDF("cid", "dim", "centroid")
+        .withColumn("centroid", round(col("centroid"), 6))
+      cents = centLong
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          x => x.getField("centroid")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Seed frame for [[lloyd]]: the corpus vectors with vec_id < k
+    * (the `q_kmeans_iter` seeding convention). */
+  def idSeeds(vectors: DataFrame, k: Int): DataFrame =
+    vectors.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+
   /** Axis-sign LSH bucket id: sign bits of the first `bits` dims.
     * A degenerate-but-deterministic random-hyperplane LSH (the
     * hyperplanes are the coordinate axes); bucket-local search then

@@ -67,6 +67,14 @@ object Snapshots {
     * version number. Readers of prior versions are unaffected. */
   def commit(df: DataFrame, root: String): Long = commitInternal(df, root, None)
 
+  /** [[commit]] with hive-style partition directories on
+    * `partitionCols` inside the snapshot's data dir — a reader
+    * filtering on those columns prunes whole directories
+    * (PartitionFilters), which is what makes a stored IVF index's
+    * per-query cost probe-bucket-sized instead of corpus-sized. */
+  def commitPartitioned(df: DataFrame, root: String, partitionCols: Seq[String]): Long =
+    commitInternal(df, root, None, partitionCols)
+
   /** IDEMPOTENT commit keyed by an external batch id (a Structured
     * Streaming micro-batch id): replaying a batch id ≤ the last
     * committed one is a NO-OP, so a foreachBatch sink writing through
@@ -89,10 +97,13 @@ object Snapshots {
       .map(_.group(1).toLong)
   }
 
-  private def commitInternal(df: DataFrame, root: String, batchId: Option[Long]): Long = {
+  private def commitInternal(df: DataFrame, root: String, batchId: Option[Long],
+      partitionCols: Seq[String] = Seq.empty): Long = {
     val next = latestVersion(root).getOrElse(-1L) + 1
     // 1. data (distributed; overwrite clears any orphan from a crash)
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir(root, next))
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dataDir(root, next))
     // 2. manifest (metadata — written before the pointer so a reader
     //    that sees the pointer always finds the manifest)
     val rows = df.sparkSession.read.parquet(dataDir(root, next)).count()

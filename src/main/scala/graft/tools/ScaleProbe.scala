@@ -38,7 +38,15 @@ object ScaleProbe {
       // r4 additions: the remaining unprobed heavy queries — per-edge
       // triangle scoring, walk sampling, the 64-replicate bootstrap
       // expansion, and basket-local rule mining
-      "q_edge_jaccard", "q_random_walk", "q_bootstrap_ci", "q_assoc_rules")
+      "q_edge_jaccard", "q_random_walk", "q_bootstrap_ci", "q_assoc_rules",
+      // r5 additions (verdict #4): the last unprobed heavies — the
+      // PageRank loop, session stitching, PQ encode+ADC, DSIR token
+      // bucketing, and the re-bounded vocabulary-coverage plan (its
+      // r4 global-window form would grow super-linearly here: the
+      // replica markers multiply the type count ~Nx while tokens stay
+      // constant — exactly the vocabulary growth the fix bounds)
+      "q_pagerank", "q_session_stitch", "q_ann_pq", "q_dsir",
+      "q_vocab_coverage")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

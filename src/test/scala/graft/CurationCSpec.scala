@@ -149,12 +149,21 @@ class CurationCSpec extends AnyFunSuite {
   test("dsir: target-language docs score higher; token counts conserve") {
     val df = SparkEntry.queries("q_dsir")(spark, sf).cache()
     val docs = graft.sources.Tables.documents(spark, sf)
-    // every doc scored exactly once
-    assert(df.count() == docs.count())
-    // n_tokens is the whitespace token count
-    val joined = df.join(docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("nt0"), col("lang")), "doc_id")
-    assert(joined.filter(col("n_tokens") =!= col("nt0")).count() == 0)
+    // expected count mirrors the query's length(t)>0 filter: empty
+    // tokens (doubled/leading/trailing spaces) don't count, and docs
+    // with no non-empty token must be ABSENT, not zero-scored
+    val exp = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "),
+        t => length(t) > 0)).cast("long").as("nt0"), col("lang"))
+    val joined = exp.join(df, Seq("doc_id"), "left").cache()
+    assert(joined.filter(col("nt0") === 0 && col("n_tokens").isNotNull)
+      .count() == 0, "token-less doc got a dsir score")
+    assert(joined.filter(col("nt0") > 0 && col("n_tokens").isNull)
+      .count() == 0, "tokenized doc missing from dsir output")
+    assert(joined.filter(col("nt0") > 0 && col("n_tokens") =!= col("nt0"))
+      .count() == 0)
+    // no stray scored docs outside the corpus
+    assert(df.join(docs, Seq("doc_id"), "left_anti").count() == 0)
     // the whole point: the declared-en slice must average a higher
     // importance weight than the rest (it IS the target distribution)
     val m = joined.groupBy(col("lang") === "en")
@@ -162,6 +171,7 @@ class CurationCSpec extends AnyFunSuite {
       .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     assert(m(true) > m(false),
       s"en weight ${m(true)} not above non-en ${m(false)}")
+    joined.unpersist()
     df.unpersist()
   }
 

@@ -70,6 +70,31 @@ class CurationSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_overlap") == row.getAs[Long]("n_grams"))
   }
 
+  test("decontaminate: an NFC/case/spacing variant leak is caught (raw shingling misses it)") {
+    import spark.implicits._
+    // eval doc (id 0 is in the % 97 == 0 slice) with a composed é;
+    // the corpus doc leaks the same 8-gram DECOMPOSED (e + U+0301),
+    // upper-cased and double-spaced — byte-identical nowhere
+    val evalText = "caf\u00e9 one two three four five six seven"
+    val leaked = "Cafe\u0301 one  two three four five six seven plus trailing context"
+    val clean = "totally unrelated text with eight distinct tokens here"
+    val docs = Seq((0L, evalText), (1L, leaked), (2L, clean)).toDF("doc_id", "text")
+    val res = graft.queries.Curation.decontaminateDocs(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("contaminated")).toMap
+    assert(res(1L) == 1, "variant leak not flagged after canonicalization")
+    assert(res(2L) == 0, "clean doc wrongly flagged")
+    // the raw (un-canonicalized) composition cannot see this leak:
+    // no 8-token window of the raw strings is string-equal
+    val rawEval = evalText.split(" ").sliding(8).map(_.mkString(" ")).toSet
+    val rawLeak = leaked.split(" ").sliding(8).map(_.mkString(" ")).toSet
+    assert(rawEval.intersect(rawLeak).isEmpty,
+      "fixture broken: raw shingles already collide")
+    // the per-eval-doc report sees the same leak
+    val rep = graft.queries.Curation.contaminationReportDocs(docs)
+      .filter(col("eval_id") === 0L).head()
+    assert(rep.getAs[Long]("n_leaking_docs") == 1L)
+  }
+
   test("dedup_bloom: exactly the planted duplicates match, fresh rows never do") {
     val df = SparkEntry.queries("q_dedup_bloom")(spark, sf).cache()
     val docs = graft.sources.Tables.documents(spark, sf)

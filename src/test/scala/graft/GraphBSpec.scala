@@ -25,6 +25,60 @@ class GraphBSpec extends AnyFunSuite {
     assert(l2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 3L, 7L -> 3L))
   }
 
+  test("lpa run-to-convergence ≡ fixed rounds once stable, and stops early") {
+    // two disjoint triangles: labels settle to the min node id of each
+    // triangle after 2 effective rounds
+    val ed = edges((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val (labels, rounds) = GraphB.lpaConverged(ed, maxRounds = 20)
+    assert(rounds < 20, "LPA did not detect convergence")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // fixed-round ≡ converged: the gated fixed-round kernel at the
+    // converged depth (and one past it) produces the same labels
+    val fixed = GraphB.lpaRounds(ed, rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixedPlus = GraphB.lpaRounds(ed, rounds + 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == got && fixedPlus == got)
+  }
+
+  test("pagerank run-to-convergence ≡ fixed rounds on a symmetric fixture, and stops early") {
+    import graft.queries.ScaleOps
+    // a triangle is degree-regular: ranks are exactly 1.0 from round 1,
+    // so the probe sees delta 0 immediately
+    val ed = edges((1L, 2L), (1L, 3L), (2L, 3L))
+    val (converged, rounds) = ScaleOps.pagerankRun(ed, tol = Some(1e-9), maxRounds = 20)
+    assert(rounds < 20, "pagerank did not detect convergence")
+    val got = converged.select(col("id"), round(col("r"), 6).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    val (fixed, _) = ScaleOps.pagerankRun(ed, tol = None, maxRounds = 3)
+    val gotFixed = fixed.select(col("id"), round(col("r"), 6).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotFixed == got, "fixed-round and converged ranks diverge on the fixture")
+  }
+
+  test("pagerank convergence probe tightens monotonically on an asymmetric graph") {
+    import graft.queries.ScaleOps
+    // path 1-2-3 (bidirected): degrees differ, ranks actually move;
+    // a loose tolerance must stop no later than a tight one and both
+    // agree with the fixed-round kernel at their stopping depth
+    // the dominant mode decays as 0.85^round here, so 5e-3 needs ~32
+    // rounds — tolerances chosen to converge well inside the bound
+    val ed = edges((1L, 2L), (2L, 3L))
+    val (loose, rLoose) = ScaleOps.pagerankRun(ed, tol = Some(5e-2), maxRounds = 45)
+    val (tight, rTight) = ScaleOps.pagerankRun(ed, tol = Some(5e-3), maxRounds = 45)
+    assert(rLoose <= rTight, s"loose tol ran longer ($rLoose > $rTight)")
+    assert(rTight < 45, "tight tol did not converge within the bound")
+    val (fixedAtTight, _) = ScaleOps.pagerankRun(ed, tol = None, maxRounds = rTight)
+    val a = tight.select(col("id"), round(col("r"), 6).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = fixedAtTight.select(col("id"), round(col("r"), 6).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "converged ranks differ from fixed-round ranks at the same depth")
+    loose.count() // touch to keep lints honest
+  }
+
   test("label propagation: output is a partition and labels are node ids") {
     val df = SparkEntry.queries("q_label_prop")(spark, sf).cache()
     val nodes = df.select(col("part")).distinct().count()

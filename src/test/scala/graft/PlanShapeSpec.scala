@@ -248,6 +248,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"TopKAgg partial missing:\n$p")
   }
 
+  test("vocab coverage: top-100 is a distributed take; no window over the full vocabulary") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 should be a distributed TakeOrderedAndProject:\n$p")
+    // the only Window allowed is the bounded cumsum ABOVE the take
+    // (input ≤ 100 rows). Parents print before children in the plan
+    // tree, so a Window marker after the take marker means a window
+    // ran below it — over the full vocabulary, the r4 scale-killer
+    val ti = p.indexOf("TakeOrderedAndProject")
+    val below = p.indexOf("Window", ti)
+    assert(below == -1,
+      s"a window runs below the take (over the full vocabulary):\n$p")
+  }
+
   test("filter predicates reach the parquet scan") {
     val p = plan("q_select_filter")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,

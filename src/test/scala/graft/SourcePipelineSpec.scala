@@ -171,6 +171,32 @@ class SourcePipelineSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$out/staging-revenue-rates")))
   }
 
+  test("adjust task stamps execution_date on the trackers feed (reference tasks/adjust.py)") {
+    import graft.config.TaskConfig
+    import graft.operators.{Adjust, ConfiguredTask}
+    val out = Files.createTempDirectory("graft-adjust").toString
+    // reference default run date: one day back from "now"
+    val execDate = Adjust.defaultExecutionDate(LocalDate.parse("2024-03-15"))
+    assert(execDate == LocalDate.parse("2024-03-14"))
+    val cfg = TaskConfig.adjustExample(out)
+    val trackersSchema = spark.read.parquet(s"$sf/nation.parquet").schema
+    val task = new ConfiguredTask(
+      spark, cfg, baseDir = sf,
+      schemas = Map("adjust_trackers" -> trackersSchema),
+      transforms = Map("adjust_trackers" -> Adjust.stampExecutionDate(execDate)))
+    task.run("l")
+    val written = spark.read.parquet(s"$out/staging-adjust-adjust_trackers")
+    assert(written.count() == spark.read.parquet(s"$sf/nation.parquet").count())
+    // every row carries the stamped timestamp, typed timestamp
+    assert(written.schema("execution_date").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val stamped = written.select(col("execution_date").cast("date").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(stamped == Seq("2024-03-14"))
+    // latest snapshot written too (reference convert_latest_file)
+    assert(spark.read.parquet(s"$out/staging-adjust-adjust_trackers-latest").count() > 0)
+  }
+
   test("storage abstraction resolves local and remote prefixes uniformly") {
     import graft.sources.Storage
     assert(!Storage.isRemote("/data/out"))

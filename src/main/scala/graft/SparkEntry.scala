@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Diagnostics, Evaluation, Extras, Fit, GraphB, Indexing, Lifecycle, LlmData, Operational, Privacy, Recommend, Relational, RelationalB, ScaleOps, ScaleOpsB, Stats, StatsB, StatsC}
+import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Diagnostics, Evaluation, Extras, Fit, GraphB, Indexing, Lifecycle, LlmData, Operational, Privacy, Recommend, Relational, RelationalB, ScaleOps, ScaleOpsB, Stats, StatsB, StatsC, Training}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -16,7 +16,8 @@ object SparkEntry {
       CurationB.queries ++ CurationC.queries ++ ScaleOps.queries ++ Operational.queries ++
       Stats.queries ++ StatsB.queries ++ Lifecycle.queries ++ Recommend.queries ++
       GraphB.queries ++ Diagnostics.queries ++ Privacy.queries ++ ScaleOpsB.queries ++
-      StatsC.queries ++ Evaluation.queries ++ Fit.queries ++ Indexing.queries
+      StatsC.queries ++ Evaluation.queries ++ Fit.queries ++ Indexing.queries ++
+      Training.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       CurationB.oracles ++ CurationC.oracles ++ ScaleOps.oracles ++ Operational.oracles ++
       Stats.oracles ++ StatsB.oracles ++ Lifecycle.oracles ++ Recommend.oracles ++
       GraphB.oracles ++ Diagnostics.oracles ++ Privacy.oracles ++ ScaleOpsB.oracles ++
-      StatsC.oracles ++ Evaluation.oracles ++ Fit.oracles ++ Indexing.oracles
+      StatsC.oracles ++ Evaluation.oracles ++ Fit.oracles ++ Indexing.oracles ++
+      Training.oracles
 }

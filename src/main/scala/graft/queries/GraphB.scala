@@ -18,15 +18,6 @@ import graft.sources.Tables
   */
 object GraphB {
 
-  /** Distinct co-purchase pairs / both-direction edges — the shared
-    * #106/#123 definitions, factored to GraphCore (one basket-local
-    * generation plan for every graph consumer). */
-  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
-    GraphCore.copurchasePairs(s, dir)
-
-  private def bidirected(pairs: DataFrame): DataFrame =
-    GraphCore.bidirected(pairs)
-
   /** #136 LABEL PROPAGATION communities — 2 synchronous rounds of the
     * classic LPA (Raghavan et al. 2007): every node starts in its own
     * community (label = node id) and each round adopts the most
@@ -46,7 +37,7 @@ object GraphB {
     // persist (not localCheckpoint): the cached plan KEEPS its
     // hash(dst) partitioning, so each round's label join reuses it
     // and only the node-sized label frame shuffles (the #106 lesson)
-    val ed = bidirected(copurchasePairs(s, dir))
+    val ed = GraphCore.edgesOf(GraphCore.copurchaseAdjacency(s, dir))
       .repartition(col("dst")).persist()
     // round 1 from identity labels needs no join: every neighbor votes
     // its own id with count 1, so the argmax degenerates to min(dst)
@@ -127,7 +118,7 @@ object GraphB {
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
     // partitioned on the frontier-join key and persisted, so the three
     // rounds shuffle only the node-sized distance frame
-    val ed = bidirected(copurchasePairs(s, dir))
+    val ed = GraphCore.edgesOf(GraphCore.copurchaseAdjacency(s, dir))
       .repartition(col("src")).persist()
     val seeds = ed.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(97)) === 0)
@@ -180,15 +171,17 @@ object GraphB {
     * it. The top-50 is a distributed TakeOrderedAndProject, never a
     * global sort. */
   def edgeJaccard(s: SparkSession, dir: String): DataFrame =
-    edgeJaccardOf(copurchasePairs(s, dir))
+    edgeJaccardFrom(GraphCore.orientedOf(GraphCore.copurchaseAdjacency(s, dir)))
       .orderBy(col("jaccard").desc, col("pa"), col("pb"))
       .limit(50)
 
   /** Per-edge common-neighbor counts + Jaccard on an arbitrary
     * canonical (pa < pb) pair frame — factored for crafted-graph
     * specs; only edges closing ≥ 1 triangle appear (others score 0). */
-  private[graft] def edgeJaccardOf(pairs: DataFrame): DataFrame = {
-    val oriented = GraphCore.orientedDeg(pairs, GraphCore.degrees(pairs))
+  private[graft] def edgeJaccardOf(pairs: DataFrame): DataFrame =
+    edgeJaccardFrom(GraphCore.orientedOf(GraphCore.adjacencyOf(pairs)))
+
+  private def edgeJaccardFrom(oriented: DataFrame): DataFrame = {
     def edge(x: Column, dx: Column, y: Column, dy: Column) =
       struct(least(x, y).as("pa"), greatest(x, y).as("pb"),
         (dx + dy).as("dsum"))
@@ -322,7 +315,7 @@ object GraphB {
     * edge-sized ever accumulates; walks never strand because every
     * node of the bidirected edge set has an out-neighbor. */
   def randomWalk(s: SparkSession, dir: String): DataFrame = {
-    val ed = bidirected(copurchasePairs(s, dir))
+    val ed = GraphCore.edgesOf(GraphCore.copurchaseAdjacency(s, dir))
       .repartition(col("src")).persist()
     val seeds = ed.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(97)) === 0)

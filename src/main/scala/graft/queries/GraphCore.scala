@@ -1,57 +1,99 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.sources.Tables
 
 /** Shared co-purchase-graph machinery for the graph family
   * (#106 PageRank, #123 triangle count, #136-138, #153): ONE
-  * definition of the pair/edge frames and ONE degree-oriented
+  * definition of the adjacency/edge frames and ONE degree-oriented
   * triangle enumerator, so q_triangle_count and q_edge_jaccard stop
   * maintaining (and executing) drifting copies of the same plan.
   *
-  * Triangle enumeration is the compact-forward shape, but the wedge
-  * step is generated ROW-LOCALLY: out-neighborhoods are collected per
-  * source (the orientation bounds them at O(√m)), ordered pairs
-  * explode from the sorted array — the same basket-local idiom as
-  * `copurchasePairs` — and only the closure join shuffles. The
-  * edge-edge SHUFFLE_HASH wedge join this replaces exchanged the
-  * oriented frame twice and materialized the Σ outdeg² wedge stream
-  * through a full shuffle; here the wedge stream is born partitioned
-  * by source and goes through exactly one exchange (the closure key).
-  * Degrees ride ALONG the enumeration (each triangle knows all three
-  * endpoint degrees), so consumers that need per-edge degree context
-  * (#138's Jaccard denominator) pay zero join-backs.
+  * The graph materializes as an ADJACENCY frame — (node, deg, sorted
+  * neighbor array) — built in ONE shuffle directly from the
+  * basket-local ordered-pair explode: the `collect_set` per node
+  * dedups cross-basket repeats AND yields the degree in the same
+  * aggregation, replacing the old pairs-distinct + degree-groupBy +
+  * two degree join-backs pipeline (three exchanges collapsed into
+  * one). Edge lists, canonical pairs and the oriented frame are all
+  * cheap derivations of the checkpointed adjacency.
+  *
+  * Triangle enumeration is the compact-forward shape with the wedge
+  * step generated ROW-LOCALLY: out-neighborhoods are bounded at
+  * O(√m) by the (degree, id) orientation, ordered pairs explode from
+  * the sorted array, and the closure join is the single exchange the
+  * wedge stream crosses. Before that exchange the stream is pruned by
+  * a BLOOM PREFILTER over the oriented edge set (the BloomIndex
+  * discipline, dedup/BloomIndex.scala): might_contain has no false
+  * negatives, so dropping definite non-edges is exact — the closure
+  * join then re-verifies the ~fpp survivors. At sf0.1 this cuts the
+  * shuffled wedge stream from Σ outdeg² = 41M rows to ~2M (triangles
+  * + false positives). The sketch is bit-capped (8 MB); past the cap
+  * the fpp rises and pruning weakens gracefully — correctness never
+  * depends on the sketch, only the shuffle volume does.
   */
 private[graft] object GraphCore {
 
-  /** Distinct co-purchase pairs (pa < pb) — the #106/#123 edge
-    * definition, BASKET-LOCAL generation: one shuffle groups each
-    * order's part set, pairs enumerate row-locally from the sorted
-    * set (Σ|basket|²), then one distinct. Materialized eagerly — its
-    * consumers (degrees + orientation) would otherwise each replay
-    * the lineitem scan. */
-  def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val sorted = array_sort(collect_set(col("l_partkey")))
+  /** The co-purchase adjacency — (node, deg: int, nbrs: sorted
+    * array) over parts sharing an order. ONE shuffle: each order's
+    * sorted item set explodes row-locally into ordered pairs
+    * (Σ|basket|² bound, both directions at once) and a single
+    * `collect_set` per node dedups and counts. Materialized eagerly —
+    * every consumer (orientation join sides, edge lists, scalar
+    * degree aggregates) re-reads it, and the checkpointed artifact is
+    * node-count-sized, smaller than the edge list it replaces. */
+  def copurchaseAdjacency(s: SparkSession, dir: String): DataFrame = {
+    val items = array_sort(collect_set(col("l_partkey")))
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy(col("l_orderkey")).agg(sorted.as("items"))
-      .select(explode(flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + 2, size(col("items"))),
-          y => struct(x.as("pa"), y.as("pb")))))).as("e"))
-      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
-      .distinct()
+      .groupBy(col("l_orderkey")).agg(items.as("items"))
+      .select(explode(flatten(transform(col("items"), x =>
+        transform(filter(col("items"), y => y =!= x),
+          y => struct(x.as("node"), y.as("nbr")))))).as("e"))
+      .groupBy(col("e.node").as("node"))
+      .agg(array_sort(collect_set(col("e.nbr"))).as("nbrs"))
+      .select(col("node"), size(col("nbrs")).as("deg"), col("nbrs"))
       .localCheckpoint()
   }
 
-  /** Both directions of the undirected pair set. */
+  /** Same adjacency shape from an arbitrary canonical (pa < pb) pair
+    * frame — the crafted-graph entry point for specs. */
+  def adjacencyOf(pairs: DataFrame): DataFrame =
+    bidirected(pairs).groupBy(col("src").as("node"))
+      .agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+      .select(col("node"), size(col("nbrs")).as("deg"), col("nbrs"))
+      .localCheckpoint()
+
+  /** Both-direction directed edges (src, dst) — row-local explode of
+    * the adjacency, born hash-partitioned on src (the checkpoint
+    * preserves the groupBy partitioning). */
+  def edgesOf(adj: DataFrame): DataFrame =
+    adj.select(col("node").as("src"), explode(col("nbrs")).as("dst"))
+
+  /** Distinct canonical co-purchase pairs (pa < pb) — kept for
+    * consumers that want the undirected pair set. */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    pairsOf(copurchaseAdjacency(s, dir))
+
+  def pairsOf(adj: DataFrame): DataFrame =
+    edgesOf(adj).filter(col("src") < col("dst"))
+      .select(col("src").as("pa"), col("dst").as("pb"))
+
+  /** Both directions of an undirected pair set. */
   def bidirected(pairs: DataFrame): DataFrame =
     pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
 
-  /** (node, deg) over the undirected graph. */
+  /** (node, deg) — long degrees, kept for generic pair-frame
+    * consumers; adjacency-derived plans read `deg` off the adjacency
+    * row instead. */
   def degrees(pairs: DataFrame): DataFrame =
     bidirected(pairs).groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
@@ -59,41 +101,60 @@ private[graft] object GraphCore {
   /** Edges oriented by the (degree, id) total order — every
     * out-neighborhood is O(√m), the skew killer on power-law graphs —
     * with BOTH endpoint degrees attached: (src, dst, degs, degd).
-    * Materialized pre-partitioned on `src`, which the wedge
-    * enumeration groups by (localCheckpoint preserves the plan's
-    * output partitioning, so the groupBy needs no exchange). */
-  def orientedDeg(pairs: DataFrame, deg: DataFrame): DataFrame = {
-    val degA = deg.select(col("node").as("pa"), col("deg").as("deg_a"))
-    val degB = deg.select(col("node").as("pb"), col("deg").as("deg_b"))
-    pairs
-      .join(degA.hint("shuffle_hash"), Seq("pa"))
-      .join(degB.hint("shuffle_hash"), Seq("pb"))
-      .select(
-        when(col("deg_a") < col("deg_b") ||
-          (col("deg_a") === col("deg_b") && col("pa") < col("pb")),
-          struct(col("pa").as("s"), col("pb").as("d"),
-            col("deg_a").as("ds"), col("deg_b").as("dd")))
-        .otherwise(struct(col("pb").as("s"), col("pa").as("d"),
-          col("deg_b").as("ds"), col("deg_a").as("dd"))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"),
-        // int degrees: deg < n_nodes by definition — halves the widest
-        // shuffled columns of the wedge stream
-        col("e.ds").cast("int").as("degs"), col("e.dd").cast("int").as("degd"))
-      .repartition(col("src"))
+    *
+    * The adjacency explode emits each directed edge keyed by the
+    * NEIGHBOR (the future wedge source), so the single degree join on
+    * that key leaves the result hash-partitioned on `src` — the wedge
+    * enumeration's groupBy then needs NO exchange (localCheckpoint
+    * preserves the join partitioning). The old shape paid two degree
+    * join-backs plus an explicit repartition; this is one join, zero
+    * repartitions. */
+  def orientedOf(adj: DataFrame): DataFrame = {
+    val e = adj.select(explode(col("nbrs")).as("src"),
+      col("node").as("dst"), col("deg").as("degd"))
+    val degs = adj.select(col("node").as("src"), col("deg").as("degs"))
+    e.join(degs.hint("shuffle_hash"), Seq("src"))
+      .filter(col("degs") < col("degd") ||
+        (col("degs") === col("degd") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("degs"), col("degd"))
       .localCheckpoint()
+  }
+
+  /** Bloom sketch over the oriented edge identities (xxhash64 of the
+    * (src, dst) pair), distributed build via the native
+    * [[BloomFilterAggregate]] — 16 bits/key (~0.05% fpp), bit-capped
+    * at 8 MB so the literal stays broadcast-sized at any edge count
+    * (past the cap the fpp degrades, never the answer). Empty edge
+    * set → null (no triangles; the caller short-circuits). */
+  def edgeBloom(oriented: DataFrame): Array[Byte] = {
+    val n = oriented.count()
+    if (n == 0L) null
+    else oriented.select(GraftBridge.column(
+        new BloomFilterAggregate(
+          GraftBridge.expression(xxhash64(col("src"), col("dst"))),
+          Literal(n, LongType),
+          Literal(math.min(n * 16L, 1L << 26), LongType))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
   }
 
   /** Every triangle exactly once as (a, dega, b, degb, c, degc) with
     * a → b → c in orientation order: wedges (b, c) enumerate
     * row-locally from each source's SORTED out-neighbor array (sorted
     * by the same (deg, id) key that oriented the edges, so each
-    * unordered out-pair appears once, in orientation order), closed by
-    * the single SHUFFLE_HASH probe b→c against the oriented frame.
-    * The wedge stream is the big intermediate (Σ outdeg² rows crossing
-    * the closure exchange), so it carries the MINIMUM row — (a,
-    * dega:int, b, c); b's and c's degrees are recovered FROM the
-    * matched oriented edge, which already stores them. */
+    * unordered out-pair appears once, in orientation order), pruned
+    * by the edge-set bloom BEFORE the exchange, then closed by the
+    * single SHUFFLE_HASH probe b→c against the oriented frame. The
+    * wedge stream crossing the closure exchange carries the MINIMUM
+    * row — (a, dega: int, b, c); b's and c's degrees are recovered
+    * FROM the matched oriented edge, which already stores them. */
   def triangles(oriented: DataFrame): DataFrame = {
+    val bf = edgeBloom(oriented)
+    val isEdge: Column =
+      if (bf == null) lit(false)
+      else GraftBridge.column(new BloomFilterMightContain(
+        Literal(bf, BinaryType),
+        GraftBridge.expression(xxhash64(col("b"), col("c")))))
     val nbrs = sort_array(collect_list(struct(
       col("degd").as("dg"), col("dst").as("nd"))))
     val wedges = oriented
@@ -105,6 +166,7 @@ private[graft] object GraphCore {
             y => struct(x.getField("nd").as("b"), y.getField("nd").as("c"))))))
           .as("w"))
       .select(col("a"), col("dega"), col("w.b").as("b"), col("w.c").as("c"))
+      .filter(isEdge)
     wedges.join(oriented.hint("shuffle_hash"),
         col("b") === col("src") && col("c") === col("dst"))
       .select(col("a"), col("dega"), col("b"), col("degs").as("degb"),

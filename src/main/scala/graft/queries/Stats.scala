@@ -201,27 +201,30 @@ object Stats {
     * parts sharing an order) — the graph-density summary next to
     * the iterative family (PageRank, connected components).
     *
-    * Scale shape: the co-purchase pair set is materialized ONCE
-    * (eager localCheckpoint — its consumers would otherwise each
-    * replay the lineitem self-join; the bench cost of the naive plan
-    * was 4× the whole query). Triangle enumeration is the shared
-    * GraphCore builder (one definition with #138): edges ORIENTED by
-    * the (degree, id) total order — compact-forward, O(√m)
-    * out-neighborhoods, the skew killer on a power-law graph — wedges
-    * generated ROW-LOCALLY from each source's sorted out-neighbor
-    * array (Σ outdeg² bound), closed by ONE SHUFFLE_HASH probe (never
-    * broadcast — the edge set is the big side at scale). Wedge counts
-    * come from the degree frame, Σ deg·(deg−1)/2 in exact integers.
-    * The one-row outputs compose via broadcast-scalar cross joins
-    * (the Analytics.scala factor idiom). */
+    * Scale shape: the co-purchase ADJACENCY is materialized ONCE in
+    * one shuffle (GraphCore.copurchaseAdjacency — dedup, degree and
+    * neighbor lists from a single collect_set; its consumers would
+    * otherwise each replay the lineitem self-join). Triangle
+    * enumeration is the shared GraphCore builder (one definition with
+    * #138): edges ORIENTED by the (degree, id) total order —
+    * compact-forward, O(√m) out-neighborhoods, the skew killer on a
+    * power-law graph — wedges generated ROW-LOCALLY from each
+    * source's sorted out-neighbor array (Σ outdeg² bound), pruned by
+    * the edge-set bloom before the exchange (41M → ~2M rows at
+    * sf0.1, exact: no false negatives), closed by ONE SHUFFLE_HASH
+    * probe (never broadcast — the edge set is the big side at
+    * scale). Node/edge/wedge counts are scalar aggregates off the
+    * adjacency row (Σ deg·(deg−1)/2 in exact integers). The one-row
+    * outputs compose via broadcast-scalar cross joins (the
+    * Analytics.scala factor idiom). */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val pairs = GraphCore.copurchasePairs(s, dir)
-    val deg = GraphCore.degrees(pairs)
-    val nodesEdges = deg.agg(
+    val adj = GraphCore.copurchaseAdjacency(s, dir)
+    val degL = col("deg").cast("long")
+    val nodesEdges = adj.agg(
       count(lit(1)).as("n_nodes"),
-      (sum(col("deg")) / 2).cast("long").as("n_edges"),
-      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
-    val tri = GraphCore.triangles(GraphCore.orientedDeg(pairs, deg))
+      (sum(degL) / 2).cast("long").as("n_edges"),
+      (sum(degL * (degL - 1)) / 2).cast("long").as("n_wedges"))
+    val tri = GraphCore.triangles(GraphCore.orientedOf(adj))
       .agg(count(lit(1)).as("n_triangles"))
     nodesEdges.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),

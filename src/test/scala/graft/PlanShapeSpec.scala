@@ -168,17 +168,19 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("triangle kernel: orientation + closure joins shuffle-hash, wedge explode is join-free") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, explode}
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("pa", "pb")
-    val deg = graft.queries.GraphCore.degrees(pairs)
+    val adj = graft.queries.GraphCore.adjacencyOf(pairs)
     // drive orientation WITHOUT the checkpoint boundary: rebuild its
-    // join stage lazily the way orientedDeg does
-    val degA = deg.select(col("node").as("pa"), col("deg").as("deg_a"))
-    val lazyOriented = pairs.join(degA.hint("shuffle_hash"), Seq("pa"))
+    // join stage lazily the way orientedOf does
+    val e = adj.select(explode(col("nbrs")).as("src"),
+      col("node").as("dst"), col("deg").as("degd"))
+    val degs = adj.select(col("node").as("src"), col("deg").as("degs"))
+    val lazyOriented = e.join(degs.hint("shuffle_hash"), Seq("src"))
     val po = lazyOriented.queryExecution.executedPlan.toString
     assert(po.contains("ShuffledHashJoin"), s"orientation join lost its hint:\n$po")
     val pt = graft.queries.GraphCore.triangles(
-      graft.queries.GraphCore.orientedDeg(pairs, deg))
+      graft.queries.GraphCore.orientedOf(adj))
       .queryExecution.executedPlan.toString
     assert(pt.contains("ShuffledHashJoin"), s"closure join lost its hint:\n$pt")
     assert(!pt.contains("BroadcastHashJoin"), s"closure broadcast a graph side:\n$pt")
@@ -186,6 +188,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // row-local explode, not an edge-edge join
     assert("ShuffledHashJoin".r.findAllIn(pt).length == 1,
       s"wedge generation regressed to a join:\n$pt")
+    // the wedge stream is bloom-pruned BEFORE the closure exchange:
+    // might_contain must sit in the plan
+    assert(pt.contains("might_contain"),
+      s"wedge stream lost its edge-set bloom prefilter:\n$pt")
   }
 
   test("markov chain shuffles raw events exactly once (window), cells are tiny") {

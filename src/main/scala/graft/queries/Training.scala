@@ -246,12 +246,79 @@ object Training {
           .as("mean_span_len"))
   }
 
+  /** #175 DATASET CARD — the per-source "datasheet" a corpus release
+    * publishes (Gebru et al. 2021 datasheets, as one query): volume
+    * (docs/tokens/chars), language profile (distinct langs + dominant
+    * language and its share), and the exact-duplicate rate — the
+    * summary table that rides next to every training-data drop.
+    *
+    * Scale shape: one row-local pass derives tokens/chars/content
+    * hash; three map-side-combined aggregation branches (per-source
+    * totals, per-(source, hash) → distinct-content counts,
+    * per-(source, lang) → max_by dominant language) rejoin on the
+    * BOUNDED source dimension. Nothing corpus-sized shuffles twice;
+    * no windows. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("h"))
+      .localCheckpoint() // three aggregation branches below share it
+    val vol = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tot_tokens"),
+        sum(col("n_chars")).as("tot_chars"))
+    val dup = base.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val langs = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        max_by(col("lang"), struct(col("c"), col("lang"))).as("top_lang"),
+        max(struct(col("c"), col("lang"))).getField("c").as("top_lang_docs"))
+    vol.join(dup, Seq("source")).join(langs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("tot_tokens"), col("tot_chars"),
+        round(col("tot_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_doc_tokens"),
+        col("n_langs"), col("top_lang"),
+        round(col("top_lang_docs").cast("double") / col("n_docs"), 6)
+          .as("top_lang_share"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+  }
+
+  /** #176 TOKENIZER FERTILITY — per language: BPE-ish tokens per
+    * whitespace word and characters per token, the tokenizer-budget
+    * diagnostics (fertility >> 1 for a language means the tokenizer
+    * fragments it — its documents cost more sequence length per word,
+    * the classic multilingual-budget skew). Row-local counting
+    * (regexp token runs, the #44 counter) + one map-side agg; ratios
+    * from exact integer sums. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("words"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("tot_words"),
+        sum(col("bpe")).as("tot_bpe_tokens"), sum(col("chars")).as("tot_chars"))
+      .select(col("lang"), col("n_docs"), col("tot_words"), col("tot_bpe_tokens"),
+        round(col("tot_bpe_tokens").cast("double") / col("tot_words"), 6)
+          .as("fertility"),
+        round(col("tot_chars").cast("double") / col("tot_bpe_tokens"), 6)
+          .as("chars_per_token"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ndcg"               -> ndcgAt10 _,
     "q_hard_negatives"     -> hardNegatives _,
     "q_quality_classifier" -> qualityClassifier _,
     "q_curriculum"         -> curriculumPacing _,
-    "q_span_corruption"    -> spanCorruption _)
+    "q_span_corruption"    -> spanCorruption _,
+    "q_dataset_card"       -> datasetCard _,
+    "q_tokenizer_fertility" -> tokenizerFertility _)
 
   private def cosSqlFor(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
@@ -374,5 +441,44 @@ object Training {
         |    AS corruption_rate,
         |  ROUND(CAST(SUM(n_noise) AS DOUBLE) / SUM(n_spans), 6)
         |    AS mean_span_len
-        |FROM per GROUP BY 1""".stripMargin)
+        |FROM per GROUP BY 1""".stripMargin,
+    "q_dataset_card" ->
+      """WITH base AS (SELECT source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(text) AS BIGINT) AS n_chars, md5(text) AS h
+        |  FROM documents),
+        |vol AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS tot_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+        |  FROM base GROUP BY 1),
+        |dup AS (SELECT source, COUNT(*) AS n_distinct
+        |  FROM (SELECT source, h FROM base GROUP BY 1, 2) GROUP BY 1),
+        |lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        |langs AS (SELECT source, n_langs, lang AS top_lang,
+        |    c AS top_lang_docs
+        |  FROM (SELECT source, lang, c,
+        |      COUNT(*) OVER (PARTITION BY source) AS n_langs,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY c DESC, lang DESC) AS rn
+        |    FROM lc) WHERE rn = 1)
+        |SELECT vol.source, n_docs, tot_tokens, tot_chars,
+        |  ROUND(CAST(tot_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens,
+        |  n_langs, top_lang,
+        |  ROUND(CAST(top_lang_docs AS DOUBLE) / n_docs, 6) AS top_lang_share,
+        |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate
+        |FROM vol JOIN dup ON vol.source = dup.source
+        |JOIN langs ON vol.source = langs.source""".stripMargin,
+    "q_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe,
+        |    CAST(len(text) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(words) AS BIGINT) AS tot_words,
+        |  CAST(SUM(bpe) AS BIGINT) AS tot_bpe_tokens,
+        |  ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(words), 6) AS fertility,
+        |  ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 6) AS chars_per_token
+        |FROM t GROUP BY 1""".stripMargin)
 }

@@ -46,7 +46,13 @@ object ScaleProbe {
       // replica markers multiply the type count ~Nx while tokens stay
       // constant — exactly the vocabulary growth the fix bounds)
       "q_pagerank", "q_session_stitch", "q_ann_pq", "q_dsir",
-      "q_vocab_coverage")
+      "q_vocab_coverage",
+      // r5 additions: the training-data batch — brute-force/filtered
+      // ranking should track corpus size (bounded probe set, map-side
+      // TopKAgg); classifier/curriculum/span-corruption are row-local
+      // scans that must stay linear
+      "q_ndcg", "q_hard_negatives", "q_quality_classifier",
+      "q_curriculum", "q_span_corruption")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

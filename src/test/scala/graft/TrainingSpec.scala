@@ -130,6 +130,44 @@ class TrainingSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("dataset card: totals add up against independent recounts") {
+    val df = SparkEntry.queries("q_dataset_card")(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf).cache()
+    assert(df.agg(sum(col("n_docs"))).head().getLong(0) == docs.count())
+    // per-source doc counts and language profile cross-check
+    val want = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("w_docs"),
+      countDistinct(col("lang")).as("w_langs"),
+      countDistinct(md5(col("text"))).as("w_distinct"))
+    val joined = df.join(want, Seq("source"))
+    assert(joined.filter(col("n_docs") =!= col("w_docs") ||
+      col("n_langs") =!= col("w_langs")).count() == 0)
+    // dup_rate consistent with the distinct-content recount
+    assert(joined.filter(
+      abs(col("dup_rate") - round(lit(1.0) -
+        col("w_distinct").cast("double") / col("w_docs"), 6)) > 1e-9)
+      .count() == 0)
+    // shares and rates bounded
+    assert(df.filter(col("top_lang_share") <= 0.0 || col("top_lang_share") > 1.0 ||
+      col("dup_rate") < 0.0 || col("dup_rate") >= 1.0).count() == 0)
+    docs.unpersist(); df.unpersist()
+  }
+
+  test("tokenizer fertility: ratios consistent, bpe at least the word count") {
+    val df = SparkEntry.queries("q_tokenizer_fertility")(spark, sf).cache()
+    // the BPE-ish splitter never merges across whitespace, so each
+    // word contributes >= 1 token: fertility >= 1 on this corpus
+    assert(df.filter(col("fertility") < 1.0).count() == 0)
+    assert(df.filter(col("tot_bpe_tokens") < col("tot_words")).count() == 0)
+    val drift = df.filter(abs(col("fertility") -
+      round(col("tot_bpe_tokens").cast("double") / col("tot_words"), 6)) > 1e-9)
+    assert(drift.count() == 0)
+    // langs partition the corpus
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(df.agg(sum(col("n_docs"))).head().getLong(0) == docs.count())
+    df.unpersist()
+  }
+
   test("span corruption plan: row-local masking — no explode, one agg exchange") {
     val p = SparkEntry.queries("q_span_corruption")(spark, sf)
       .queryExecution.executedPlan.toString

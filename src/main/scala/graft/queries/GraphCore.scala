@@ -120,20 +120,30 @@ private[graft] object GraphCore {
       .localCheckpoint()
   }
 
+  /** Largest edge count at which the 8 MB literal cap still buys
+    * 16 bits/key (~0.05% fpp). Past this the sketch would prune too
+    * weakly to pay for its Σ outdeg² probe cost — measured at 16×
+    * sf0.1 (19M edges): capped-bloom fpp ≈ 19% made the closure stage
+    * SLOWER than the plain explode (134s vs 91s), while under the
+    * threshold the same sketch cuts it ~25%. */
+  val BloomMaxEdges: Long = (1L << 26) / 16L
+
   /** Bloom sketch over the oriented edge identities (xxhash64 of the
     * (src, dst) pair), distributed build via the native
-    * [[BloomFilterAggregate]] — 16 bits/key (~0.05% fpp), bit-capped
-    * at 8 MB so the literal stays broadcast-sized at any edge count
-    * (past the cap the fpp degrades, never the answer). Empty edge
-    * set → null (no triangles; the caller short-circuits). */
+    * [[BloomFilterAggregate]] — 16 bits/key (~0.05% fpp). Returns
+    * null when the edge set is empty (no wedges exist either) or
+    * too large for the sketch to prune effectively within the 8 MB
+    * literal budget ([[BloomMaxEdges]]) — the caller then keeps the
+    * plain enumerate-and-join plan, whose shuffle tracks the honest
+    * Σ outdeg² bound. Correctness never depends on the sketch. */
   def edgeBloom(oriented: DataFrame): Array[Byte] = {
     val n = oriented.count()
-    if (n == 0L) null
+    if (n == 0L || n > BloomMaxEdges) null
     else oriented.select(GraftBridge.column(
         new BloomFilterAggregate(
           GraftBridge.expression(xxhash64(col("src"), col("dst"))),
           Literal(n, LongType),
-          Literal(math.min(n * 16L, 1L << 26), LongType))
+          Literal(n * 16L, LongType))
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
   }
@@ -154,12 +164,18 @@ private[graft] object GraphCore {
     // is definitely not an edge is never materialized as a struct, so
     // the explode emits only the ~2M candidates instead of all 41M
     // enumerated pairs (the post-explode filter formulation paid the
-    // full struct/array allocation before dropping 95% of it)
-    def isEdge(b: Column, c: Column): Column =
-      if (bf == null) lit(false)
-      else GraftBridge.column(new BloomFilterMightContain(
+    // full struct/array allocation before dropping 95% of it). When
+    // edgeBloom declines (empty or past BloomMaxEdges), the inner
+    // filter is dropped entirely and the closure join alone verifies —
+    // the sketch is an accelerator, never a correctness dependency.
+    def inner(x: Column, i: Column): Column = {
+      val rest = slice(col("nbrs"), i + 2, size(col("nbrs")))
+      if (bf == null) rest
+      else filter(rest, y => GraftBridge.column(new BloomFilterMightContain(
         Literal(bf, BinaryType),
-        GraftBridge.expression(xxhash64(b, c))))
+        GraftBridge.expression(
+          xxhash64(x.getField("nd"), y.getField("nd"))))))
+    }
     val nbrs = sort_array(collect_list(struct(
       col("degd").as("dg"), col("dst").as("nd"))))
     val wedges = oriented
@@ -167,9 +183,7 @@ private[graft] object GraphCore {
       .agg(first(col("degs")).as("dega"), nbrs.as("nbrs"))
       .select(col("a"), col("dega"),
         explode(flatten(transform(col("nbrs"), (x, i) =>
-          transform(
-            filter(slice(col("nbrs"), i + 2, size(col("nbrs"))),
-              y => isEdge(x.getField("nd"), y.getField("nd"))),
+          transform(inner(x, i),
             y => struct(x.getField("nd").as("b"), y.getField("nd").as("c"))))))
           .as("w"))
       .select(col("a"), col("dega"), col("w.b").as("b"), col("w.c").as("c"))

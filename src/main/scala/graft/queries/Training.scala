@@ -311,7 +311,79 @@ object Training {
         round(col("tot_chars").cast("double") / col("tot_bpe_tokens"), 6)
           .as("chars_per_token"))
 
+  /** #177 MMR DIVERSIFIED RE-RANKING (Carbonell & Goldstein 1998) —
+    * maximal marginal relevance over each probe's top-10 candidate
+    * set: 5 picks, pick 1 = highest relevance, every later pick
+    * maximizes λ·rel − (1−λ)·max-sim-to-already-picked (λ = 0.7) —
+    * the standard redundancy-pruning re-rank between ANN retrieval
+    * and a RAG context window.
+    *
+    * Determinism: relevance, pairwise sims and every step score are
+    * 6dp-rounded; argmax ties break toward the smaller candidate id —
+    * the oracle replays all four selection rounds as chained CTEs.
+    *
+    * Scale shape: the candidate set is BOUNDED (k = 10 per probe via
+    * bruteForceTopK's map-side TopKAgg), so the pairwise sim matrix is
+    * ≤ k² rows per probe and every selection round joins probe-sized
+    * frames (both sides checkpointed once); the corpus is touched
+    * exactly once, by the initial retrieval. The unrolled loop adds
+    * rounds × tiny-join stages, never another corpus pass. */
+  def mmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), Embeddings.asDouble(col("embedding")).as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), Embeddings.asDouble(col("embedding")).as("nv"))
+    val cand = Embeddings.bruteForceTopK(q, c, 10)
+      .select(col("q_id"), col("n_id"), col("cos").as("rel"), col("rank"))
+      .localCheckpoint()
+    // candidate vectors ride back via the tiny top frame (#171 idiom)
+    val cv = e.select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+      .join(broadcast(cand.select(col("q_id"), col("n_id"))),
+        col("vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), col("v"))
+    // pairwise sims within each probe's candidate set: ≤ k² per probe
+    val pair = cv.alias("a")
+      .join(cv.alias("b"), col("a.q_id") === col("b.q_id") &&
+        col("a.n_id") =!= col("b.n_id"))
+      .select(col("a.q_id").as("q_id"), col("a.n_id").as("a_id"),
+        col("b.n_id").as("b_id"),
+        round(Embeddings.cosine(col("a.v"), col("b.v")), 6).as("sim"))
+      .localCheckpoint()
+    // the λ/μ blend runs in EXACT DECIMAL over the already-6dp inputs:
+    // 0.7 × a 6dp value lands on a 7th-decimal half EVERY time the
+    // scaled digit is odd, exactly where double rounding diverges
+    // across engines — decimal arithmetic has no such boundary
+    val lamD = lit(new java.math.BigDecimal("0.7"))
+    val muD = lit(new java.math.BigDecimal("0.3"))
+    def dec(c: Column): Column = c.cast("decimal(10,6)")
+    // pick 1: pure relevance (rank 1 of the retrieval)
+    var selected = cand.filter(col("rank") === 1)
+      .select(col("q_id"), col("n_id"), lit(1L).as("pick"),
+        round(lamD * dec(col("rel")), 6).cast("double").as("score"))
+    for (step <- 2 to 5) {
+      val rem = cand.join(selected.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_anti")
+      val msim = pair
+        .join(selected.select(col("q_id"), col("n_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id").as("n_id"))
+        .agg(max(col("sim")).as("msim"))
+      val next = rem.join(msim, Seq("q_id", "n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(lamD * dec(col("rel")) - muD * dec(col("msim")), 6)
+            .cast("double").as("score"))
+        .groupBy(col("q_id"))
+        .agg(max_by(struct(col("n_id"), col("score")),
+          struct(col("score"), negate(col("n_id")))).as("w"))
+        .select(col("q_id"), col("w.n_id").as("n_id"),
+          lit(step.toLong).as("pick"), col("w.score").as("score"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mmr_diversify"      -> mmrDiversify _,
     "q_ndcg"               -> ndcgAt10 _,
     "q_hard_negatives"     -> hardNegatives _,
     "q_quality_classifier" -> qualityClassifier _,
@@ -325,7 +397,50 @@ object Training {
        |  / (sqrt(list_sum(list_transform($a, x -> x*x)))
        |     * sqrt(list_sum(list_transform($b, x -> x*x))))""".stripMargin
 
+  /** The 4 MMR selection rounds replayed as chained CTEs. */
+  private def mmrOracle: String = {
+    val steps = (2 to 5).map { k =>
+      s"""ms$k AS (SELECT p.q_id, p.a_id AS n_id, MAX(p.sim) AS msim
+         |  FROM pair p JOIN all${k - 1} s
+         |    ON p.q_id = s.q_id AND p.b_id = s.n_id GROUP BY 1, 2),
+         |sc$k AS (SELECT c.q_id, c.n_id,
+         |    CAST(ROUND(0.7 * CAST(c.rel AS DECIMAL(10,6))
+         |      - 0.3 * CAST(m.msim AS DECIMAL(10,6)), 6) AS DOUBLE) AS score
+         |  FROM cand c JOIN ms$k m ON c.q_id = m.q_id AND c.n_id = m.n_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM all${k - 1} s
+         |    WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+         |sel$k AS (SELECT q_id, n_id, $k AS pick, score
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, n_id) AS rn FROM sc$k) WHERE rn = 1),
+         |all$k AS (SELECT * FROM all${k - 1}
+         |  UNION ALL SELECT * FROM sel$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       |    ROUND(${cosSqlFor("a.v", "b.v")}, 6) AS rel
+       |  FROM e a, e b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id),
+       |cand AS (
+       |  SELECT q_id, n_id, rel, rank FROM (SELECT q_id, n_id, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY rel DESC, n_id) AS rank
+       |    FROM scored) WHERE rank <= 10),
+       |cv AS (SELECT c.q_id, c.n_id, e.v FROM cand c
+       |  JOIN e ON e.vec_id = c.n_id),
+       |pair AS (
+       |  SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+       |    ROUND(${cosSqlFor("a.v", "b.v")}, 6) AS sim
+       |  FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+       |all1 AS (SELECT q_id, n_id, 1 AS pick,
+       |    CAST(ROUND(0.7 * CAST(rel AS DECIMAL(10,6)), 6) AS DOUBLE) AS score
+       |  FROM cand WHERE rank = 1),
+       |$steps
+       |SELECT q_id, n_id, CAST(pick AS BIGINT) AS pick, score FROM all5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_mmr_diversify" -> mmrOracle,
     "q_ndcg" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),

@@ -130,6 +130,33 @@ class TrainingSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("mmr: 5 distinct picks per probe, pick 1 is the relevance argmax") {
+    val df = SparkEntry.queries("q_mmr_diversify")(spark, sf).cache()
+    assert(df.count() == 25)
+    // picks are distinct candidates per probe
+    assert(df.groupBy(col("q_id")).agg(countDistinct(col("n_id")).as("n"))
+      .filter(col("n") =!= 5).count() == 0)
+    // pick 1 equals brute-force rank 1 (pure relevance)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        graft.similarity.Embeddings.asDouble(col("embedding")).as("qv"))
+    val c = e.select(col("vec_id").as("n_id"),
+      graft.similarity.Embeddings.asDouble(col("embedding")).as("nv"))
+    val top1 = graft.similarity.Embeddings.bruteForceTopK(q, c, 1)
+      .select(col("q_id"), col("n_id"))
+    assert(df.filter(col("pick") === 1).select(col("q_id"), col("n_id"))
+      .exceptAll(top1).count() == 0)
+    // diversification really reorders: for at least one probe the MMR
+    // pick set differs from the plain top-5 ranking order
+    val top5 = graft.similarity.Embeddings.bruteForceTopK(q, c, 5)
+      .select(col("q_id"), col("rank").as("pick"), col("n_id"))
+    val diverged = df.select(col("q_id"), col("pick"), col("n_id"))
+      .exceptAll(top5).count()
+    assert(diverged > 0, "MMR degenerated to the undiversified ranking")
+    df.unpersist()
+  }
+
   test("dataset card: totals add up against independent recounts") {
     val df = SparkEntry.queries("q_dataset_card")(spark, sf).cache()
     val docs = graft.sources.Tables.documents(spark, sf).cache()

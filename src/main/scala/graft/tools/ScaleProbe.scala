@@ -52,7 +52,8 @@ object ScaleProbe {
       // TopKAgg); classifier/curriculum/span-corruption are row-local
       // scans that must stay linear
       "q_ndcg", "q_hard_negatives", "q_quality_classifier",
-      "q_curriculum", "q_span_corruption")
+      "q_curriculum", "q_span_corruption", "q_mmr_diversify",
+      "q_dataset_card", "q_tokenizer_fertility")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

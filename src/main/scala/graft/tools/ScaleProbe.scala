@@ -53,7 +53,13 @@ object ScaleProbe {
       // scans that must stay linear
       "q_ndcg", "q_hard_negatives", "q_quality_classifier",
       "q_curriculum", "q_span_corruption", "q_mmr_diversify",
-      "q_dataset_card", "q_tokenizer_fertility")
+      "q_dataset_card", "q_tokenizer_fertility",
+      // r5 batch B: mixture/selection/tokenizer operators — all
+      // single-scan map-side-agg shapes except the BPE loop, whose
+      // per-round cost is vocabulary-sized (types grow with the
+      // replica markers, so the probe stresses the vocab frame too)
+      "q_doremi_reweight", "q_rejection_sample", "q_preference_pairs",
+      "q_length_buckets", "q_epoch_allocation", "q_bpe_train")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

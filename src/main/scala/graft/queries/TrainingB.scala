@@ -262,13 +262,27 @@ object TrainingB {
     * the per-round lineage. All-integer counting — no float anywhere.
     *
     * Oracle replays the three rounds as chained CTEs. */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val rounds = 3
-    val words = Tables.documents(s, dir)
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeLoop(bpeWordFreq(s, dir), rounds = 3)._1
+
+  /** The trainable word-frequency table: lowercase-alphabetic words of
+    * 2-20 chars (tokenizer pre-normalization), counted in ONE
+    * map-side-combined agg over the corpus scan — the only stage that
+    * ever touches the data. */
+  private[graft] def bpeWordFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 20))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    var vocab = words.select(
+
+  /** `rounds` BPE merge rounds over a (word, freq) table. Returns
+    * (merges: merge_no/pair/merged/cnt, encoded vocab: word/sym/freq
+    * AFTER all merges) — the merge list is the trained tokenizer, the
+    * vocab its encoded training set. Each round is one vocab-sized
+    * pair agg + a bounded top-1 broadcast back; localCheckpoint
+    * truncates round lineage. */
+  private[graft] def bpeLoop(words: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    var vocab = words.select(col("word"),
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
       col("freq")).localCheckpoint()
     val picks = Seq.newBuilder[DataFrame]
@@ -279,16 +293,14 @@ object TrainingB {
           replace(col("pair"), lit(" "), lit("")).as("merged"), col("cnt"))
         .localCheckpoint()
       picks += best
-      if (m < rounds) {
-        vocab = vocab.crossJoin(broadcast(best.select(col("pair").as("bp"))))
-          .select(replace(col("sym"),
-            concat(lit(" "), col("bp"), lit(" ")),
-            concat(lit(" "), replace(col("bp"), lit(" "), lit("")), lit(" ")))
-            .as("sym"),
-            col("freq")).localCheckpoint()
-      }
+      vocab = vocab.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .select(col("word"), replace(col("sym"),
+          concat(lit(" "), col("bp"), lit(" ")),
+          concat(lit(" "), replace(col("bp"), lit(" "), lit("")), lit(" ")))
+          .as("sym"),
+          col("freq")).localCheckpoint()
     }
-    picks.result().reduce(_ unionByName _)
+    (picks.result().reduce(_ unionByName _), vocab)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

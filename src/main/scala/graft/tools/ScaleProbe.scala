@@ -59,7 +59,12 @@ object ScaleProbe {
       // per-round cost is vocabulary-sized (types grow with the
       // replica markers, so the probe stresses the vocab frame too)
       "q_doremi_reweight", "q_rejection_sample", "q_preference_pairs",
-      "q_length_buckets", "q_epoch_allocation", "q_bpe_train")
+      "q_length_buckets", "q_epoch_allocation", "q_bpe_train",
+      // r5 batch C: stored-tokenizer encode (vocab-sized work after
+      // the one corpus scan), vocab-frame KL join, the triple-shingle
+      // explode, and the label-dimension reweighting
+      "q_bpe_encode", "q_kl_divergence", "q_ngram_diversity",
+      "q_label_balance")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

@@ -51,20 +51,23 @@ object TokenizerStore {
   def readMerges(spark: SparkSession, root: String): DataFrame =
     Snapshots.read(spark, mergesRoot(root)).orderBy(col("merge_no"))
 
-  /** Encode a word column with the stored merges: the sentinel-space
-    * symbol string fed through one `replace` per merge, IN merge
-    * order (BPE applies merges in training order). The merge list is
-    * collected driver-side — it is `rounds` rows by construction, the
-    * broadcast-variable shape — and unrolled into the column
-    * expression, so the consumer's plan is a pure row-local scan.
-    * Returns the encoded symbol string (trim/split to get tokens). */
+  /** Encode a word column with the stored merges: the wrapped-sentinel
+    * symbol string ("<h><e><l><l><o>") fed through one `replace` per
+    * merge, IN merge order (BPE applies merges in training order; the
+    * wrapped form shares no boundary chars between adjacent matches,
+    * so one left-to-right pass per merge IS greedy BPE). The merge
+    * list is collected driver-side — it is `rounds` rows by
+    * construction, the broadcast-variable shape — and unrolled into
+    * the column expression, so the consumer's plan is a pure row-local
+    * scan. Returns the encoded symbol string (trim "<>" / split "><"
+    * to get tokens). */
   def encodeSym(spark: SparkSession, root: String, word: Column): Column = {
     val merges = readMerges(spark, root)
       .select(col("pair"), col("merged")).collect()
-    val sym0 = concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+    val sym0 = regexp_replace(word, "(.)", "<$1>")
     merges.foldLeft(sym0) { (c, m) =>
-      replace(c, lit(" " + m.getString(0) + " "),
-        lit(" " + m.getString(1) + " "))
+      replace(c, lit("<" + m.getString(0).replace(" ", "><") + ">"),
+        lit("<" + m.getString(1) + ">"))
     }
   }
 }

@@ -130,7 +130,10 @@ object Training {
     * the score after it (the exp() dialect-drift guard the #163 decay
     * family established); per-source mean aggregates the 6dp scores
     * as DECIMAL — exact, order-free. */
-  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+  /** The #172 logistic score as a row-local Column — shared with the
+    * #188 threshold sweep so both gates rank with the identical
+    * model. */
+  private[graft] def qualityScore: Column = {
     val toks = TextAnalysis.tokens(col("text"))
     val nTok = size(toks).cast("double")
     val x1 = least(nTok / 100.0, lit(2.0))
@@ -139,7 +142,11 @@ object Training {
     val x4 = TextAnalysis.meanWordLen(toks) / 10.0
     val z = round(lit(0.8) * x1 + lit(3.0) * x2 + lit(1.5) * x3
       + lit(-0.6) * x4 + lit(-1.2), 6)
-    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val score = qualityScore
     Tables.documents(s, dir)
       .select(col("source"), score.as("score"))
       .groupBy(col("source"))

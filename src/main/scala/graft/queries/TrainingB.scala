@@ -232,9 +232,11 @@ object TrainingB {
   }
 
   /** Adjacent-symbol pair counts over a BPE vocab frame (sym =
-    * space-joined symbols with sentinel spaces at both ends). */
+    * symbols each wrapped in <...> sentinels). Pairs keep the
+    * readable "a b" output form; only the stored representation is
+    * wrapped. */
   private def pairCounts(vocab: DataFrame): DataFrame = {
-    val t = split(trim(col("sym")), " ")
+    val t = split(trim(col("sym"), "<>"), "><")
     vocab.select(col("freq"), t.as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("freq"),
@@ -248,11 +250,14 @@ object TrainingB {
     * encoding tokenizer training (the iterated form of #80's single
     * pair-count step): count weighted adjacent-symbol pairs, pick the
     * most frequent (lexicographic tie-break), APPLY the merge to every
-    * word, repeat. Words are represented as space-joined symbol
-    * strings with sentinel spaces, so applying a merge is one
-    * `replace(sym, " a b ", " ab ")` — string replace is left-to-right
-    * non-overlapping in both engines, which IS greedy BPE merge order
-    * ("l l l" merges to "ll l", never "l ll").
+    * word, repeat. Words are represented as symbol strings with each
+    * symbol WRAPPED in sentinels ("<h><e><l><l><o>"), so applying a
+    * merge is one `replace(sym, "<a><b>", "<ab>")` — string replace is
+    * left-to-right non-overlapping in both engines, and because
+    * adjacent matches share NO boundary characters under the wrapped
+    * form, one pass IS greedy BPE merge order ("<b><b><b><b>" →
+    * "<bb><bb>"; a space-separated form would share the boundary
+    * space and miss every other merge in a run).
     *
     * Scale shape: the corpus is scanned ONCE into the word-frequency
     * table (the vocabulary — tiny relative to the corpus, which is
@@ -283,7 +288,7 @@ object TrainingB {
     * truncates round lineage. */
   private[graft] def bpeLoop(words: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     var vocab = words.select(col("word"),
-      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
+      regexp_replace(col("word"), "(.)", "<$1>").as("sym"),
       col("freq")).localCheckpoint()
     val picks = Seq.newBuilder[DataFrame]
     for (m <- 1 to rounds) {
@@ -295,8 +300,8 @@ object TrainingB {
       picks += best
       vocab = vocab.crossJoin(broadcast(best.select(col("pair").as("bp"))))
         .select(col("word"), replace(col("sym"),
-          concat(lit(" "), col("bp"), lit(" ")),
-          concat(lit(" "), replace(col("bp"), lit(" "), lit("")), lit(" ")))
+          concat(lit("<"), replace(col("bp"), lit(" "), lit("><")), lit(">")),
+          concat(lit("<"), replace(col("bp"), lit(" "), lit("")), lit(">")))
           .as("sym"),
           col("freq")).localCheckpoint()
     }
@@ -318,18 +323,19 @@ object TrainingB {
       s"""p$m AS (SELECT pair, SUM(freq) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(t)),
          |      i -> t[i] || ' ' || t[i+1])) AS pair
-         |    FROM (SELECT string_split(trim(sym), ' ') AS t, freq FROM $prev)
+         |    FROM (SELECT string_split(trim(sym, '<>'), '><') AS t, freq
+         |      FROM $prev)
          |    WHERE len(t) >= 2) GROUP BY 1),
          |b$m AS (SELECT pair, cnt FROM p$m ORDER BY cnt DESC, pair LIMIT 1),
-         |s$m AS (SELECT replace(sym, ' '||b.pair||' ',
-         |    ' '||replace(b.pair,' ','')||' ') AS sym, freq
+         |s$m AS (SELECT replace(sym, '<'||replace(b.pair,' ','><')||'>',
+         |    '<'||replace(b.pair,' ','')||'>') AS sym, freq
          |  FROM $prev, b$m b)""".stripMargin
     }.mkString(",\n")
     s"""WITH w AS (SELECT word, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split(text,' ')) AS word FROM documents) t
        |  WHERE regexp_matches(word, '^[a-z]+$$') AND len(word) BETWEEN 2 AND 20
        |  GROUP BY 1),
-       |s0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym,
+       |s0 AS (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS sym,
        |    freq FROM w),
        |$steps
        |SELECT CAST(1 AS BIGINT) AS merge_no, pair,

@@ -36,8 +36,8 @@ object TrainingC {
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 20))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("f"))
     val enc = sw.withColumn("n_sym",
-      size(split(trim(TokenizerStore.encodeSym(s, root, col("word"))), " "))
-        .cast("long"))
+      size(split(trim(TokenizerStore.encodeSym(s, root, col("word")), "<>"),
+        "><")).cast("long"))
     enc.groupBy(col("source"))
       .agg(sum(col("f")).as("n_words"),
         sum(col("f") * length(col("word"))).as("tot_chars"),
@@ -137,11 +137,45 @@ object TrainingC {
         round(col("inv") / col("si").cast("double"), 6).as("weight"))
   }
 
+  /** #188 QUALITY-THRESHOLD SWEEP — the tuning curve for the #172
+    * classifier gate (the #167 sweep discipline applied to quality
+    * filtering): for each candidate threshold, how many documents and
+    * tokens survive — the kept-volume-vs-strictness trade a filter
+    * owner reads before fixing the production threshold. The corpus
+    * is scanned ONCE (score + token count row-local); the 5-threshold
+    * explode multiplies rows 5× BEFORE the map-side-combined agg but
+    * after all heavy derivation; corpus totals are one broadcast
+    * scalar. Scores are 6dp and thresholds exact decimals, so the >=
+    * compare is engine-stable; doc fractions divide by 2^a·5^b counts
+    * that terminate well inside 6dp (exact in both engines). */
+  def qualitySweep(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(Training.qualityScore.as("score"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .localCheckpoint()
+    val tot = scored.agg(count(lit(1)).as("total_docs"),
+      sum(col("n_tok")).as("total_tokens"))
+    scored
+      .select(col("score"), col("n_tok"),
+        explode(array(Seq(0.4, 0.45, 0.5, 0.55, 0.6).map(lit): _*))
+          .as("threshold"))
+      .filter(col("score") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_tok")).as("tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("docs_kept"), col("tokens_kept"),
+        round(col("docs_kept").cast("double") / col("total_docs"), 6)
+          .as("frac_docs"),
+        round(col("tokens_kept").cast("double") / col("total_tokens"), 6)
+          .as("frac_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_encode"      -> bpeEncode _,
     "q_kl_divergence"   -> klDivergence _,
     "q_ngram_diversity" -> ngramDiversity _,
-    "q_label_balance"   -> labelBalance _)
+    "q_label_balance"   -> labelBalance _,
+    "q_quality_sweep"   -> qualitySweep _)
 
   /** The 3 training rounds with the word column carried, then the
     * per-source encode join — the SQL replay of train→store→encode. */
@@ -151,22 +185,23 @@ object TrainingC {
       s"""p$m AS (SELECT pair, SUM(freq) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(t)),
          |      i -> t[i] || ' ' || t[i+1])) AS pair
-         |    FROM (SELECT string_split(trim(sym), ' ') AS t, freq FROM $prev)
+         |    FROM (SELECT string_split(trim(sym, '<>'), '><') AS t, freq
+         |      FROM $prev)
          |    WHERE len(t) >= 2) GROUP BY 1),
          |b$m AS (SELECT pair FROM p$m ORDER BY cnt DESC, pair LIMIT 1),
-         |s$m AS (SELECT word, replace(sym, ' '||b.pair||' ',
-         |    ' '||replace(b.pair,' ','')||' ') AS sym, freq
+         |s$m AS (SELECT word, replace(sym, '<'||replace(b.pair,' ','><')||'>',
+         |    '<'||replace(b.pair,' ','')||'>') AS sym, freq
          |  FROM $prev, b$m b)""".stripMargin
     }.mkString(",\n")
     s"""WITH w AS (SELECT word, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split(text,' ')) AS word FROM documents) t
        |  WHERE regexp_matches(word, '^[a-z]+$$') AND len(word) BETWEEN 2 AND 20
        |  GROUP BY 1),
-       |s0 AS (SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+       |s0 AS (SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g')
        |    AS sym, freq FROM w),
        |$steps,
        |enc AS (SELECT word,
-       |    CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_sym
+       |    CAST(len(string_split(trim(sym, '<>'), '><')) AS BIGINT) AS n_sym
        |  FROM s3),
        |sw AS (SELECT source, word, COUNT(*) AS f FROM (
        |    SELECT source, unnest(string_split(text,' ')) AS word
@@ -225,6 +260,30 @@ object TrainingC {
         |  ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6)
         |    AS diversity
         |FROM sh GROUP BY 1, 2""".stripMargin,
+    "q_quality_sweep" ->
+      """WITH f AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |x AS (SELECT CAST(LEN(tk) AS BIGINT) AS n_tok,
+        |    LEAST(CAST(LEN(tk) AS DOUBLE) / 100.0, 2.0) AS x1,
+        |    CAST(LEN(list_filter(tk, t -> t IN
+        |      ('the','a','of','to','and','in','is','it','on','for')))
+        |      AS DOUBLE) / LEN(tk) AS x2,
+        |    CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk) AS x3,
+        |    (CAST(list_sum(list_transform(tk, t -> LEN(t))) AS DOUBLE)
+        |      / LEN(tk)) / 10.0 AS x4
+        |  FROM f),
+        |sc AS (SELECT n_tok, ROUND(1.0 / (1.0 + exp(
+        |    -ROUND(0.8*x1 + 3.0*x2 + 1.5*x3 - 0.6*x4 - 1.2, 6))), 6)
+        |    AS score FROM x),
+        |tot AS (SELECT COUNT(*) AS total_docs, SUM(n_tok) AS total_tokens
+        |  FROM sc),
+        |sw AS (SELECT t.threshold, COUNT(*) AS docs_kept,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+        |  FROM sc, (SELECT unnest([0.4, 0.45, 0.5, 0.55, 0.6]) AS threshold) t
+        |  WHERE score >= t.threshold GROUP BY 1)
+        |SELECT threshold, docs_kept, tokens_kept,
+        |  ROUND(CAST(docs_kept AS DOUBLE) / total_docs, 6) AS frac_docs,
+        |  ROUND(CAST(tokens_kept AS DOUBLE) / total_tokens, 6) AS frac_tokens
+        |FROM sw, tot""".stripMargin,
     "q_label_balance" ->
       """WITH per AS (SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
         |  FROM embeddings GROUP BY 1),

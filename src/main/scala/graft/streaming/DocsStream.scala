@@ -137,6 +137,77 @@ object DocsStream {
     * is oversized while a later one would fit, a corner where the
     * window is saturated anyway. Executor memory per group is
     * O(min(batch, remaining quota)), never O(flood). */
+  /** One scored candidate for [[bestOfNIngest]]. */
+  case class CandDoc(doc_id: Long, prompt_id: Long, reward: Double,
+      ts: java.sql.Timestamp)
+  /** Running winner for one (prompt, window) key. */
+  case class BestState(doc_id: Long, reward: Double, n_seen: Long)
+  /** The finalized selection for one (prompt, window). */
+  case class BestOut(prompt_id: Long, window_start: java.sql.Timestamp,
+      doc_id: Long, reward: Double, n_candidates: Long)
+
+  /** Streaming REJECTION SAMPLING (best-of-n at the edge): per
+    * (prompt, event-time window), keep only the highest-reward
+    * candidate — the streaming complement of the batch
+    * `q_rejection_sample` (#179). Generations arrive as a stream; a
+    * window's winner is emitted ONCE, when the watermark passes the
+    * window end and no late candidate can still displace it (emitting
+    * eagerly would retract — a finalized append is the exactly-once
+    * shape downstream training jobs can consume).
+    *
+    * State is O(1) per in-flight (prompt, window) key — just the
+    * current argmax and a count, updated per micro-batch with the
+    * (reward desc, doc_id asc) tie-break of #179, so replays and
+    * arrival orders all converge to the same winner. Keys are evicted
+    * by EventTimeTimeout at emission, so state is bounded by
+    * prompts × windows-in-flight forever. In BATCH mode (isStreaming
+    * false) the group is complete by definition and the winner is
+    * emitted immediately. */
+  def bestOfNIngest(
+      docs: org.apache.spark.sql.Dataset[CandDoc],
+      windowLenMs: Long = 10L * 60 * 1000,
+      watermark: String = "30 minutes"):
+      org.apache.spark.sql.Dataset[BestOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val isStreaming = docs.isStreaming
+    def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    docs
+      .withWatermark("ts", watermark)
+      .groupByKey(d => (d.prompt_id, d.ts.getTime / windowLenMs * windowLenMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Long, Long), ds: Iterator[CandDoc],
+         state: GroupState[BestState]) => {
+          val (promptId, windowStartMs) = key
+          def emit(st: BestState) = Iterator.single(BestOut(promptId,
+            new java.sql.Timestamp(windowStartMs), st.doc_id, st.reward,
+            st.n_seen))
+          if (state.hasTimedOut) {
+            // watermark cleared the window end: the winner is final
+            val st = state.get
+            state.remove()
+            emit(st)
+          } else {
+            var best = state.getOption
+              .map(s => (s.reward, s.doc_id)).getOrElse((Double.MinValue, Long.MaxValue))
+            var n = state.getOption.map(_.n_seen).getOrElse(0L)
+            ds.foreach { d =>
+              n += 1
+              if (better((d.reward, d.doc_id), best)) best = (d.reward, d.doc_id)
+            }
+            val st = BestState(best._2, best._1, n)
+            if (isStreaming) {
+              state.update(st)
+              val windowEndMs = windowStartMs + windowLenMs
+              state.setTimeoutTimestamp(
+                math.max(windowEndMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            } else emit(st) // batch: the group iterator IS the window
+          }
+        })
+  }
+
   def quotaIngest(
       docs: org.apache.spark.sql.Dataset[QuotaDoc],
       quotaTokens: Long,

@@ -274,6 +274,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no pushed filters in scan:\n$p")
   }
 
+  test("best-of-n selection is a pure hash agg (no window, one exchange)") {
+    for (q <- Seq("q_rejection_sample", "q_preference_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window sort:\n$p")
+      assert(exchanges(p) <= 1, s"$q shuffles more than the group agg:\n$p")
+    }
+  }
+
+  test("kl divergence: vocab-frame joins never broadcast the corpus-derived side") {
+    val p = plan("q_kl_divergence")
+    // the global-term-count frame is corpus-derived (vocab-sized at
+    // 100 TB): it must join shuffle-hash, while the 20-row per-source
+    // totals ride a broadcast
+    assert(p.contains("ShuffledHashJoin"), s"term join lost its hint:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"scalar frames not broadcast:\n$p")
+  }
+
+  test("stored-tokenizer encode plan contains no training aggregate") {
+    val qe = SparkEntry.queries("q_bpe_encode")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    // each training round ends in a bounded top-1 (TakeOrdered) over
+    // the pair counts; an encode plan that re-trains would carry one
+    assert(!p.contains("TakeOrdered"),
+      s"q_bpe_encode re-derives training state:\n$p")
+    // the stored-merge replace chain lives in a projection the
+    // physical string folds away — assert it on the optimized plan
+    val lp = qe.optimizedPlan.toString
+    assert(lp.contains("replace"),
+      s"q_bpe_encode lost the stored-merge replace chain:\n$lp")
+  }
+
   test("no query scans more than 8 columns of any table") {
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

@@ -517,4 +517,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("purchase") == 0, "1 purchase vs med 1 must not flag")
     assert(rows("mystery") == 0, "unknown type must pass through unflagged")
   }
+
+  test("best-of-n ingest: winner finalizes once per window, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocsStream
+    import graft.streaming.DocsStream.{BestOut, CandDoc}
+    val mem = MemoryStream[CandDoc]
+    val out = DocsStream.bestOfNIngest(mem.toDS(),
+      windowLenMs = 10L * 60 * 1000, watermark = "5 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("bestofn").start()
+    // window [00:00, 00:10): candidates for prompt 1 across two batches
+    mem.addData(CandDoc(11, 1, 0.4, ts(1)), CandDoc(12, 1, 0.9, ts(2)))
+    q.processAllAvailable()
+    assert(spark.table("bestofn").count() == 0,
+      "nothing may emit before the watermark finalizes the window")
+    // a late-but-in-watermark better candidate still displaces
+    mem.addData(CandDoc(13, 1, 0.95, ts(3)), CandDoc(21, 2, 0.5, ts(4)))
+    q.processAllAvailable()
+    // advance the watermark past the window end (00:10 + 5 min)
+    mem.addData(CandDoc(99, 7, 0.1, ts(20)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("bestofn").as[BestOut]
+      .collect().map(r => r.prompt_id -> r).toMap
+    assert(rows.keySet == Set(1L, 2L), "one finalized row per prompt window")
+    assert(rows(1L).doc_id == 13 && rows(1L).reward == 0.95)
+    assert(rows(1L).n_candidates == 3, "count accumulates across batches")
+    assert(rows(2L).doc_id == 21)
+  }
+
+  test("best-of-n ingest: reward tie breaks on the lower doc_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocsStream
+    import graft.streaming.DocsStream.{BestOut, CandDoc}
+    val mem = MemoryStream[CandDoc]
+    val out = DocsStream.bestOfNIngest(mem.toDS(),
+      windowLenMs = 10L * 60 * 1000, watermark = "5 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("bestofn2").start()
+    mem.addData(CandDoc(42, 1, 0.7, ts(1)), CandDoc(7, 1, 0.7, ts(2)))
+    q.processAllAvailable()
+    mem.addData(CandDoc(99, 9, 0.1, ts(20)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("bestofn2").as[BestOut].collect()
+      .map(r => r.prompt_id -> r).toMap
+    assert(rows(1L).doc_id == 7, "equal reward must pick the lower id")
+  }
+
+  test("best-of-n ingest: batch mode emits immediately and matches q_rejection_sample") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    import graft.streaming.DocsStream.CandDoc
+    // batch replay over the real corpus: one global window, reward =
+    // the #179 TTR micro-unit reward — winners must agree exactly
+    val tk = split(col("text"), " ")
+    val cands = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("prompt_id"),
+        round(round(size(array_distinct(tk)).cast("double") / size(tk), 6)
+          * 1e6).cast("double").as("reward"),
+        lit(Timestamp.valueOf("2024-01-01 00:01:00")).as("ts"))
+      .as[CandDoc]
+    val got = DocsStream.bestOfNIngest(cands)
+      .select(col("prompt_id"), col("doc_id"))
+    val want = SparkEntry.queries("q_rejection_sample")(spark, sf)
+      .select(col("prompt_id"), col("chosen_id").as("doc_id"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }

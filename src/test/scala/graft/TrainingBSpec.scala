@@ -125,11 +125,16 @@ class TrainingBSpec extends AnyFunSuite {
     df.unpersist()
   }
 
-  test("bpe train: greedy left-to-right merge semantics on a repeated-symbol word") {
-    // " a l l l a " with merge "l l" must become "a ll l a" (greedy,
-    // non-overlapping) — the replace-based apply used by the query
-    val got = spark.sql(
-      "SELECT replace(' a l l l a ', ' l l ', ' ll ') AS s").head.getString(0)
-    assert(got == " a ll l a ")
+  test("bpe train: greedy left-to-right merge semantics on repeated-symbol runs") {
+    // wrapped-sentinel form: adjacent matches share no boundary chars,
+    // so one replace pass IS greedy BPE — an odd run merges leftmost
+    // ("<a><l><l><l><a>" → "<a><ll><l><a>") and an even run merges
+    // completely ("<b><b><b><b>" → "<bb><bb>", which a space-separated
+    // representation would get wrong)
+    val r = spark.sql(
+      "SELECT replace('<a><l><l><l><a>', '<l><l>', '<ll>') AS a, " +
+        "replace('<b><b><b><b>', '<b><b>', '<bb>') AS b").head
+    assert(r.getString(0) == "<a><ll><l><a>")
+    assert(r.getString(1) == "<bb><bb>")
   }
 }

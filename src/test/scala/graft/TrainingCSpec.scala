@@ -81,6 +81,54 @@ class TrainingCSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("quality sweep: kept volume is monotone in threshold, fractions consistent") {
+    val df = SparkEntry.queries("q_quality_sweep")(spark, sf).cache()
+    assert(df.count() >= 2, "sweep produced too few threshold rows")
+    val rows = df.orderBy(col("threshold")).collect()
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("docs_kept") >= hi.getAs[Long]("docs_kept"),
+        "a stricter threshold kept more docs")
+      assert(lo.getAs[Long]("tokens_kept") >= hi.getAs[Long]("tokens_kept"))
+    }
+    assert(df.filter(col("frac_docs") < 0.0 || col("frac_docs") > 1.0)
+      .count() == 0)
+    // threshold 0.5 row must agree with the #172 per-source accepts
+    val accepts = SparkEntry.queries("q_quality_classifier")(spark, sf)
+      .agg(sum(col("n_accept"))).head.getLong(0)
+    val k05 = rows.find(_.getAs[Double]("threshold") == 0.5)
+    assert(k05.forall(_.getAs[Long]("docs_kept") == accepts),
+      "sweep@0.5 disagrees with the classifier gate")
+    df.unpersist()
+  }
+
+  test("bpe merge application: sentinel-string replace matches a greedy list model") {
+    // the replace-based apply used by the loop and the stored encode,
+    // vs an explicit left-to-right non-overlapping merge of the symbol
+    // list — on adversarial repeated-symbol words
+    def model(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: model(rest, a, b)
+        case x :: rest => x :: model(rest, a, b)
+        case Nil => Nil
+      }
+    val merges = Seq(("a", "b"), ("ab", "a"), ("b", "b"), ("c", "ab"))
+    val rnd = new scala.util.Random(7)
+    val words = Seq("ab", "abab", "aabb", "bbbb", "abcab", "cababc") ++
+      Seq.fill(500)(Seq.fill(2 + rnd.nextInt(10))(
+        "abc".charAt(rnd.nextInt(3)).toString).mkString)
+    words.foreach { w =>
+      var sym = w.toCharArray.map(c => s"<$c>").mkString
+      var lst = w.toCharArray.map(_.toString).toList
+      merges.foreach { case (a, b) =>
+        sym = sym.replace(s"<$a><$b>", s"<$a$b>")
+        lst = model(lst, a, b)
+      }
+      assert(sym == lst.map(x => s"<$x>").mkString,
+        s"word '$w': replace gave '$sym', model gave ${lst.mkString(" ")}")
+    }
+  }
+
   test("label balance: effective n below n, weights normalize and favor the tail") {
     val df = SparkEntry.queries("q_label_balance")(spark, sf).cache()
     assert(df.count() == 10)

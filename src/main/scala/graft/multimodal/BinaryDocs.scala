@@ -118,6 +118,47 @@ object BinaryDocs {
       .distinct()
   }
 
+  /** Near-duplicate AUDIO pairs over a binary media column: each clip
+    * gets the 64-bit energy-delta fingerprint
+    * ([[AudioFingerprint]], real PCM decode), and pairs within
+    * `maxDist` Hamming bits are returned — the audio member of the
+    * multimodal dedup family beside [[imageNearDupPairs]]' dHash.
+    *
+    * Same provably-complete candidate shape: the fingerprint splits
+    * into 4 × 16-bit bands; two hashes within Hamming ≤ 3 agree on a
+    * whole band by pigeonhole, each band bucket is an equi-join key,
+    * the verify is a row-local `bit_count(xor)`. Volume-scaled
+    * re-encodes of the same material fingerprint identically —
+    * distance 0 — where their byte hashes all differ.
+    *
+    * @param bin (doc_id, media binary)
+    * @return (doc_a, doc_b, hamming) pairs, hamming ≤ maxDist */
+  def audioNearDupPairs(bin: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band index is only complete for maxDist <= 3")
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val hashes = bin.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          AudioFingerprint.fingerprint(bytes).map(h => (id, h))
+        }
+      }
+      .toDF("doc_id", "fp")
+    val banded = hashes.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band"), col("bk.key"))
+    banded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** REAL audio PCM sample decode over the binary column, batch-wise
     * per partition: `javax.sound.sampled` ([[AudioDecode]], in the
     * JDK) converts WAV payloads to 16-bit PCM and reduces them to

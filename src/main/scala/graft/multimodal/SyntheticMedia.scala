@@ -65,4 +65,74 @@ object SyntheticMedia {
       }
     }.toDF("doc_id", "media")
   }
+
+  // ---------------------------------------------------------- audio
+
+  /** Segments per clip (= fingerprint windows + 1: 65 segments give
+    * the 64 energy-delta bits of [[AudioFingerprint]]). */
+  val WavSegments = 65
+  /** Samples per segment; total clip = 65 × 400 = 26 000 samples, so
+    * the fingerprint's frames/65 windows align exactly on segment
+    * boundaries. */
+  val WavSamplesPerSeg = 400
+  val WavSampleRate = 8000
+
+  /** The amplitude-level sequence for one melody id: 65 levels drawn
+    * from 7 steps (0.15 … 0.75) by a fixed mixing recurrence, with a
+    * bump rule guaranteeing ADJACENT SEGMENTS ALWAYS DIFFER — the
+    * energy comparison between neighboring windows then has a gap far
+    * above 16-bit quantization noise, which is what makes the
+    * fingerprint volume-invariant and the pair oracle arithmetic. */
+  def levelsFor(melody: Int): Seq[Double] = {
+    var prev = -1
+    (0 until WavSegments).map { k =>
+      var v = ((melody * 31 + k * 13) % 97) % 7
+      if (v == prev) v = (v + 1) % 7
+      prev = v
+      0.15 + 0.1 * v
+    }
+  }
+
+  /** Mono 16-bit PCM WAV of a 440 Hz tone whose amplitude steps
+    * through `levels`, one segment per level, written via the JDK's
+    * AudioSystem (no codec library). */
+  def wavBytes(levels: Seq[Double], volume: Double): Array[Byte] = {
+    val n = levels.length * WavSamplesPerSeg
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a = levels(i / WavSamplesPerSeg) * volume
+      val s = math.round(a * math.sin(2.0 * math.Pi * 440.0 * i / WavSampleRate)
+        * 32767.0).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      WavSampleRate.toFloat, 16, 1, 2, WavSampleRate.toFloat, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    try {
+      javax.sound.sampled.AudioSystem.write(
+        in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    } finally { in.close(); out.close() }
+  }
+
+  /** One planted WAV per doc: melody = id % 40 (docs sharing a melody
+    * are TRUE near-dups), volume = 0.5 + 0.25·(id % 3) (so their BYTES
+    * differ — an exact-hash dedup misses them; the energy-delta
+    * fingerprint does not). Partition-wise like every media stage. */
+  def plantWavs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val vol = 0.5 + 0.25 * (id % 3)
+        (id, wavBytes(levelsFor((id % 40).toInt), vol))
+      }
+    }.toDF("doc_id", "media")
+  }
 }

@@ -64,7 +64,10 @@ object ScaleProbe {
       // the one corpus scan), vocab-frame KL join, the triple-shingle
       // explode, and the label-dimension reweighting
       "q_bpe_encode", "q_kl_divergence", "q_ngram_diversity",
-      "q_label_balance")
+      "q_label_balance",
+      // bounded-probe media dedup: decode + fingerprint cost is fixed
+      // by the 400-doc probe set, so the curve must be flat
+      "q_audio_dedup")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

@@ -260,4 +260,49 @@ class MediaCodecsSpec extends AnyFunSuite {
     val len = "plain text".getBytes("UTF-8").length.toLong
     assert(out(3L) == ((len % 640, len % 480))) // disclosed fallback
   }
+
+  test("audio fingerprint is volume-invariant while the byte hash is not") {
+    import graft.multimodal.{AudioFingerprint, SyntheticMedia}
+    val levels = SyntheticMedia.levelsFor(7)
+    val quiet = SyntheticMedia.wavBytes(levels, 0.5)
+    val loud = SyntheticMedia.wavBytes(levels, 1.0)
+    val fq = AudioFingerprint.fingerprint(quiet).get
+    val fl = AudioFingerprint.fingerprint(loud).get
+    assert(fq == fl && fq != 0L, "gain change altered the fingerprint")
+    assert(!java.util.Arrays.equals(quiet, loud),
+      "volume variants should differ byte-wise (or the test proves nothing)")
+    // and the fingerprint really orders by the planted energy deltas
+    val expected = (0 until 64).foldLeft(0L) { (h, k) =>
+      if (levels(k + 1) > levels(k)) h | (1L << k) else h
+    }
+    assert(fq == expected, "bits diverged from the planted level deltas")
+  }
+
+  test("distinct melodies keep pairwise Hamming > 3 (pins the arithmetic pair oracle)") {
+    import graft.multimodal.{AudioFingerprint, SyntheticMedia}
+    val fps = (0 until 40).map(m => AudioFingerprint
+      .fingerprint(SyntheticMedia.wavBytes(SyntheticMedia.levelsFor(m), 0.75)).get)
+    for (a <- fps.indices; b <- fps.indices if a < b) {
+      val d = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      assert(d > 3, s"melodies $a and $b collide at Hamming $d — the " +
+        "q_audio_dedup oracle's same-melody-only pair set would be wrong")
+    }
+  }
+
+  test("audio near-dup pairs: volume variants pair at distance 0, junk skipped") {
+    import spark.implicits._
+    import graft.multimodal.{BinaryDocs, SyntheticMedia}
+    val rows = Seq(
+      (1L, SyntheticMedia.wavBytes(SyntheticMedia.levelsFor(3), 0.5)),
+      (2L, SyntheticMedia.wavBytes(SyntheticMedia.levelsFor(3), 1.0)),
+      (3L, SyntheticMedia.wavBytes(SyntheticMedia.levelsFor(9), 0.75)),
+      (4L, "not audio".getBytes("UTF-8")))
+    val pairs = BinaryDocs
+      .audioNearDupPairs(rows.toDF("doc_id", "media"), maxDist = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"unexpected pair set: $pairs")
+    assert(pairs((1L, 2L)) == 0)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Diagnostics, Evaluation, Extras, Fit, GraphB, Indexing, Lifecycle, LlmData, Media, Operational, Privacy, Recommend, Relational, RelationalB, ScaleOps, ScaleOpsB, Stats, StatsB, StatsC, Training, TrainingB, TrainingC}
+import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Diagnostics, Evaluation, Extras, Fit, GraphB, Indexing, Lifecycle, LlmData, Media, Operational, Privacy, Recommend, Relational, RelationalB, ScaleOps, ScaleOpsB, Stats, StatsB, StatsC, Training, TrainingB, TrainingC, TrainingD}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -17,7 +17,8 @@ object SparkEntry {
       Stats.queries ++ StatsB.queries ++ Lifecycle.queries ++ Recommend.queries ++
       GraphB.queries ++ Diagnostics.queries ++ Privacy.queries ++ ScaleOpsB.queries ++
       StatsC.queries ++ Evaluation.queries ++ Fit.queries ++ Indexing.queries ++
-      Training.queries ++ TrainingB.queries ++ TrainingC.queries ++ Media.queries
+      Training.queries ++ TrainingB.queries ++ TrainingC.queries ++
+      TrainingD.queries ++ Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       Stats.oracles ++ StatsB.oracles ++ Lifecycle.oracles ++ Recommend.oracles ++
       GraphB.oracles ++ Diagnostics.oracles ++ Privacy.oracles ++ ScaleOpsB.oracles ++
       StatsC.oracles ++ Evaluation.oracles ++ Fit.oracles ++ Indexing.oracles ++
-      Training.oracles ++ TrainingB.oracles ++ TrainingC.oracles ++ Media.oracles
+      Training.oracles ++ TrainingB.oracles ++ TrainingC.oracles ++
+      TrainingD.oracles ++ Media.oracles
 }

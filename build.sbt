@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // hash maps (graph joins at probe scale); 32g leaves headroom for
   // the OS cache and any concurrent sbt session
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // pre-size the heap: without -Xms the adaptive heap starts at 2g
+  // and each run grows it on a different trajectory — runs where it
+  // stays small GC-thrash the wedge-explosion stages, which is how
+  // identical graph-query runs swung 3-8x (q_triangle_count
+  // 5.4 s vs 21.7 s min-of-2) with flat CPU calibration
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

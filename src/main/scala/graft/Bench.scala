@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // tmpfs shuffle dirs (see GraftSession.localDir): on this host
+      // /tmp is a virtual disk whose writeback variance swung heavy
+      // shuffle queries 3-8x between otherwise identical runs
+      .config("spark.local.dir", GraftSession.localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // FULL-evaluation action shared by every timing harness — see
@@ -18,12 +22,25 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
       graft.tools.FullEval.run(fn(spark, dir))
+    // Drop blocks a finished query left behind: localCheckpoint /
+    // persist blocks are never freed by the queries themselves (the
+    // returned frame depends on them), so over 3 × 206 evaluations
+    // they accrue until storage eviction churn bleeds into execution —
+    // the source of the 3-8× graph-family swings between otherwise
+    // idle-box runs (q_edge_jaccard 6.6 s vs 29.7 s min-of-2). Runs
+    // OUTSIDE the timed window.
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
     // Warmup at the smallest SF: identical plans → whole-stage codegen
     // classes, shuffle machinery and JIT are hot before timing, so the
     // measurement reflects data-processing throughput, not JVM startup.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn, warmDir) catch { case _: Throwable => () }
+      cleanup()
     }
     // two timed passes, report per-query min: single-pass numbers on a
     // shared machine carry ±80% scheduler noise; min-of-2 is the
@@ -31,7 +48,9 @@ object Bench {
     def timed(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { run(fn, sfDir) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      name -> dt
     }
     // Self-calibration: a fixed single-threaded CPU-bound task timed
     // before and after the measured passes, plus /proc/loadavg at both

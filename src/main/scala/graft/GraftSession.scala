@@ -27,6 +27,19 @@ object GraftSession {
       // reader rejects; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill files on tmpfs when available: the default /tmp
+      // sits on a virtual disk here, where shuffle-file churn burns
+      // multiple CORES of kernel time with run-to-run writeback
+      // variance (q_edge_jaccard swung 5.5-44.6 s across identical
+      // runs; the wedge stream's shuffle is ~GBs of short-lived
+      // files). A cluster deployment sets spark.local.dir to fast
+      // local disks — this is the local-mode equivalent.
+      .config("spark.local.dir", GraftSession.localDir)
 
   def get(): SparkSession = builder().getOrCreate()
+
+  /** tmpfs-backed scratch dir if the host has one, else the default. */
+  private[graft] def localDir: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+    else System.getProperty("java.io.tmpdir", "/tmp")
 }

@@ -90,7 +90,6 @@ object BinaryDocs {
     * @param bin (doc_id, media binary)
     * @return (doc_a, doc_b, hamming) pairs, hamming ≤ maxDist */
   def imageNearDupPairs(bin: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4-band index is only complete for maxDist <= 3")
     val spark = bin.sparkSession
     import spark.implicits._
     val hashes = bin.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
@@ -99,18 +98,33 @@ object BinaryDocs {
           ImageDecode.dhashBytes(bytes).map(h => (id, h))
         }
       }
-      .toDF("doc_id", "dhash")
-    val banded = hashes.select(col("doc_id"), col("dhash"),
+      .toDF("doc_id", "h")
+    bandedHammingPairs(hashes, maxDist)
+  }
+
+  /** Shared banded-Hamming pair join over a 64-bit (doc_id, h) hash
+    * frame — the candidate shape all three media dedup members
+    * (image dHash, audio energy-delta, video frame-class) use. The
+    * hash splits into 4 × 16-bit bands; by pigeonhole two hashes
+    * within Hamming ≤ 3 agree on at least one whole band, so the
+    * 4-way band index is provably COMPLETE for maxDist ≤ 3 (the
+    * prefix-filter theorem's shape, applied to bits). Each band
+    * bucket is an equi-join key; the verify is a row-local
+    * `bit_count(xor)`. */
+  private[multimodal] def bandedHammingPairs(
+      hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-band index is only complete for maxDist <= 3")
+    val banded = hashes.select(col("doc_id"), col("h"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.key"))
+          shiftright(col("h"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
     banded.as("a")
       .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
       // filter BEFORE distinct: the Hamming predicate is row-local and
       // band collisions vastly outnumber true near-dups, so pruning
       // first keeps far pairs out of the distinct's shuffle
@@ -134,7 +148,6 @@ object BinaryDocs {
     * @param bin (doc_id, media binary)
     * @return (doc_a, doc_b, hamming) pairs, hamming ≤ maxDist */
   def audioNearDupPairs(bin: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4-band index is only complete for maxDist <= 3")
     val spark = bin.sparkSession
     import spark.implicits._
     val hashes = bin.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
@@ -143,20 +156,30 @@ object BinaryDocs {
           AudioFingerprint.fingerprint(bytes).map(h => (id, h))
         }
       }
-      .toDF("doc_id", "fp")
-    val banded = hashes.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("fp"), col("bk.band"), col("bk.key"))
-    banded.as("a")
-      .join(banded.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .distinct()
+      .toDF("doc_id", "h")
+    bandedHammingPairs(hashes, maxDist)
+  }
+
+  /** Near-duplicate VIDEO pairs over a binary media column: each clip
+    * gets the 64-bit frame-class fingerprint ([[VideoFingerprint]],
+    * real GIF/MJPEG frame decode), and pairs within `maxDist` Hamming
+    * bits come back through the same provably-complete 4×16-bit
+    * banded join as [[imageNearDupPairs]] / [[audioNearDupPairs]] —
+    * the video member of the multimodal dedup family. Re-renders of
+    * the same frame sequence at a DIFFERENT resolution have different
+    * bytes (an exact hash misses them) but identical fingerprints
+    * (the per-frame dominant-channel class is resolution-invariant). */
+  def videoNearDupPairs(bin: DataFrame, maxDist: Int = 3): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val hashes = bin.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          VideoFingerprint.fingerprint(bytes).map(h => (id, h))
+        }
+      }
+      .toDF("doc_id", "h")
+    bandedHammingPairs(hashes, maxDist)
   }
 
   /** REAL audio PCM sample decode over the binary column, batch-wise

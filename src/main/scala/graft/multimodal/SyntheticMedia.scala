@@ -66,6 +66,36 @@ object SyntheticMedia {
     }.toDF("doc_id", "media")
   }
 
+  // ---------------------------------------------------------- video
+
+  /** Frame colors for one video scene id: [[VideoFingerprint.Frames]]
+    * primary indices from a quadratic mixing recurrence chosen so the
+    * 25 scene fingerprints are pairwise ≥ 20 Hamming bits apart with
+    * all 16-bit bands distinct (verified by VideoDedupSpec) — scenes
+    * never collide under the ≤3-bit near-dup join. */
+  def sceneColorsFor(scene: Int): Seq[Int] =
+    (0 until VideoFingerprint.Frames).map(k =>
+      ((scene * 29 + k * 13 + scene * k * 7) % 101) % 3)
+
+  /** One planted GIF CLIP per doc for the video near-dup path:
+    * scene = id % 25 (docs sharing a scene are TRUE near-dups),
+    * rendered at one of 3 resolutions (id % 3) — so same-scene clips
+    * differ BYTE-wise (an exact hash misses every pair) while their
+    * frame-class fingerprints are identical. Partition-wise like
+    * every media stage; in production this node is the binaryFile
+    * source. */
+  def plantVideoGifs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val dims = Array((4, 3), (6, 4), (8, 6))
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = dims((id % 3).toInt)
+        (id, gifBytes(sceneColorsFor((id % 25).toInt).map(primaries), w, h))
+      }
+    }.toDF("doc_id", "media")
+  }
+
   // ---------------------------------------------------------- audio
 
   /** Segments per clip (= fingerprint windows + 1: 65 segments give

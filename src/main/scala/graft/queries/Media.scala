@@ -38,8 +38,34 @@ object Media {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
   }
 
+  /** #196 VIDEO NEAR-DUP DEDUP, oracle-gated end-to-end — the video
+    * member completing the multimodal dedup triad (image dHash #47's
+    * family, audio #189): each probe doc plants a deterministic GIF
+    * clip ([[SyntheticMedia.plantVideoGifs]] — scene = id mod 25,
+    * one of 3 resolutions), the REAL frame decode + 64-bit
+    * frame-class fingerprint ([[graft.multimodal.VideoFingerprint]])
+    * runs partition-wise, and the shared 4×16-bit banded pair join
+    * (complete for Hamming ≤ 3) returns the near-dup pairs.
+    * Same-scene clips at DIFFERENT resolutions differ byte-wise —
+    * exact hashing misses all of them — but fingerprint identically,
+    * so the expected pair set is pure doc_id arithmetic and DuckDB
+    * replays it exactly. A regression in the GIF container walk,
+    * frame ordering, pixel decode, class mapping, banding or verify
+    * breaks the hash gate.
+    *
+    * Scale shape: bounded probe set (doc_id < 400); decode +
+    * fingerprint row-local in mapPartitions; candidates band-bucket-
+    * local (never all-pairs); verify a row-local bit_count. */
+  def videoDedup(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 400)
+    BinaryDocs.videoNearDupPairs(SyntheticMedia.plantVideoGifs(ids), maxDist = 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_audio_dedup" -> audioDedup _)
+    "q_audio_dedup" -> audioDedup _,
+    "q_video_dedup" -> videoDedup _)
 
   val oracles: Map[String, String] = Map(
     "q_audio_dedup" ->
@@ -47,5 +73,11 @@ object Media {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(0 AS INT) AS hamming
         |FROM ids a JOIN ids b
-        |  ON a.doc_id < b.doc_id AND a.doc_id % 40 = b.doc_id % 40""".stripMargin)
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 40 = b.doc_id % 40""".stripMargin,
+    "q_video_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(0 AS INT) AS hamming
+        |FROM ids a JOIN ids b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 25 = b.doc_id % 25""".stripMargin)
 }

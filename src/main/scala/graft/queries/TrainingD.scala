@@ -189,16 +189,30 @@ object TrainingD {
     * near-dup pairs, next to the theoretical S-curve collision
     * probability at J = 0.5 (1−(1−0.5^r)^b).
     *
-    * Scale shape: signatures are computed ONCE (localCheckpoint) and
-    * re-banded three ways — banding is an explode over the signature
-    * frame, never a corpus re-scan; candidates stay bucket-local per
-    * config; verification joins are candidate-sized. */
+    * Scale shape: a parameter sweep is a MEASUREMENT, so it runs on
+    * a bounded deterministic probe slice (doc_id < 2000 — the media
+    * queries' planted-probe convention), which caps the permissive
+    * r=1 config's quadratic candidate volume at any corpus size;
+    * signatures are computed ONCE (localCheckpoint) and re-banded
+    * three ways — banding is an explode over the signature frame,
+    * never a corpus re-scan; candidates stay bucket-local per config;
+    * verification joins are candidate-sized against ONE shared
+    * shingle-set materialization. */
   def lshParamSweep(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 2000)
     val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
       concat(col("text"), lit(" near dup probe")).as("text"))
-    val all = base.unionByName(variants).localCheckpoint()
+    val all = base.unionByName(variants)
     val sigs = TextDedup.minhashSignatures(all, "doc_id", "text")
+      .localCheckpoint()
+    // ONE shingle-set materialization serves all three verify passes
+    // (re-deriving it per config would triple the heaviest row-local
+    // work of the query)
+    val shingleSets = all.select(col("doc_id").as("__id"),
+      array_distinct(transform(
+        graft.functions.TextAnalysis.shinglesOfText(col("text")),
+        sh => xxhash64(sh))).as("__shs"))
       .localCheckpoint()
     val planted = base.select(col("doc_id").as("doc_a"),
       (col("doc_id") + 1000000L).as("doc_b"))
@@ -206,7 +220,7 @@ object TrainingD {
     Seq(1, 2, 4).map { r =>
       val b = 8 / r
       val cand = TextDedup.lshCandidates(sigs, "doc_id", 8, r).localCheckpoint()
-      val stats = TextDedup.verifyJaccard(cand, all, "doc_id", "text")
+      val stats = TextDedup.verifyJaccardSets(cand, shingleSets)
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("jaccard") >= 0.2, 1L).otherwise(0L)).as("n_verified"))
       val found = cand.join(planted, Seq("doc_a", "doc_b"))
@@ -278,9 +292,10 @@ object TrainingD {
   /** The 8-minhash signature + shingle-set CTEs over the planted
     * corpus (base ∪ appended-probe variants). */
   private val sweepSigCte =
-    """t0 AS (SELECT doc_id, text FROM documents
+    """d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+      |t0 AS (SELECT doc_id, text FROM d0
       |  UNION ALL
-      |  SELECT doc_id + 1000000, text || ' near dup probe' FROM documents),
+      |  SELECT doc_id + 1000000, text || ' near dup probe' FROM d0),
       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM t0),
       |s AS (SELECT doc_id,
       |  CASE WHEN len(toks) >= 3
@@ -429,8 +444,8 @@ object TrainingD {
           |      AS n_verified
           |  FROM ver GROUP BY 1),
           |pl AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
-          |  FROM documents),
-          |np AS (SELECT COUNT(*) AS n_planted FROM documents),
+          |  FROM d0),
+          |np AS (SELECT COUNT(*) AS n_planted FROM d0),
           |pf AS (SELECT rpb, COUNT(*) AS n_planted_found
           |  FROM cand JOIN pl USING (doc_a, doc_b) GROUP BY 1)
           |SELECT CAST(rpb AS BIGINT) AS rows_per_band,

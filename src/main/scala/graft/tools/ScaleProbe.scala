@@ -67,7 +67,17 @@ object ScaleProbe {
       "q_label_balance",
       // bounded-probe media dedup: decode + fingerprint cost is fixed
       // by the 400-doc probe set, so the curve must be flat
-      "q_audio_dedup")
+      "q_audio_dedup",
+      // r5 batch D: the eval family — pass@k / arena ride one event
+      // agg each (linear); SFT assembly is one corpus-sized hash agg;
+      // the LSH sweep runs on a bounded probe slice (flat curve);
+      // video dedup is the bounded 400-doc triad member (flat)
+      "q_pass_at_k", "q_win_matrix", "q_bt_rating", "q_sft_assemble",
+      "q_lsh_param_sweep", "q_video_dedup",
+      // r5 batch E: targeted selection (row-local scoring + bounded
+      // take), clustering eval (broadcast assignment + tiny
+      // contingency), length reweighting (one scan agg)
+      "q_embed_select", "q_rand_index", "q_length_upsample")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

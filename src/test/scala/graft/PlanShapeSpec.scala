@@ -305,6 +305,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q_bpe_encode lost the stored-merge replace chain:\n$lp")
   }
 
+  test("pass@k and the arena matches aggregate without windows") {
+    for (q <- Seq("q_pass_at_k", "q_win_matrix")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window sort:\n$p")
+      // events shuffle once into the per-problem/match agg; the
+      // second exchange is the tiny k/pair re-agg
+      assert(exchanges(p) <= 2, s"$q shuffles beyond its two aggs:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to SMJ:\n$p")
+    }
+  }
+
+  test("SFT assembly is one hash agg: no window, one exchange") {
+    val p = plan("q_sft_assemble")
+    assert(!p.contains("Window"), s"ordering must be array_sort, not a window:\n$p")
+    assert(exchanges(p) <= 1, s"q_sft_assemble shuffles more than the group agg:\n$p")
+  }
+
+  test("media near-dup band joins stay shuffle-hash (hashes never broadcast)") {
+    for (q <- Seq("q_video_dedup", "q_audio_dedup")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q band join lost its hint:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$q broadcast a corpus-derived hash frame:\n$p")
+    }
+  }
+
   test("no query scans more than 8 columns of any table") {
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

@@ -77,7 +77,11 @@ object ScaleProbe {
       // r5 batch E: targeted selection (row-local scoring + bounded
       // take), clustering eval (broadcast assignment + tiny
       // contingency), length reweighting (one scan agg)
-      "q_embed_select", "q_rand_index", "q_length_upsample")
+      "q_embed_select", "q_rand_index", "q_length_upsample",
+      // r5 batch F: IVF sweep (bounded probes, flat), cluster-capped
+      // sampling (broadcast assignment + bounded top-k), score
+      // normalization (distinct-score frame, linear scan)
+      "q_ivf_nprobe_sweep", "q_cluster_sample", "q_score_norm")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

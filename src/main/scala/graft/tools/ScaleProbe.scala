@@ -139,7 +139,11 @@ object ScaleProbe {
 
     println(f"${"query"}%-24s ${scales.map(s => f"x$s%8s").mkString} ratio(16x/1x)")
     val dirs = scales.map(n => n -> scaled(n)).toMap
-    for (q <- queries) {
+    // optional arg: comma-separated subset for fast incremental probes
+    val picked =
+      if (args.nonEmpty) queries.filter(args(0).split(",").toSet)
+      else queries
+    for (q <- picked) {
       val times = scales.map { n =>
         val fn = SparkEntry.queries(q)
         // warm once at 1x for JIT/codegen, then min of 2 timed passes

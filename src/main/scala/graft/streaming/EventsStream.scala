@@ -114,6 +114,84 @@ object EventsStream {
         })
   }
 
+  case class MatchSide(
+      match_id: Long, side: Int, model: String, value: Double,
+      ts: java.sql.Timestamp)
+  case class PendingSide(side: Int, model: String, value: Double, tsMs: Long)
+  case class MatchOut(
+      match_id: Long, model_a: String, model_b: String, wins_a: Long)
+
+  /** STREAMING MATCH COMPLETION — the stateful-pairing half of the
+    * arena family (#191/#192 are its batch aggregations): each match's
+    * two sides can arrive in DIFFERENT micro-batches; state holds the
+    * first-seen side per match_id until its opponent arrives, then the
+    * completed match emits EXACTLY ONCE with the same winner semantics
+    * as the batch `q_win_matrix` pairing (higher value wins, exact
+    * tie → lexicographically smaller model; model_a < model_b in the
+    * output). Same-model matches complete silently. An orphan half
+    * (opponent never arrives) is EVICTED by event-time timeout once
+    * the watermark passes — state is O(1) per OPEN match, not per
+    * stream.
+    *
+    * In batch mode (`sides.isStreaming == false`) every side of a key
+    * reaches one invocation, so the operator degrades to the exact
+    * batch pairing — StreamingSpec pins equivalence against
+    * `q_win_matrix`'s totals. */
+  def matchCompletion(
+      sides: Dataset[MatchSide], watermark: String = "1 hour"): Dataset[MatchOut] = {
+    import sides.sparkSession.implicits._
+    val isStreaming = sides.isStreaming
+    sides
+      .withWatermark("ts", watermark)
+      .groupByKey(_.match_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (m: Long, it: Iterator[MatchSide], state: GroupState[PendingSide]) => {
+          if (state.hasTimedOut) {
+            // opponent never arrived inside the watermark: evict
+            state.remove()
+            Iterator.empty
+          } else {
+            val pending = state.getOption
+              .map(p => MatchSide(m, p.side, p.model, p.value,
+                new java.sql.Timestamp(p.tsMs))).toSeq
+            val rows = pending ++ it
+            // first occurrence per side wins (duplicate deliveries of
+            // a side are idempotent)
+            val a = rows.find(_.side == 0)
+            val b = rows.find(_.side == 1)
+            (a, b) match {
+              case (Some(x), Some(y)) =>
+                if (state.exists) state.remove()
+                if (x.model == y.model) Iterator.empty
+                else {
+                  val winner =
+                    if (x.value > y.value) x.model
+                    else if (y.value > x.value) y.model
+                    else if (x.model < y.model) x.model else y.model
+                  val (ma, mb) =
+                    if (x.model < y.model) (x.model, y.model)
+                    else (y.model, x.model)
+                  Iterator.single(
+                    MatchOut(m, ma, mb, if (winner == ma) 1L else 0L))
+                }
+              case _ =>
+                val p = (a orElse b).get
+                state.update(PendingSide(p.side, p.model, p.value,
+                  p.ts.getTime))
+                if (isStreaming) {
+                  // hold one completion horizon past the side's OWN
+                  // event time (clamped above the watermark so the
+                  // timeout is admissible), then evict the orphan
+                  val horizon = p.ts.getTime + 3600L * 1000
+                  state.setTimeoutTimestamp(
+                    math.max(horizon, state.getCurrentWatermarkMs() + 1))
+                }
+                Iterator.empty
+            }
+          }
+        })
+  }
+
   /** Production state-store posture for stateful streams: the default
     * HDFS-backed provider keeps every state entry on the JVM heap —
     * fine for tests, an OOM risk when the keyspace is tens of millions

@@ -585,4 +585,52 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("prompt_id"), col("chosen_id").as("doc_id"))
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("match completion: sides split across micro-batches pair exactly once") {
+    import spark.implicits._
+    import graft.streaming.EventsStream.{MatchSide, MatchOut}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[MatchSide]
+    val q = EventsStream.matchCompletion(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("arena").start()
+    // batch 1: one full match (higher value wins) + one orphan half
+    mem.addData(
+      MatchSide(1, 0, "gamma", 2.0, ts(1)), MatchSide(1, 1, "alpha", 5.0, ts(1)),
+      MatchSide(2, 0, "beta", 1.0, ts(2)))
+    q.processAllAvailable()
+    assert(spark.table("arena").as[MatchOut].collect().toSet ==
+      Set(MatchOut(1, "alpha", "gamma", 1)))
+    // batch 2: the orphan's opponent arrives — exact tie breaks to
+    // the lexicographically smaller model
+    mem.addData(MatchSide(2, 1, "alpha", 1.0, ts(3)))
+    q.processAllAvailable()
+    // batch 3: a same-model match completes silently
+    mem.addData(
+      MatchSide(3, 0, "beta", 9.0, ts(4)), MatchSide(3, 1, "beta", 1.0, ts(4)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("arena").as[MatchOut].collect().toSet
+    assert(out == Set(
+      MatchOut(1, "alpha", "gamma", 1), MatchOut(2, "alpha", "beta", 1)))
+  }
+
+  test("match completion: batch replay aggregates to q_win_matrix exactly") {
+    import spark.implicits._
+    import graft.streaming.EventsStream.MatchSide
+    val sides = graft.sources.Tables.events(spark, sf)
+      .select(floor(col("event_id") / 2).cast("long").as("match_id"),
+        (col("event_id") % 2).cast("int").as("side"),
+        col("event_type").as("model"), col("value"), col("ts"))
+      .as[MatchSide]
+    // drop odd-tail matches (a lone side) like the batch pairing does
+    val complete = sides.groupBy(col("match_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") === 2).select(col("match_id"))
+    val got = EventsStream
+      .matchCompletion(sides.join(complete, "match_id").as[MatchSide])
+      .groupBy(col("model_a"), col("model_b"))
+      .agg(count(lit(1)).as("n_matches"), sum(col("wins_a")).as("wins_a"))
+    val want = SparkEntry.queries("q_win_matrix")(spark, sf)
+      .select(col("model_a"), col("model_b"), col("n_matches"), col("wins_a"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }

@@ -37,7 +37,7 @@ object GraphB {
     // persist (not localCheckpoint): the cached plan KEEPS its
     // hash(dst) partitioning, so each round's label join reuses it
     // and only the node-sized label frame shuffles (the #106 lesson)
-    val ed = GraphCore.edgesOf(GraphCore.copurchaseAdjacency(s, dir))
+    val ed = GraphCore.copurchaseEdges(s, dir)
       .repartition(col("dst")).persist()
     // round 1 from identity labels needs no join: every neighbor votes
     // its own id with count 1, so the argmax degenerates to min(dst)
@@ -118,7 +118,7 @@ object GraphB {
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
     // partitioned on the frontier-join key and persisted, so the three
     // rounds shuffle only the node-sized distance frame
-    val ed = GraphCore.edgesOf(GraphCore.copurchaseAdjacency(s, dir))
+    val ed = GraphCore.copurchaseEdges(s, dir)
       .repartition(col("src")).persist()
     val seeds = ed.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(97)) === 0)
@@ -171,7 +171,7 @@ object GraphB {
     * it. The top-50 is a distributed TakeOrderedAndProject, never a
     * global sort. */
   def edgeJaccard(s: SparkSession, dir: String): DataFrame =
-    edgeJaccardFrom(GraphCore.orientedOf(GraphCore.copurchaseAdjacency(s, dir)))
+    edgeJaccardFrom(GraphCore.orientedOf(GraphCore.copurchaseEdges(s, dir)))
       .orderBy(col("jaccard").desc, col("pa"), col("pb"))
       .limit(50)
 
@@ -179,7 +179,7 @@ object GraphB {
     * canonical (pa < pb) pair frame — factored for crafted-graph
     * specs; only edges closing ≥ 1 triangle appear (others score 0). */
   private[graft] def edgeJaccardOf(pairs: DataFrame): DataFrame =
-    edgeJaccardFrom(GraphCore.orientedOf(GraphCore.adjacencyOf(pairs)))
+    edgeJaccardFrom(GraphCore.orientedOf(GraphCore.edgesFromPairs(pairs)))
 
   private def edgeJaccardFrom(oriented: DataFrame): DataFrame = {
     def edge(x: Column, dx: Column, y: Column, dy: Column) =
@@ -315,7 +315,7 @@ object GraphB {
     * edge-sized ever accumulates; walks never strand because every
     * node of the bidirected edge set has an out-neighbor. */
   def randomWalk(s: SparkSession, dir: String): DataFrame = {
-    val ed = GraphCore.edgesOf(GraphCore.copurchaseAdjacency(s, dir))
+    val ed = GraphCore.copurchaseEdges(s, dir)
       .repartition(col("src")).persist()
     val seeds = ed.select(col("src").as("node")).distinct()
       .filter(pmod(col("node"), lit(97)) === 0)

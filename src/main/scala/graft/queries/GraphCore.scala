@@ -12,18 +12,24 @@ import graft.sources.Tables
 
 /** Shared co-purchase-graph machinery for the graph family
   * (#106 PageRank, #123 triangle count, #136-138, #153): ONE
-  * definition of the adjacency/edge frames and ONE degree-oriented
-  * triangle enumerator, so q_triangle_count and q_edge_jaccard stop
-  * maintaining (and executing) drifting copies of the same plan.
+  * definition of the edge/degree/oriented frames and ONE
+  * degree-oriented triangle enumerator, so q_triangle_count and
+  * q_edge_jaccard stop maintaining (and executing) drifting copies
+  * of the same plan.
   *
-  * The graph materializes as an ADJACENCY frame — (node, deg, sorted
-  * neighbor array) — built in ONE shuffle directly from the
-  * basket-local ordered-pair explode: the `collect_set` per node
-  * dedups cross-basket repeats AND yields the degree in the same
-  * aggregation, replacing the old pairs-distinct + degree-groupBy +
-  * two degree join-backs pipeline (three exchanges collapsed into
-  * one). Edge lists, canonical pairs and the oriented frame are all
-  * cheap derivations of the checkpointed adjacency.
+  * HUB-SAFE BY CONSTRUCTION (the r5 verdict's one weak plan): the
+  * canonical graph artifact is the distinct directed EDGE frame
+  * (src, dst) — per-row aggregation state everywhere in its
+  * construction is a single edge, so a 10M-degree celebrity node
+  * never concentrates its neighborhood into one aggregation-buffer
+  * row the way a per-node `collect_set` adjacency did. Degrees come
+  * from a map-side-combined count; orientation attaches them with
+  * two edge-sized joins whose BUILD side is the node-sized degree
+  * frame (one int per node — bounded regardless of skew, while the
+  * skewed edge stream just streams through the probe side). The ONLY
+  * neighbor arrays ever materialized are the oriented OUT-neighbor
+  * lists inside [[triangles]], which the (degree, id) total order
+  * bounds at O(√m) — on any graph, including power-law.
   *
   * Triangle enumeration is the compact-forward shape with the wedge
   * step generated ROW-LOCALLY: out-neighborhoods are bounded at
@@ -41,84 +47,71 @@ import graft.sources.Tables
   */
 private[graft] object GraphCore {
 
-  /** The co-purchase adjacency — (node, deg: int, nbrs: sorted
-    * array) over parts sharing an order. ONE shuffle: each order's
-    * sorted item set explodes row-locally into ordered pairs
-    * (Σ|basket|² bound, both directions at once) and a single
-    * `collect_set` per node dedups and counts. Materialized eagerly —
-    * every consumer (orientation join sides, edge lists, scalar
-    * degree aggregates) re-reads it, and the checkpointed artifact is
-    * node-count-sized, smaller than the edge list it replaces. */
-  def copurchaseAdjacency(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct directed co-purchase edges (src, dst) — both
+    * directions, checkpointed once for every consumer. Each order's
+    * sorted item set explodes ROW-LOCALLY into ordered pairs (the
+    * per-order `collect_set` is bounded by basket size — a domain
+    * constant, ~7 items in TPC-H — never by a node's graph degree),
+    * then an edge-keyed `distinct` dedups cross-basket repeats with
+    * one-edge-per-row hash-agg state. PageRank / LPA / BFS / walks
+    * consume this frame directly (they attach degrees themselves or
+    * not at all); the triangle family derives [[orientedOf]]. */
+  def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val items = array_sort(collect_set(col("l_partkey")))
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey")).agg(items.as("items"))
       .select(explode(flatten(transform(col("items"), x =>
         transform(filter(col("items"), y => y =!= x),
-          y => struct(x.as("node"), y.as("nbr")))))).as("e"))
-      .groupBy(col("e.node").as("node"))
-      .agg(array_sort(collect_set(col("e.nbr"))).as("nbrs"))
-      .select(col("node"), size(col("nbrs")).as("deg"), col("nbrs"))
+          y => struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
       .localCheckpoint()
   }
 
-  /** Same adjacency shape from an arbitrary canonical (pa < pb) pair
+  /** Same edge-frame shape from an arbitrary canonical (pa < pb) pair
     * frame — the crafted-graph entry point for specs. */
-  def adjacencyOf(pairs: DataFrame): DataFrame =
-    bidirected(pairs).groupBy(col("src").as("node"))
-      .agg(array_sort(collect_set(col("dst"))).as("nbrs"))
-      .select(col("node"), size(col("nbrs")).as("deg"), col("nbrs"))
-      .localCheckpoint()
-
-  /** Both-direction directed edges (src, dst) — row-local explode of
-    * the adjacency, born hash-partitioned on src (the checkpoint
-    * preserves the groupBy partitioning). */
-  def edgesOf(adj: DataFrame): DataFrame =
-    adj.select(col("node").as("src"), explode(col("nbrs")).as("dst"))
-
-  /** Distinct canonical co-purchase pairs (pa < pb) — kept for
-    * consumers that want the undirected pair set. */
-  def copurchasePairs(s: SparkSession, dir: String): DataFrame =
-    pairsOf(copurchaseAdjacency(s, dir))
-
-  def pairsOf(adj: DataFrame): DataFrame =
-    edgesOf(adj).filter(col("src") < col("dst"))
-      .select(col("src").as("pa"), col("dst").as("pb"))
+  def edgesFromPairs(pairs: DataFrame): DataFrame =
+    bidirected(pairs).distinct().localCheckpoint()
 
   /** Both directions of an undirected pair set. */
   def bidirected(pairs: DataFrame): DataFrame =
     pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
 
-  /** (node, deg) — long degrees, kept for generic pair-frame
-    * consumers; adjacency-derived plans read `deg` off the adjacency
-    * row instead. */
-  def degrees(pairs: DataFrame): DataFrame =
-    bidirected(pairs).groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
+  /** (node, deg: int) off the directed edge frame — a plain
+    * map-side-combined count: partial state is one long per node,
+    * hub-proof. */
+  def degreesOf(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("int").as("deg"))
+
+  /** The orientation kernel, lazy (no checkpoint) so plan-shape specs
+    * can pin the join strategy: both endpoint degrees attach via two
+    * SHUFFLE_HASH joins whose BUILD side is the node-sized `deg`
+    * frame (one row per node — the hash map is degree-skew-immune;
+    * a hub only lengthens the streamed probe side, which never
+    * buffers). The degs join runs LAST so the result leaves the
+    * kernel hash-partitioned on `src` — the wedge enumeration's
+    * groupBy then needs no exchange. */
+  private[graft] def orientedLazy(edges: DataFrame, deg: DataFrame): DataFrame =
+    edges
+      .join(deg.select(col("node").as("dst"), col("deg").as("degd"))
+        .hint("shuffle_hash"), Seq("dst"))
+      .join(deg.select(col("node").as("src"), col("deg").as("degs"))
+        .hint("shuffle_hash"), Seq("src"))
+      .filter(col("degs") < col("degd") ||
+        (col("degs") === col("degd") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("degs"), col("degd"))
 
   /** Edges oriented by the (degree, id) total order — every
     * out-neighborhood is O(√m), the skew killer on power-law graphs —
     * with BOTH endpoint degrees attached: (src, dst, degs, degd).
-    *
-    * The adjacency explode emits each directed edge keyed by the
-    * NEIGHBOR (the future wedge source), so the single degree join on
-    * that key leaves the result hash-partitioned on `src` — the wedge
-    * enumeration's groupBy then needs NO exchange (localCheckpoint
-    * preserves the join partitioning). The old shape paid two degree
-    * join-backs plus an explicit repartition; this is one join, zero
-    * repartitions. */
-  def orientedOf(adj: DataFrame): DataFrame = {
-    val e = adj.select(explode(col("nbrs")).as("src"),
-      col("node").as("dst"), col("deg").as("degd"))
-    val degs = adj.select(col("node").as("src"), col("deg").as("degs"))
-    e.join(degs.hint("shuffle_hash"), Seq("src"))
-      .filter(col("degs") < col("degd") ||
-        (col("degs") === col("degd") && col("src") < col("dst")))
-      .select(col("src"), col("dst"), col("degs"), col("degd"))
+    * The degree frame is checkpointed once (node-sized) and feeds
+    * both joins of the kernel. */
+  def orientedOf(edges: DataFrame): DataFrame =
+    orientedLazy(edges, degreesOf(edges).localCheckpoint())
       .localCheckpoint()
-  }
 
   /** Largest edge count at which the 8 MB literal cap still buys
     * 16 bits/key (~0.05% fpp). Past this the sketch would prune too
@@ -155,9 +148,13 @@ private[graft] object GraphCore {
     * unordered out-pair appears once, in orientation order), pruned
     * by the edge-set bloom BEFORE the exchange, then closed by the
     * single SHUFFLE_HASH probe b→c against the oriented frame. The
-    * wedge stream crossing the closure exchange carries the MINIMUM
-    * row — (a, dega: int, b, c); b's and c's degrees are recovered
-    * FROM the matched oriented edge, which already stores them. */
+    * collect_list here is the one place neighbor arrays exist, and
+    * orientation bounds every group at O(√m) rows — a planted
+    * celebrity hub has near-ZERO out-degree (all its edges point
+    * degree-upward from the leaves). The wedge stream crossing the
+    * closure exchange carries the MINIMUM row — (a, dega: int, b, c);
+    * b's and c's degrees are recovered FROM the matched oriented
+    * edge, which already stores them. */
   def triangles(oriented: DataFrame): DataFrame = {
     val bf = edgeBloom(oriented)
     // the bloom test runs INSIDE the wedge lambda: a wedge whose (b, c)

@@ -281,7 +281,7 @@ object ScaleOps {
     * (never co-purchased) have no edges and are excluded on both
     * sides. */
   def pagerank(s: SparkSession, dir: String): DataFrame =
-    pagerankRun(GraphCore.edgesOf(GraphCore.copurchaseAdjacency(s, dir)),
+    pagerankRun(GraphCore.copurchaseEdges(s, dir),
       tol = None, maxRounds = 3)._1
       .select(col("id").as("part"), round(col("r"), 6).as("rank"))
 

@@ -201,10 +201,10 @@ object Stats {
     * parts sharing an order) — the graph-density summary next to
     * the iterative family (PageRank, connected components).
     *
-    * Scale shape: the co-purchase ADJACENCY is materialized ONCE in
-    * one shuffle (GraphCore.copurchaseAdjacency — dedup, degree and
-    * neighbor lists from a single collect_set; its consumers would
-    * otherwise each replay the lineitem self-join). Triangle
+    * Scale shape: the distinct directed EDGE frame is materialized
+    * ONCE (GraphCore.copurchaseEdges — hub-safe: per-row agg state is
+    * a single edge, never a node's whole neighborhood; its consumers
+    * would otherwise each replay the lineitem self-join). Triangle
     * enumeration is the shared GraphCore builder (one definition with
     * #138): edges ORIENTED by the (degree, id) total order —
     * compact-forward, O(√m) out-neighborhoods, the skew killer on a
@@ -218,13 +218,16 @@ object Stats {
     * outputs compose via broadcast-scalar cross joins (the
     * Analytics.scala factor idiom). */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val adj = GraphCore.copurchaseAdjacency(s, dir)
+    val edges = GraphCore.copurchaseEdges(s, dir)
     val degL = col("deg").cast("long")
-    val nodesEdges = adj.agg(
+    // node/edge/wedge scalars off the node-sized degree frame (one
+    // map-side count over the edge frame — Σ deg·(deg−1)/2 in exact
+    // integers; no neighbor arrays anywhere in this plan)
+    val nodesEdges = GraphCore.degreesOf(edges).agg(
       count(lit(1)).as("n_nodes"),
       (sum(degL) / 2).cast("long").as("n_edges"),
       (sum(degL * (degL - 1)) / 2).cast("long").as("n_wedges"))
-    val tri = GraphCore.triangles(GraphCore.orientedOf(adj))
+    val tri = GraphCore.triangles(GraphCore.orientedOf(edges))
       .agg(count(lit(1)).as("n_triangles"))
     nodesEdges.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),

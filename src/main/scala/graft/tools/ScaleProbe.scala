@@ -157,6 +157,35 @@ object ScaleProbe {
       val ratio = times.last / times.head
       println(f"$q%-24s ${times.map(t => f"$t%7.2fs").mkString} ${ratio}%6.1fx")
     }
+    // SKEWED-GRAPH probe (r6): hub degree GROWS with scale — the
+    // hub-row hazard the disjoint TPC-H replicas can never surface
+    // (their max degree is constant). Hub 0 fans out to 50k·n leaves;
+    // consecutive leaves are also linked, so every path edge closes a
+    // triangle THROUGH the hub and the enumerator does real work.
+    // Edge count ∝ n, so the full edges→degrees→orient→triangles
+    // pipeline must stay ~linear; the old collect_set adjacency put
+    // the hub's whole neighborhood in ONE aggregation-buffer row here
+    // and degraded super-linearly long before it OOMed.
+    if (args.isEmpty || args(0).split(",").contains("skew_graph")) {
+      import graft.queries.GraphCore
+      val times = scales.map { n =>
+        val h = 50000L * n
+        val leaves = spark.range(1, h + 1).select(col("id"))
+        val pairs = leaves.select(lit(0L).as("pa"), col("id").as("pb"))
+          .unionByName(leaves.filter(col("id") < h)
+            .select(col("id").as("pa"), (col("id") + 1).as("pb")))
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val edges = GraphCore.edgesFromPairs(pairs)
+          val tri = GraphCore.triangles(GraphCore.orientedOf(edges)).count()
+          assert(tri == h - 1, s"skew probe triangle count: $tri vs ${h - 1}")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        t
+      }
+      val ratio = times.last / times.head
+      println(f"${"skew_graph(hub=50k*n)"}%-24s ${times.map(t => f"$t%7.2fs").mkString} ${ratio}%6.1fx")
+    }
     spark.stop()
   }
 }

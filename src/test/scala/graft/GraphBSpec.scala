@@ -79,6 +79,32 @@ class GraphBSpec extends AnyFunSuite {
     loose.count() // touch to keep lints honest
   }
 
+  test("planted celebrity: a 5000-degree hub never materializes its neighborhood") {
+    import spark.implicits._
+    import graft.queries.GraphCore
+    // star hub 0 → leaves 1..5000; leaves 1..10 also form a clique, so
+    // the enumerator has real triangles to find THROUGH the hub
+    val n = 5000L
+    val star = (1L to n).map(i => (0L, i))
+    val clique = for (i <- 1L to 10L; j <- (i + 1) to 10L) yield (i, j)
+    val pairs = (star ++ clique).toDF("pa", "pb")
+    val edges = GraphCore.edgesFromPairs(pairs)
+    val deg = GraphCore.degreesOf(edges).cache()
+    assert(deg.agg(max(col("deg"))).head.getInt(0) == 5000, "hub degree")
+    // (deg, id) orientation bounds every OUT-neighborhood — the only
+    // neighbor arrays the pipeline ever collects — at O(√m): the hub
+    // (max degree) has ZERO out-edges; clique members top out at 10
+    val oriented = GraphCore.orientedOf(edges)
+    val outdeg = oriented.groupBy(col("src")).count()
+    assert(outdeg.filter(col("src") === 0L).count() == 0, "hub must have no out-edges")
+    assert(outdeg.agg(max(col("count"))).head.getLong(0) <= 10L,
+      "an out-neighborhood exceeded the orientation bound")
+    // correctness unchanged under the skew: C(10,3) clique triangles
+    // + 45 hub-closed clique edges = 165
+    assert(GraphCore.triangles(oriented).count() == 165L)
+    deg.unpersist()
+  }
+
   test("label propagation: output is a partition and labels are node ids") {
     val df = SparkEntry.queries("q_label_prop")(spark, sf).cache()
     val nodes = df.select(col("part")).distinct().count()

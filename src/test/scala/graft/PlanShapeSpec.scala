@@ -168,19 +168,26 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("triangle kernel: orientation + closure joins shuffle-hash, wedge explode is join-free") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, explode}
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("pa", "pb")
-    val adj = graft.queries.GraphCore.adjacencyOf(pairs)
-    // drive orientation WITHOUT the checkpoint boundary: rebuild its
-    // join stage lazily the way orientedOf does
-    val e = adj.select(explode(col("nbrs")).as("src"),
-      col("node").as("dst"), col("deg").as("degd"))
-    val degs = adj.select(col("node").as("src"), col("deg").as("degs"))
-    val lazyOriented = e.join(degs.hint("shuffle_hash"), Seq("src"))
+    val edges = graft.queries.GraphCore.edgesFromPairs(pairs)
+    // drive orientation WITHOUT the checkpoint boundary: the lazy
+    // kernel exposes both degree-attachment joins to the planner
+    val lazyOriented = graft.queries.GraphCore.orientedLazy(
+      edges, graft.queries.GraphCore.degreesOf(edges))
     val po = lazyOriented.queryExecution.executedPlan.toString
-    assert(po.contains("ShuffledHashJoin"), s"orientation join lost its hint:\n$po")
+    assert("ShuffledHashJoin".r.findAllIn(po).length == 2,
+      s"degree-attachment joins lost their hints:\n$po")
+    // the node-sized degree frame is ALWAYS the hash build side —
+    // a celebrity hub only lengthens the streamed edge side
+    assert(!po.contains("BroadcastHashJoin") && !po.contains("SortMergeJoin"),
+      s"orientation joins regressed from shuffle-hash:\n$po")
+    // hub-safety: no per-node neighbor collection anywhere in the
+    // edge/degree/orientation pipeline (arrays first appear in the
+    // wedge stage, where orientation bounds groups at O(√m))
+    assert(!po.contains("collect_set") && !po.contains("collect_list"),
+      s"orientation pipeline materialized neighbor arrays:\n$po")
     val pt = graft.queries.GraphCore.triangles(
-      graft.queries.GraphCore.orientedOf(adj))
+      graft.queries.GraphCore.orientedOf(edges))
       .queryExecution.executedPlan.toString
     assert(pt.contains("ShuffledHashJoin"), s"closure join lost its hint:\n$pt")
     assert(!pt.contains("BroadcastHashJoin"), s"closure broadcast a graph side:\n$pt")

@@ -42,23 +42,12 @@ object Bench {
       try run(fn, warmDir) catch { case _: Throwable => () }
       cleanup()
     }
-    // two timed passes, report per-query min: single-pass numbers on a
-    // shared machine carry ±80% scheduler noise; min-of-2 is the
-    // repeatable steady-state figure
-    def timed(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { run(fn, sfDir) } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      cleanup()
-      name -> dt
-    }
     // Self-calibration: a fixed single-threaded CPU-bound task timed
-    // before and after the measured passes, plus /proc/loadavg at both
-    // points. On an idle box both calibration timings agree with each
-    // other across runs; a loaded-box artifact (BENCH_r04: 251 s driver
-    // capture vs 168 s committed) becomes self-evident from an inflated
-    // calibration or loadavg instead of needing an after-the-fact
-    // re-timing adjudication.
+    // at the endpoints and through the run, plus /proc/loadavg at both
+    // ends. On an idle box all calibration timings agree across runs;
+    // a loaded-box artifact (BENCH_r04: 251 s driver capture vs 168 s
+    // committed) becomes self-evident from an inflated calibration or
+    // loadavg instead of needing an after-the-fact re-timing.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9E3779B97F4A7C15L
@@ -67,12 +56,33 @@ object Bench {
       if (x == 42L) print("") // keep the loop live under JIT
       (System.nanoTime() - t0) / 1e9
     }
+    // Calibration SERIES: the fixed single-threaded CPU task is
+    // interleaved every `calibEvery` queries (outside the per-query
+    // timed windows), so a mid-run load spike localizes to the
+    // queries it actually hit — with only endpoint calibration, one
+    // spike invalidated the whole artifact two driver rounds running.
+    // Each entry is (index of the next query in run order, seconds).
+    val calibSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val calibEvery = 25
+    // two timed passes, report per-query min: single-pass numbers on a
+    // shared machine carry ±80% scheduler noise; min-of-2 is the
+    // repeatable steady-state figure
+    def timed(pass: Int): Map[String, Double] =
+      SparkEntry.queries.zipWithIndex.map { case ((name, fn), i) =>
+        if (i % calibEvery == 0)
+          calibSeries += ((pass * SparkEntry.queries.size + i, calibrate()))
+        val t0 = System.nanoTime()
+        try { run(fn, sfDir) } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        name -> dt
+      }.toMap
     def loadavg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val (calibFirst, loadStart) = (calibrate(), loadavg())
-    val (r1, r2) = (timed(), timed())
+    val (r1, r2) = (timed(0), timed(1))
     val (calibLast, loadEnd) = (calibrate(), loadavg())
     val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
     // stable key order; scalar fields FIRST, then the 10 slowest, then
@@ -92,8 +102,13 @@ object Bench {
     val total =
       if (results.isEmpty) BigDecimal(0)
       else results.values.map(v => BigDecimal(ms(v))).sum
+    // calib_series: [[queryIndexInRunOrder, seconds], ...] across both
+    // timed passes — a flat series means the whole artifact is clean;
+    // an inflated segment names exactly which queries a load spike hit
+    val series = calibSeries
+      .map { case (i, v) => s"[$i,${ms(v)}]" }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"slowest":$slow,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"calib_series":$series,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"slowest":$slow,"queries":$qs}"""
     // durable copy the driver can read whole even if stdout is capped
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LATEST.json"),

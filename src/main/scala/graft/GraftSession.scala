@@ -38,8 +38,19 @@ object GraftSession {
 
   def get(): SparkSession = builder().getOrCreate()
 
-  /** tmpfs-backed scratch dir if the host has one, else the default. */
-  private[graft] def localDir: String =
-    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+  /** tmpfs-backed scratch dir when the host can afford one, else the
+    * default tmpdir. tmpfs is typically capped at 50% of RAM, so the
+    * redirect is gated on actual usable space — a smaller host whose
+    * /dev/shm could not absorb a multi-GB shuffle falls back to disk
+    * (slower, but it finishes) instead of dying on ENOSPC mid-stage.
+    * `SPARK_GRAFT_LOCAL_DIR` overrides both branches. */
+  private[graft] def localDir: String = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+    val shm = new java.io.File("/dev/shm")
+    // 24 GiB ≈ the largest shuffle footprint any gated query reaches
+    // at bench scale, with headroom for concurrent sessions
+    val minBytes = 24L * 1024 * 1024 * 1024
+    if (shm.isDirectory && shm.getUsableSpace >= minBytes)
+      "/dev/shm/graft-spark-local"
     else System.getProperty("java.io.tmpdir", "/tmp")
+  })
 }

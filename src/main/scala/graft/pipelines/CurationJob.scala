@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.BloomIndex
-import graft.functions.TextAnalysis
+import graft.functions.{TextAnalysis, TokenizerStore}
 import graft.operators.Curate
+import graft.sources.Snapshots
 
 /** The corpus-curation chain as an OPERATIONAL job: quality gate →
   * exact dedup → mixture resample → sequence packing, materializing
@@ -61,5 +62,126 @@ object CurationJob {
         } finally mixed.unpersist()
       } finally deduped.unpersist()
     } finally kept.unpersist()
+  }
+
+  /** What a [[release]] run produced: per-artifact committed Snapshots
+    * versions (the pinnable provenance of a data release), the stage
+    * names this invocation actually computed (empty on a clean
+    * retry), and the content-fingerprint run key. */
+  final case class Release(
+      versions: Map[String, Long], recomputed: Seq[String], runId: Long)
+
+  /** The FULL data-release pipeline as an idempotent multi-stage job —
+    * the r5 verdict's Next #3: the curation chain extended with
+    * decontamination, stored-BPE token accounting, shard layout and
+    * the dataset card, every stage committed as a
+    * [[Snapshots]]-versioned artifact under `outRoot`:
+    *
+    *  - `curated` quality gate → decontamination (the held-out eval
+    *    slice's 8-gram set, #74's rule) → exact keep-one dedup;
+    *    partitioned by source
+    *  - `labels`  the MinHash→LSH→verify→resolve near-dup labeling of
+    *    the curated corpus (#36c) — STORED, so the report stages (and
+    *    any ops query) read it instead of re-executing the pipeline
+    *  - `tokens`  per-doc token counts under the stored BPE tokenizer
+    *    (#184's artifact; training idempotent via content-fingerprint
+    *    root) — the accounting the bins pack against
+    *  - `bins`    mixture resample + token-budget packing on the BPE
+    *    counts (#68) over near-dup survivors
+    *  - `shards`  the 64-shard balanced write layout (#166)
+    *  - `card`    the per-source dataset card (#175)
+    *  - `report`  #36d's cluster-size histogram OVER THE STORED
+    *    `labels` artifact (the production report shape)
+    *  - `savings` #36f's token-savings summary, same stored labeling
+    *
+    * Idempotency is two-layer: every stage commits through
+    * [[Snapshots.commitKeyed]] with ONE content-fingerprint run key
+    * (same input + params → same key), so a retried run re-commits
+    * nothing and — because the stage frames are passed by name —
+    * re-COMPUTES nothing for completed stages; and each stage reads
+    * its upstream from the committed artifact, never from a live
+    * recomputation. CurationSpec proves the clean-retry and
+    * version-pinning contracts. */
+  def release(docs: DataFrame, outRoot: String, budget: Int = 2048): Release = {
+    val spark = docs.sparkSession
+    val fp = docs.agg(
+      bit_xor(xxhash64(col("doc_id"), col("text"))).as("h"),
+      count(lit(1)).as("n")).head()
+    val runId = fp.getLong(0) ^ (fp.getLong(1) * 1000003L) ^ budget.toLong
+    val recomputed = Seq.newBuilder[String]
+    val versions = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def stage(name: String, partitionCols: Seq[String] = Seq.empty)(
+        df: => DataFrame): Long = {
+      val (v, ran) = Snapshots.commitKeyed(df, s"$outRoot/$name", runId, partitionCols)
+      if (ran) recomputed += name
+      versions += name -> v
+      v
+    }
+    def artifact(name: String): DataFrame =
+      Snapshots.readVersion(spark, s"$outRoot/$name", versions(name))
+
+    stage("curated", Seq("source")) {
+      val kept = docs.filter(TextAnalysis.qualityPass(col("text")))
+      val clean = graft.queries.Curation.decontaminateDocs(kept)
+        .filter(col("contaminated") === 0).select(col("doc_id"))
+      Curate.dedupKeepOne(kept.join(clean, "doc_id"), "doc_id", "text")
+    }
+    stage("labels") {
+      graft.queries.LlmData.dedupLabelsOf(
+        artifact("curated").select(col("doc_id"), col("text")))
+    }
+    stage("tokens") {
+      val curated = artifact("curated")
+      val words = graft.queries.TrainingB.bpeWordFreqOf(curated)
+      val troot = TokenizerStore.defaultRoot(words, rounds = 3)
+      TokenizerStore.buildIfAbsent(words, troot, rounds = 3)
+      // per-doc accounting: BPE symbol count for tokenizer-eligible
+      // words, 1 token for everything else — row-local (the stored
+      // merges unroll into the scan; no training agg in this plan)
+      val nSym = (w: org.apache.spark.sql.Column) =>
+        size(split(trim(TokenizerStore.encodeSym(spark, troot, w), "<>"), "><"))
+          .cast("long")
+      curated.select(col("doc_id"), col("source"),
+        aggregate(split(col("text"), " "), lit(0L), (acc, w) =>
+          acc + when(w.rlike("^[a-z]+$") && length(w).between(2, 20), nSym(w))
+            .otherwise(lit(1L))).as("n_tok"))
+    }
+    stage("bins") {
+      // pack near-dup SURVIVORS (the stored labeling's keepers) by
+      // their stored BPE token counts
+      val keepers = artifact("labels").filter(col("keep") === 1)
+        .select(col("doc_id"))
+      val sized = artifact("tokens").join(keepers, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_tok").as("ntok"))
+      val mixed = Curate.mixtureResample(sized, Curate.defaultWeight, "doc_id")
+        .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("long"))
+      Curate.packBins(mixed, "doc_id", budget)
+    }
+    stage("shards") {
+      graft.queries.ScaleOpsB.shardLayoutOf(artifact("curated"))
+    }
+    stage("card") {
+      graft.queries.Training.datasetCardOf(artifact("curated"))
+    }
+    stage("report") {
+      graft.queries.LlmData.dedupReportOf(artifact("labels"))
+    }
+    stage("savings") {
+      graft.queries.LlmData.dedupSavingsOf(artifact("labels"),
+        artifact("tokens").select(col("doc_id"), col("n_tok")))
+    }
+    // the bloom membership index for the NEXT incremental batch —
+    // file-format artifact (BloomIndex), guarded by existence
+    val bloomPath = s"$outRoot/corpus.bloom"
+    if (!new java.io.File(bloomPath).exists()) {
+      val curated = artifact("curated")
+      val n = curated.count()
+      BloomIndex.save(
+        BloomIndex.build(curated.select(md5(col("text")).as("content_hash")),
+          "content_hash", math.max(n, 1L)),
+        bloomPath)
+      recomputed += "corpus.bloom"
+    }
+    Release(versions.toMap, recomputed.result(), runId)
   }
 }

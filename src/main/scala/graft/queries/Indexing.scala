@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.LshIndex
 import graft.similarity.{Embeddings, VectorIndex}
 import graft.sources.Tables
 
@@ -87,9 +88,126 @@ object Indexing {
         round(col("n_hits").cast("double") / col("n_true"), 6))
   }
 
+  /** #203 INCREMENTAL index maintenance (`q_ann_ivf_incremental`) —
+    * the daily-ingest shape applied to the stored vector index: the
+    * corpus is split into a BASE (vec_id % 10 ≠ 7, which trains and
+    * builds the index) and a planted NEW BATCH (vec_id % 10 = 7,
+    * which arrives later); the batch is absorbed via
+    * [[VectorIndex.assignBatch]] — scored row-locally against the
+    * PERSISTED centroids and appended to the `bucket=` partitions as
+    * a delta commit, cost ∝ batch, no retrain, no corpus rewrite —
+    * and the query then searches the POST-APPEND index, proving batch
+    * members are retrievable alongside base members. The oracle
+    * replays assign-and-union: since build assigns base vectors and
+    * assignBatch assigns batch vectors against the SAME base-trained
+    * centroids with the same 6dp/tie-break rule, the unioned stored
+    * table equals "assign ALL vectors against base-trained
+    * centroids". Idempotent per batchId — a driver re-run never
+    * re-appends. */
+  def annIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    val isBatch = pmod(col("vec_id"), lit(10)) === 7
+    def vecs(df: DataFrame) = df.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val baseRaw = raw.filter(!isBatch)
+    val root = VectorIndex.defaultRoot(baseRaw, seedK = 8, iters = 2)
+    VectorIndex.buildIfAbsent(vecs(baseRaw), root, seedK = 8, iters = 2)
+    VectorIndex.assignBatch(s, root, vecs(raw.filter(isBatch)), batchId = 0L)
+    val queries = vecs(baseRaw).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    VectorIndex.ivfTopKStored(s, root, queries, k = 3, nprobe = 2)
+  }
+
+  /** #204 PQ ADC RECALL, trained vs seeded (`q_pq_recall_trained`) —
+    * what multi-round codebook training buys the product quantizer:
+    * for rounds ∈ {1, 3} of [[VectorIndex.trainPqCodebook]] (Lloyd
+    * iterated independently per subspace, per-round 6dp-rounded means
+    * so the oracle replays the chain), the corpus is encoded and each
+    * probe's ADC top-3 is compared against the EXACT squared-L2 top-3
+    * — recall isolates quantization error, so truth uses the same
+    * metric ADC approximates. All rankings on 6dp-rounded distances
+    * with id tie-break; candidate ranking via the bounded map-side
+    * TopKAgg (k rows per query reach the shuffle). */
+  def pqRecallTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val sub = VectorIndex.subVectors(vecs).localCheckpoint()
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def topkByDist(scored: DataFrame): DataFrame = scored
+      .select(col("q_id"), negate(col("d")).as("score"), col("n_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.plans.TopKAgg(3).toColumn)
+      .flatMap { case (qid, top) => top.map { case (_, n) => (qid, n) } }
+      .toDF("q_id", "n_id")
+    // exact squared-L2 truth: 5 queries × corpus, row-local distance,
+    // bounded top-k — the corpus never shuffles
+    val truth = topkByDist(
+      q.crossJoin(vecs.select(col("vec_id").as("n_id"), col("v").as("nv")))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(VectorIndex.dist2(col("qv"), col("nv")), 6).as("d")))
+      .localCheckpoint()
+    Seq(1, 3).map { rounds =>
+      val cb = VectorIndex.trainPqCodebook(vecs, rounds)
+      val codes = VectorIndex.encodePq(sub, cb)
+      val dtab = sub.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+        .join(broadcast(cb), "m")
+        .select(col("q_id"), col("m"), col("c"),
+          VectorIndex.dist2(col("sv"), col("cv")).as("d"))
+      val approx = topkByDist(
+        codes.join(broadcast(dtab), Seq("m", "c"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id").as("n_id"))
+          .agg(round(sum(col("d")), 6).as("d")))
+        .withColumn("hit", lit(1L))
+      truth.join(approx, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(rounds.toLong).as("rounds"), col("q_id"),
+          col("n_true"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_true"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** #206 INCREMENTAL near-dup dedup over the STORED LSH index
+    * (`q_dedup_lsh_incremental`) — the text-side member of the
+    * incremental-index family (#203 is the vector side): the corpus
+    * is MinHash-signed once by [[graft.dedup.LshIndex.buildIfAbsent]]
+    * and persisted (band keys in `bmod=` hash-partition dirs, shingle
+    * sets in `dmod=` dirs); the planted daily batch (#72's shape —
+    * every doc_id % 10 = 0 doc re-arrives with a 3-token suffix and a
+    * shifted id) then signs ONLY ITSELF, probes the stored band
+    * partitions its buckets hash into (PartitionFilters prune the
+    * rest), verifies candidates against the pruned stored shingle
+    * sets, and is delta-absorbed so the next batch sees it —
+    * O(batch + candidates) per day where #72 still re-signs the
+    * corpus. Output: verified (new_id, match_id, jaccard ≥ 0.2). The
+    * oracle replays sign-everything + band-join + exact string
+    * Jaccard; idempotent per batchId (replays return the same match
+    * set without re-appending). */
+  def dedupLshIncremental(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup probe")).as("text"))
+    val root = LshIndex.defaultRoot(corpus)
+    LshIndex.buildIfAbsent(corpus, root)
+    LshIndex.absorbBatch(s, root, batch, batchId = 0L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_ivf_stored"     -> annIvfStored _,
-    "q_ivf_recall_trained" -> ivfRecallTrained _
+    "q_ann_ivf_stored"      -> annIvfStored _,
+    "q_ivf_recall_trained"  -> ivfRecallTrained _,
+    "q_ann_ivf_incremental" -> annIvfIncremental _,
+    "q_pq_recall_trained"   -> pqRecallTrained _,
+    "q_dedup_lsh_incremental" -> dedupLshIncremental _
   )
 
   private val cosSql =
@@ -97,6 +215,28 @@ object Indexing {
       s"""ROUND(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
          |      / (sqrt(list_sum(list_transform($a, y -> y*y)))
          |         * sqrt(list_sum(list_transform($b, y -> y*y)))), 6)""".stripMargin
+
+  /** Sub-vector squared L2 in DuckDB — the PQ distance kernel. */
+  private def subDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 9), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+
+  /** DuckDB replay of [[VectorIndex.trainPqCodebook]]: `rounds`
+    * subspace-Lloyd iterations from the id-seed codebook `p0` over
+    * `sub(vec_id, m, sv)`, per-round means ROUNDED 6dp so the engines
+    * re-sync at every iteration boundary (the lloydChain convention
+    * applied per subspace). */
+  private def pqChain(rounds: Int): String = (1 to rounds).map { r =>
+    s"""pa$r AS (SELECT vec_id, m, c FROM (
+       |    SELECT s.vec_id, s.m, p.c, ROW_NUMBER() OVER (
+       |      PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${subDistSql("s.sv", "p.cv")}, p.c) AS rn
+       |    FROM sub s JOIN p${r - 1} p USING (m)) WHERE rn = 1),
+       |pl$r AS (SELECT m, c, j, ROUND(AVG(sv[j]), 6) AS mv
+       |  FROM sub JOIN pa$r USING (vec_id, m),
+       |    (SELECT unnest(range(1, 9)) AS j)
+       |  GROUP BY 1, 2, 3),
+       |p$r AS (SELECT m, c, list(mv ORDER BY j) AS cv FROM pl$r GROUP BY 1, 2)""".stripMargin
+  }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
     "q_ann_ivf_stored" ->
@@ -122,6 +262,68 @@ object Indexing {
          |  n_id, cos
          |FROM pairs
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin,
+    "q_ann_ivf_incremental" ->
+      s"""WITH ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT * FROM ea WHERE vec_id % 10 <> 7),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |${lloydChain(2)},
+         |sf AS (
+         |  SELECT ea.vec_id, ea.v, c.cid,
+         |    ${cosSql("ea.v", "c.cv")} AS ccos
+         |  FROM ea, c2 c),
+         |asg AS (SELECT vec_id, v, cid AS bucket FROM sf
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS bucket FROM sf WHERE vec_id < 5
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) <= 2),
+         |pairs AS (
+         |  SELECT p.q_id, c.vec_id AS n_id,
+         |    ${cosSql("qe.v", "c.v")} AS cos
+         |  FROM probes p
+         |  JOIN ea qe ON qe.vec_id = p.q_id
+         |  JOIN asg c ON c.bucket = p.bucket AND c.vec_id <> p.q_id)
+         |SELECT q_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank,
+         |  n_id, cos
+         |FROM pairs
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin,
+    "q_pq_recall_trained" -> {
+      def variant(rounds: Int): String =
+        s"""codes$rounds AS (SELECT vec_id, m, c FROM (
+           |    SELECT s.vec_id, s.m, p.c, ROW_NUMBER() OVER (
+           |      PARTITION BY s.vec_id, s.m
+           |      ORDER BY ${subDistSql("s.sv", "p.cv")}, p.c) AS rn
+           |    FROM sub s JOIN p$rounds p USING (m)) WHERE rn = 1),
+           |dtab$rounds AS (SELECT s.vec_id AS q_id, s.m, p.c,
+           |    ${subDistSql("s.sv", "p.cv")} AS d
+           |  FROM sub s JOIN p$rounds p USING (m) WHERE s.vec_id < 5),
+           |ad$rounds AS (SELECT t.q_id, k.vec_id AS n_id, ROUND(SUM(t.d), 6) AS adist
+           |  FROM codes$rounds k JOIN dtab$rounds t ON k.m = t.m AND k.c = t.c
+           |  WHERE k.vec_id <> t.q_id GROUP BY 1, 2),
+           |top$rounds AS (SELECT q_id, n_id FROM ad$rounds
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) <= 3),
+           |r$rounds AS (SELECT CAST($rounds AS BIGINT) AS rounds, bf.q_id,
+           |    COUNT(*) AS n_true,
+           |    CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |    ROUND(CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / COUNT(*), 6) AS recall
+           |  FROM bf LEFT JOIN top$rounds t ON bf.q_id = t.q_id AND bf.n_id = t.n_id
+           |  GROUP BY 2)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, m, v[(m*8 + 1):(m*8 + 8)] AS sv
+         |  FROM e, (SELECT unnest(range(0, 8)) AS m)),
+         |p0 AS (SELECT m, CAST(vec_id AS INT) AS c, sv AS cv
+         |  FROM sub WHERE vec_id < 16),
+         |${pqChain(3)},
+         |bf AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id
+         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 5
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |    ORDER BY ROUND(list_sum(list_transform(range(1, 65),
+         |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 6), b.vec_id) <= 3),
+         |${variant(1)},
+         |${variant(3)}
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r3""".stripMargin
+    },
     "q_ivf_recall_trained" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |x0 AS (SELECT label AS cid, CAST(i AS BIGINT) AS dim, v[i] AS val
@@ -160,6 +362,63 @@ object Indexing {
          |  ROUND(CAST(SUM(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |    / COUNT(*), 6) AS recall
          |FROM bf LEFT JOIN ivf i ON bf.q_id = i.q_id AND bf.n_id = i.n_id
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+    "q_dedup_lsh_incremental" ->
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         |scp AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM tc),
+         |tn AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+         |snw AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM tn),
+         |sigc AS (SELECT doc_id, """.stripMargin +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        " FROM scp),\nsign AS (SELECT doc_id, " +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        """ FROM snw),
+          |bandc AS (
+          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sigc
+          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sigc
+          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sigc
+          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sigc),
+          |bandn AS (
+          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sign
+          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sign
+          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sign
+          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sign),
+          |cand AS (SELECT DISTINCT new_id, match_id FROM (
+          |  SELECT n.doc_id AS new_id, i.doc_id AS match_id
+          |  FROM bandn n JOIN bandc i
+          |    ON n.band = i.band AND n.bucket = i.bucket
+          |  UNION ALL
+          |  SELECT a.doc_id, b.doc_id
+          |  FROM bandn a JOIN bandn b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)),
+          |shdc AS (SELECT doc_id, list_distinct(sh) AS shs FROM scp
+          |  UNION ALL SELECT doc_id, list_distinct(sh) FROM snw)
+          |SELECT new_id, match_id,
+          |  ROUND(len(list_intersect(sa.shs, sb.shs)) /
+          |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
+          |    AS jaccard
+          |FROM cand
+          |JOIN shdc sb ON sb.doc_id = match_id
+          |JOIN (SELECT doc_id, list_distinct(sh) AS shs FROM snw) sa
+          |  ON sa.doc_id = new_id
+          |WHERE ROUND(len(list_intersect(sa.shs, sb.shs)) /
+          |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
+          |  >= 0.2""".stripMargin)
   )
 }

@@ -50,8 +50,15 @@ object LlmData {
     * keep/drop. Each stage is the scale shape: signatures row-local,
     * candidates bucket-local, verification bounded by the candidate
     * count, resolution a bounded fixpoint loop. */
-  def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame =
+    dedupLabelsOf(Tables.documents(s, dir))
+
+  /** Frame-level #36c: the full MinHash→LSH→verify→resolve labeling of
+    * an arbitrary (doc_id, text) frame — shared with the release
+    * pipeline, which COMMITS this table as its `labels` artifact so
+    * report queries can read the stored labeling instead of replaying
+    * the pipeline. */
+  private[graft] def dedupLabelsOf(docs: DataFrame): DataFrame = {
     val cand = TextDedup.lshCandidates(
       TextDedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
     val verified = TextDedup.verifyJaccard(cand, docs, "doc_id", "text")
@@ -66,15 +73,22 @@ object LlmData {
       .withColumn("keep", (col("doc_id") === col("canonical_id")).cast("int"))
   }
 
-  /** #36f dedup SAVINGS report — the one-row summary a pipeline owner
-    * quotes ("dedup drops X% of tokens"): document and token totals
-    * before/after #36c's keep-one labeling. One corpus-keyed join
-    * (both sides doc-sized, the label frame reuses the verified
-    * pipeline) and a single global aggregate. */
-  def dedupSavings(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-    dedupPipeline(s, dir).join(tok, "doc_id")
+  /** #36d over an ALREADY-STORED labeling — the production shape: an
+    * ops team reads the cluster-size histogram off the committed
+    * `labels` artifact instead of re-executing the dedup pipeline. */
+  private[graft] def dedupReportOf(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+
+  /** #36f over a stored labeling + token counts (see
+    * [[dedupReportOf]]). */
+  private[graft] def dedupSavingsOf(labels: DataFrame, tok: DataFrame): DataFrame =
+    labels.join(tok, "doc_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("keep").cast("long")).as("kept_docs"),
         sum(col("n_tok")).as("total_tokens"),
@@ -85,7 +99,16 @@ object LlmData {
         round(lit(1.0) -
           col("kept_tokens").cast("double") / col("total_tokens"), 6)
           .as("token_savings"))
-  }
+
+  /** #36f dedup SAVINGS report — the one-row summary a pipeline owner
+    * quotes ("dedup drops X% of tokens"): document and token totals
+    * before/after #36c's keep-one labeling. One corpus-keyed join
+    * (both sides doc-sized, the label frame reuses the verified
+    * pipeline) and a single global aggregate. */
+  def dedupSavings(s: SparkSession, dir: String): DataFrame =
+    dedupSavingsOf(dedupPipeline(s, dir),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok")))
 
   /** #38 n-gram Jaccard near-dup pairs: top-20 most similar candidate
     * pairs from the shared-shingle inverted index (exact: df cap
@@ -488,13 +511,7 @@ object LlmData {
     * labeling with two tiny hash aggs; the histogram is at most
     * max-cluster-size rows. */
   def dedupReport(s: SparkSession, dir: String): DataFrame =
-    dedupPipeline(s, dir)
-      .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
-      .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"))
-      .select(col("cluster_size"), col("n_clusters"),
-        (col("cluster_size") * col("n_clusters")).as("n_docs"),
-        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+    dedupReportOf(dedupPipeline(s, dir))
 
   private val shingleCte =
     """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

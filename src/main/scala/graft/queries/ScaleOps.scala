@@ -285,6 +285,29 @@ object ScaleOps {
       tol = None, maxRounds = 3)._1
       .select(col("id").as("part"), round(col("r"), 6).as("rank"))
 
+  /** Tolerance / round cap of `q_pagerank_converged` — shared by the
+    * Spark loop and the oracle's unrolled replay. */
+  private[graft] val (prTol, prCap) = (0.02, 12)
+
+  /** #106b PAGERANK RUN-TO-CONVERGENCE (`q_pagerank_converged`) —
+    * the early-stopping mode of [[pagerankRun]] exercised end-to-end
+    * against the oracle: iterate until max |Δrank| < tol (one scalar
+    * aggregate per round — the driver sees a single double, never
+    * graph data), capped at [[prCap]] rounds; every output row
+    * carries the stop round so the oracle must agree on WHEN the
+    * loop stopped, not just on the final ranks. The oracle unrolls
+    * all capped rounds as chained CTEs, computes each round's delta
+    * scalar, and selects the first round whose delta clears the
+    * same tolerance — replaying the stopping rule, not trusting
+    * ours. At scale this is the mode that saves the tail rounds a
+    * fixed-k run would burn after the ranks have settled. */
+  def pagerankConverged(s: SparkSession, dir: String): DataFrame = {
+    val (ranks, rounds) = pagerankRun(GraphCore.copurchaseEdges(s, dir),
+      tol = Some(prTol), maxRounds = prCap)
+    ranks.select(col("id").as("part"), round(col("r"), 6).as("rank"))
+      .withColumn("n_rounds", lit(rounds.toLong))
+  }
+
   /** The PageRank loop behind #106, with an optional RUN-TO-
     * CONVERGENCE mode: when `tol` is set, each round also computes
     * max |Δrank| as ONE scalar aggregate (the CC resolver's
@@ -698,6 +721,7 @@ object ScaleOps {
     "q_hll_rolling"    -> hllRolling _,
     "q_scd2_intervals" -> scd2Intervals _,
     "q_pagerank"       -> pagerank _,
+    "q_pagerank_converged" -> pagerankConverged _,
     "q_bm25"           -> bm25 _,
     "q_quantile_partials" -> quantilePartials _,
     "q_weighted_sample" -> weightedSample _,
@@ -963,6 +987,35 @@ object ScaleOps {
          |r0 AS (SELECT src AS id, 1.0 AS r FROM deg),
          |$rounds
          |SELECT id AS part, ROUND(r, 6) AS rank FROM r3""".stripMargin
+    },
+    "q_pagerank_converged" -> {
+      val cap = prCap
+      val rounds = (1 to cap).map { i =>
+        s"""r$i AS (SELECT ed.dst AS id, 0.15 + 0.85 * SUM(r${i - 1}.r / ed.deg) AS r
+           |  FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.id GROUP BY 1),
+           |d$i AS (SELECT MAX(ABS(a.r - b.r)) AS d
+           |  FROM r$i a JOIN r${i - 1} b ON a.id = b.id)""".stripMargin
+      }.mkString(",\n")
+      val deltaRows = (1 to cap)
+        .map(i => s"($i, (SELECT d FROM d$i))").mkString(", ")
+      val unionAll = (1 to cap)
+        .map(i => s"SELECT $i AS i, id, r FROM r$i").mkString("\n|  UNION ALL ")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |e AS (SELECT pa AS src, pb AS dst FROM p
+         |  UNION ALL SELECT pb, pa FROM p),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src),
+         |r0 AS (SELECT src AS id, 1.0 AS r FROM deg),
+         |$rounds,
+         |ds AS (SELECT * FROM (VALUES $deltaRows) t(i, d)),
+         |stop AS (SELECT CAST(COALESCE(MIN(i), $cap) AS BIGINT) AS n
+         |  FROM ds WHERE d < $prTol),
+         |allr AS ($unionAll)
+         |SELECT a.id AS part, ROUND(a.r, 6) AS rank, stop.n AS n_rounds
+         |FROM allr a, stop WHERE a.i = stop.n""".stripMargin
     }
   )
 }

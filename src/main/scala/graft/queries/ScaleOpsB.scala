@@ -107,11 +107,16 @@ object ScaleOpsB {
     * Scale shape: assignment + token count ride the scan row-locally;
     * ONE map-side-combined agg to the 64-row shard frame; the balance
     * scalar attaches as a broadcast cross join. */
-  def shardLayout(s: SparkSession, dir: String): DataFrame = {
+  def shardLayout(s: SparkSession, dir: String): DataFrame =
+    shardLayoutOf(Tables.documents(s, dir))
+
+  /** Frame-level #166 — shared with the release pipeline
+    * ([[graft.pipelines.CurationJob.release]] stage `shards`). */
+  private[graft] def shardLayoutOf(docs: DataFrame): DataFrame = {
     val S = 64
     val shard = pmod(Privacy.md5Raw16(col("doc_id").cast("string"), ":shard"),
       lit(S))
-    val per = Tables.documents(s, dir)
+    val per = docs
       .select(shard.as("shard"),
         size(split(col("text"), " ")).cast("long").as("nt"))
       .groupBy(col("shard"))

@@ -265,8 +265,13 @@ object Training {
     * per-(source, lang) → max_by dominant language) rejoin on the
     * BOUNDED source dimension. Nothing corpus-sized shuffles twice;
     * no windows. */
-  def datasetCard(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+  def datasetCard(s: SparkSession, dir: String): DataFrame =
+    datasetCardOf(Tables.documents(s, dir))
+
+  /** Frame-level #175 — shared with the release pipeline
+    * ([[graft.pipelines.CurationJob.release]] stage `card`). */
+  private[graft] def datasetCardOf(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("source"), col("lang"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
         length(col("text")).cast("long").as("n_chars"),

@@ -275,7 +275,12 @@ object TrainingB {
     * map-side-combined agg over the corpus scan — the only stage that
     * ever touches the data. */
   private[graft] def bpeWordFreq(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    bpeWordFreqOf(Tables.documents(s, dir))
+
+  /** Frame-level (word, freq) vocabulary of an arbitrary document
+    * frame — shared with the release pipeline's tokenizer stage. */
+  private[graft] def bpeWordFreqOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 20))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))

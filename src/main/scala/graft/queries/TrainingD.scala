@@ -447,19 +447,24 @@ object TrainingD {
           |  FROM d0),
           |np AS (SELECT COUNT(*) AS n_planted FROM d0),
           |pf AS (SELECT rpb, COUNT(*) AS n_planted_found
-          |  FROM cand JOIN pl USING (doc_a, doc_b) GROUP BY 1)
-          |SELECT CAST(rpb AS BIGINT) AS rows_per_band,
-          |  CAST(8 // rpb AS BIGINT) AS n_bands,
-          |  ROUND(1.0 - POW(1.0 - POW(0.5, rpb), 8 // rpb), 6)
+          |  FROM cand JOIN pl USING (doc_a, doc_b) GROUP BY 1),
+          |spine AS (SELECT * FROM (VALUES (1), (2), (4)) AS t(rpb))
+          |SELECT CAST(spine.rpb AS BIGINT) AS rows_per_band,
+          |  CAST(8 // spine.rpb AS BIGINT) AS n_bands,
+          |  ROUND(1.0 - POW(1.0 - POW(0.5, spine.rpb), 8 // spine.rpb), 6)
           |    AS p_collide_at_05,
-          |  n_candidates, n_verified,
-          |  ROUND(CAST(n_verified AS DOUBLE) / n_candidates, 6)
+          |  COALESCE(n_candidates, 0) AS n_candidates, n_verified,
+          |  CASE WHEN COALESCE(n_candidates, 0) = 0 THEN NULL
+          |    ELSE ROUND(CAST(n_verified AS DOUBLE) / n_candidates, 6) END
           |    AS precision_02,
-          |  CAST(n_planted_found AS BIGINT) AS n_planted_found,
+          |  CAST(COALESCE(n_planted_found, 0) AS BIGINT) AS n_planted_found,
           |  CAST(n_planted AS BIGINT) AS n_planted,
-          |  ROUND(CAST(n_planted_found AS DOUBLE) / n_planted, 6)
+          |  ROUND(CAST(COALESCE(n_planted_found, 0) AS DOUBLE) / n_planted, 6)
           |    AS recall_planted
-          |FROM st JOIN pf USING (rpb), np""".stripMargin),
+          |FROM spine
+          |LEFT JOIN st ON st.rpb = spine.rpb
+          |LEFT JOIN pf ON pf.rpb = spine.rpb
+          |CROSS JOIN np""".stripMargin),
     "q_trunc_recall" ->
       (s"WITH ${top3Cte("ft", "emb", 64)},\n${top3Cte("tt", "emb[1:32]", 32)},\n" +
         """ov AS (SELECT q_id, COUNT(*) AS ovn

@@ -32,11 +32,13 @@ import graft.sources.Snapshots
 object VectorIndex {
 
   /** Bump when build semantics change: a [[defaultRoot]] from an older
-    * layout can then never be silently reused. */
-  val layoutVersion = 1
+    * layout can then never be silently reused. (2: build also commits
+    * the `stats` drift baseline.) */
+  val layoutVersion = 2
 
   def centroidsRoot(root: String): String = s"$root/centroids"
   def assignmentsRoot(root: String): String = s"$root/assignments"
+  def statsRoot(root: String): String = s"$root/stats"
   def pqCodebookRoot(root: String): String = s"$root/pq_codebook"
   def pqCodesRoot(root: String): String = s"$root/pq_codes"
 
@@ -56,23 +58,88 @@ object VectorIndex {
 
   // ---------------------------------------------------------------- IVF
 
+  /** ROW-LOCAL nearest-centroid assignment: the centroid table is
+    * collected once (KB-scale — the same bounded reduction any
+    * broadcast-var build performs) and folded into ONE codegen'd
+    * expression, so assigning a vector is a per-row argmax with NO
+    * join and NO shuffle anywhere in the plan — the shape that lets
+    * the same assignment run identically in a batch scan, a delta
+    * append, and a stateless streaming select. Semantics match the
+    * `q_ann_ivf` convention exactly: cosine rounded 6dp, tie-break
+    * lowest cid. Returns (vec_id, v, bucket, ccos). */
+  def assignRowLocal(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val cl: Array[(Int, Seq[Double])] = cents.select(col("cid"), col("cv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // argmax by (ccos, -cid) via array_max over per-centroid structs —
+    // struct ordering compares ccos first, then the negated cid, so
+    // ties break to the LOWEST cid
+    val scored = array(cl.map { case (cid, cv) =>
+      struct(
+        round(Embeddings.cosine(col("v"), typedLit(cv)), 6).as("ccos"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    vectors.select(col("vec_id"), col("v"),
+      array_max(scored).as("best"))
+      .select(col("vec_id"), col("v"),
+        negate(col("best.ncid")).as("bucket"), col("best.ccos").as("ccos"))
+  }
+
   /** Train the coarse quantizer ([[Embeddings.lloyd]], seeds =
     * vec_id < seedK) and assign every corpus vector to its
     * max-cosine trained centroid (score rounded 6dp, tie-break lowest
     * cid — the `q_ann_ivf` convention, so a SQL oracle replays it
-    * exactly). Commits both artifacts; returns
-    * (centroidsVersion, assignmentsVersion). */
+    * exactly). Commits centroids, the `bucket=`-partitioned
+    * assignments, and the `stats` drift baseline (corpus size + mean
+    * assignment cosine — what [[assignDrift]] compares a future batch
+    * against); returns (centroidsVersion, assignmentsVersion). */
   def build(vectors: DataFrame, root: String, seedK: Int = 8, iters: Int = 2): (Long, Long) = {
     val cents = Embeddings.lloyd(vectors, Embeddings.idSeeds(vectors, seedK), iters)
-    val assigned = vectors.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(Embeddings.cosine(col("v"), col("cv")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cid"), col("v")),
-        struct(col("ccos"), negate(col("cid")))).as("a"))
-      .select(col("vec_id"), col("a.v").as("v"), col("a.cid").as("bucket"))
+      .localCheckpoint()
+    val assigned = assignRowLocal(vectors, cents).localCheckpoint()
     val cv = Snapshots.commit(cents, centroidsRoot(root))
-    val av = Snapshots.commitPartitioned(assigned, assignmentsRoot(root), Seq("bucket"))
+    val av = Snapshots.commitPartitioned(assigned.drop("ccos"),
+      assignmentsRoot(root), Seq("bucket"))
+    Snapshots.commit(
+      assigned.agg(count(lit(1)).as("n"),
+        round(avg(col("ccos")), 6).as("mean_ccos")),
+      statsRoot(root))
     (cv, av)
+  }
+
+  /** Absorb a NEW embedding batch into the stored index without
+    * retraining — the daily-ingest shape (`q_dedup_incremental`)
+    * applied to vectors: the batch is assigned against the PERSISTED
+    * centroids (row-local, no shuffle) and appended to the
+    * `bucket=`-partitioned assignments table as a DELTA commit
+    * ([[Snapshots.commitAppend]]), so the cost is O(batch) and the
+    * stored corpus is never rewritten. Idempotent per `batchId` — a
+    * replayed batch is a no-op. Returns the committed assignments
+    * version. */
+  def assignBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Long = {
+    val cents = Snapshots.read(spark, centroidsRoot(root))
+    Snapshots.commitAppend(
+      assignRowLocal(batch, cents).drop("ccos"),
+      assignmentsRoot(root), Seq("bucket"), Some(batchId))
+  }
+
+  /** Drift statistic for retrain scheduling: the batch's mean
+    * assignment cosine vs the build-time baseline from the `stats`
+    * artifact. A falling mean says new data sits farther from the
+    * trained centroids than the corpus they were trained on — the
+    * signal to retrain rather than keep appending. One row:
+    * (n_batch, mean_ccos_batch, mean_ccos_build, drift). */
+  def assignDrift(spark: SparkSession, root: String, batch: DataFrame): DataFrame = {
+    val cents = Snapshots.read(spark, centroidsRoot(root))
+    val baseline = Snapshots.read(spark, statsRoot(root))
+      .select(col("mean_ccos").as("mean_ccos_build"))
+    assignRowLocal(batch, cents)
+      .agg(count(lit(1)).as("n_batch"),
+        round(avg(col("ccos")), 6).as("mean_ccos_batch"))
+      .crossJoin(broadcast(baseline))
+      .withColumn("drift",
+        round(col("mean_ccos_build") - col("mean_ccos_batch"), 6))
   }
 
   /** Idempotent build: a no-op when both artifacts already have a
@@ -80,7 +147,8 @@ object VectorIndex {
     * retried run never retrains). */
   def buildIfAbsent(vectors: DataFrame, root: String, seedK: Int = 8, iters: Int = 2): Unit =
     if (Snapshots.latestVersion(centroidsRoot(root)).isEmpty ||
-        Snapshots.latestVersion(assignmentsRoot(root)).isEmpty) {
+        Snapshots.latestVersion(assignmentsRoot(root)).isEmpty ||
+        Snapshots.latestVersion(statsRoot(root)).isEmpty) {
       build(vectors, root, seedK, iters); ()
     }
 
@@ -138,16 +206,67 @@ object VectorIndex {
 
   // ----------------------------------------------------------------- PQ
 
-  private val (pqM, pqK, pqSub) = (8, 16, 8)
+  private[graft] val (pqM, pqK, pqSub) = (8, 16, 8)
 
-  private def subVectors(vectors: DataFrame): DataFrame =
+  private[graft] def subVectors(vectors: DataFrame): DataFrame =
     vectors.select(col("vec_id"),
       explode(array((0 until pqM).map(m =>
         struct(lit(m).as("m"), slice(col("v"), m * pqSub + 1, pqSub).as("sv"))): _*)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
 
-  private def dist2(a: Column, b: Column): Column =
+  private[graft] def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Assign each sub-vector to its nearest codebook entry (squared-L2,
+    * tie-break lowest code) — the shared encode step of PQ build,
+    * trained build, and the per-round training assignment. */
+  private[graft] def encodePq(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), "m")
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(dist2(col("sv"), col("cv")).as("d"), col("c"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.c").as("c"))
+
+  /** MULTI-ROUND PQ codebook training — Lloyd iterated independently
+    * in each of the M subspaces (the #169 trained-centroids treatment
+    * applied to the product quantizer): seeds are the sub-vectors of
+    * vec_id < K, each round reassigns every sub-vector to its nearest
+    * entry and recomputes per-(m, c, dim) means ROUNDED to 6dp, so an
+    * oracle replays the chain exactly (the [[Embeddings.lloyd]]
+    * re-sync convention; the single-round [[buildPq]] keeps its
+    * legacy raw-mean recipe for `q_ann_pq` compatibility). Entries
+    * that lose all members in a round drop out identically in both
+    * engines. One distributed pass per round over the
+    * sub-vector frame; the codebook is M×K rows throughout. */
+  def trainPqCodebook(vectors: DataFrame, rounds: Int): DataFrame = {
+    val sub = subVectors(vectors).localCheckpoint()
+    var cb = sub.filter(col("vec_id") < pqK)
+      .select(col("m"), col("vec_id").cast("int").as("c"), col("sv").as("cv"))
+    val dimMeans = (0 until pqSub).map(j =>
+      round(avg(element_at(col("sv"), j + 1)), 6).as(s"s$j"))
+    for (_ <- 1 to rounds) {
+      val asg = encodePq(sub, cb)
+      cb = sub.join(asg.hint("shuffle_hash"), Seq("vec_id", "m"))
+        .groupBy(col("m"), col("c"))
+        .agg(dimMeans.head, dimMeans.tail: _*)
+        .select(col("m"), col("c"),
+          array((0 until pqSub).map(j => col(s"s$j")): _*).as("cv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** [[buildPq]] with a TRAINED (multi-round, [[trainPqCodebook]])
+    * codebook: commits the trained codebook and the corpus encoded
+    * against it; returns (codebookVersion, codesVersion).
+    * VectorIndexSpec proves the stored artifacts equal the replayed
+    * training chain. */
+  def buildPqTrained(vectors: DataFrame, root: String, rounds: Int): (Long, Long) = {
+    val cb = trainPqCodebook(vectors, rounds)
+    val codes = encodePq(subVectors(vectors), cb)
+    val cbv = Snapshots.commit(cb, pqCodebookRoot(root))
+    val cdv = Snapshots.commit(codes, pqCodesRoot(root))
+    (cbv, cdv)
+  }
 
   /** Train the PQ codebook (seed sub-vectors = vec_id < K, one Lloyd
     * round — the `q_ann_pq` recipe verbatim) and encode the corpus;

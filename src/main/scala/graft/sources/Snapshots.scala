@@ -88,6 +88,76 @@ object Snapshots {
     else commitInternal(df, root, Some(batchId))
   }
 
+  /** APPEND (delta) commit: the new version's data dir holds ONLY
+    * `delta`'s rows; its manifest records `delta:true` and readers
+    * resolve the parent chain back to the last FULL snapshot, reading
+    * the union of those immutable dirs. Absorbing a daily batch into
+    * a 100 TB table therefore costs O(batch) — the stored corpus is
+    * never rewritten — while every version stays a time-travel point
+    * and rollback/readers-of-N semantics are unchanged. Chains are
+    * kept short by [[compact]] (a periodic full re-commit); `batchId`
+    * gives the same idempotent-replay contract as [[commitBatch]]. */
+  def commitAppend(delta: DataFrame, root: String,
+      partitionCols: Seq[String] = Seq.empty,
+      batchId: Option[Long] = None): Long = {
+    require(latestVersion(root).nonEmpty,
+      s"commitAppend needs an existing full snapshot under $root")
+    batchId match {
+      case Some(b) =>
+        val latest = latestVersion(root)
+        if (latest.exists(v => batchIdOf(root, v).exists(_ >= b))) latest.get
+        else commitInternal(delta, root, batchId, partitionCols, delta = true)
+      case None => commitInternal(delta, root, None, partitionCols, delta = true)
+    }
+  }
+
+  /** Whether a version is a delta (append) commit. */
+  def isDelta(root: String, v: Long): Boolean = {
+    val m = manifest(root, v)
+    Files.exists(m) &&
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+        .contains("\"delta\":true")
+  }
+
+  /** The version chain a read of `v` resolves: `v` and its ancestors
+    * back to (and including) the most recent FULL snapshot —
+    * newest-first. O(chain length) metadata reads, no data touched. */
+  def chainVersions(root: String, v: Long): Seq[Long] = {
+    val chain = Seq.newBuilder[Long]
+    var cur = v
+    while (cur >= 0 && isDelta(root, cur)) { chain += cur; cur -= 1 }
+    require(cur >= 0 && Files.exists(manifest(root, cur)),
+      s"delta chain under $root has no full-snapshot base at or below $v")
+    chain += cur
+    chain.result()
+  }
+
+  /** Rewrite the current delta chain as one full snapshot (the
+    * compaction half of the append contract): readers of the new
+    * version touch ONE dir again; older versions stay time-travelable
+    * until vacuumed. No-op (returns latest) when latest is already
+    * full. */
+  def compact(spark: SparkSession, root: String,
+      partitionCols: Seq[String] = Seq.empty): Long = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    if (!isDelta(root, latest)) latest
+    else commitInternal(read(spark, root), root, None, partitionCols)
+  }
+
+  /** Idempotent commit keyed by an arbitrary UNORDERED run key (a
+    * content fingerprint, not a monotone batch id): if any committed
+    * version already carries `key`, return (that version, false)
+    * WITHOUT evaluating `df` — the by-name parameter means a retried
+    * multi-stage job re-runs zero Spark jobs for its completed
+    * stages; else commit a new version and return (it, true). */
+  def commitKeyed(df: => DataFrame, root: String, key: Long,
+      partitionCols: Seq[String] = Seq.empty): (Long, Boolean) =
+    versions(root).find(v => batchIdOf(root, v).contains(key)) match {
+      case Some(v) => (v, false)
+      case None => (commitInternal(df, root, Some(key), partitionCols), true)
+    }
+
   /** The batch id recorded in a version's manifest, if any. */
   def batchIdOf(root: String, v: Long): Option[Long] = {
     val m = manifest(root, v)
@@ -98,19 +168,21 @@ object Snapshots {
   }
 
   private def commitInternal(df: DataFrame, root: String, batchId: Option[Long],
-      partitionCols: Seq[String] = Seq.empty): Long = {
+      partitionCols: Seq[String] = Seq.empty, delta: Boolean = false): Long = {
     val next = latestVersion(root).getOrElse(-1L) + 1
     // 1. data (distributed; overwrite clears any orphan from a crash)
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dataDir(root, next))
     // 2. manifest (metadata — written before the pointer so a reader
-    //    that sees the pointer always finds the manifest)
+    //    that sees the pointer always finds the manifest); a delta
+    //    manifest counts its OWN rows only
     val rows = df.sparkSession.read.parquet(dataDir(root, next)).count()
     Files.createDirectories(manifest(root, next).getParent)
     val batchField = batchId.map(b => s""","batchId":$b""").getOrElse("")
+    val deltaField = if (delta) ""","delta":true""" else ""
     Files.write(manifest(root, next),
-      s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField}"""
+      s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField$deltaField}"""
         .getBytes(StandardCharsets.UTF_8))
     // 3. commit point: atomic pointer swap
     val tmp = Paths.get(s"$root/_latest.tmp")
@@ -126,10 +198,17 @@ object Snapshots {
       latestVersion(root).getOrElse(
         throw new IllegalStateException(s"no committed version under $root")))
 
-  /** Time travel: read an explicit version. */
+  /** Time travel: read an explicit version. A delta version resolves
+    * its parent chain and reads the UNION of the chain's immutable
+    * dirs — each dir scanned with its own basePath so hive partition
+    * columns (and their pruning) survive; partition/predicate
+    * pushdown applies per branch of the union. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(Files.exists(manifest(root, v)), s"version $v was never committed (or vacuumed)")
-    spark.read.parquet(dataDir(root, v))
+    chainVersions(root, v)
+      .map(cv => spark.read.option("basePath", dataDir(root, cv))
+        .parquet(dataDir(root, cv)))
+      .reduce(_ unionByName _)
   }
 
   /** Roll back: point `_latest` at an older committed version without
@@ -149,7 +228,11 @@ object Snapshots {
     * reverse. */
   def vacuum(root: String, keep: Int): Seq[Long] = {
     val latest = latestVersion(root).getOrElse(return Seq.empty)
-    val drop = versions(root).filter(v => v < latest - keep.max(0) && v != latest)
+    // never drop an ancestor the latest version's delta chain still
+    // resolves through — a vacuumed base would corrupt every reader
+    val protectedChain = chainVersions(root, latest).toSet
+    val drop = versions(root).filter(v =>
+      v < latest - keep.max(0) && v != latest && !protectedChain(v))
     drop.foreach { v =>
       Files.deleteIfExists(manifest(root, v))
       val d = Paths.get(dataDir(root, v))

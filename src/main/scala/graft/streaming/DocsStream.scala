@@ -63,6 +63,26 @@ object DocsStream {
     docs.filter(!arrays_overlap(grams, typedLit(evalSet)))
   }
 
+  /** Streaming VECTOR INGEST — the streaming front door of the stored
+    * IVF index ([[graft.similarity.VectorIndex]]): each arriving
+    * embedding is assigned to its nearest PERSISTED centroid with the
+    * exact build/assignBatch rule (cosine rounded 6dp, tie-break
+    * lowest cid). STATELESS by construction: the KB-scale centroid
+    * table is folded into one row-local codegen'd argmax expression
+    * at plan time ([[graft.similarity.VectorIndex.assignRowLocal]]),
+    * so there is no join, no shuffle, and zero streaming state — a
+    * downstream foreachBatch sink lands each micro-batch into the
+    * index's `bucket=` partitions via
+    * [[graft.similarity.VectorIndex.assignBatch]]'s idempotent delta
+    * commit (batchId = the micro-batch id), closing the
+    * stream → stored-index loop with exactly-once semantics.
+    * StreamingSpec pins stream ≡ batch assignment on the same rows.
+    *
+    * @param vectors streaming frame with (vec_id, v: array<double>)
+    * @param cents   the STORED centroid frame (static side) */
+  def assignVectors(vectors: DataFrame, cents: DataFrame): DataFrame =
+    graft.similarity.VectorIndex.assignRowLocal(vectors, cents)
+
   /** Streaming TRENDING TERMS: watermarked tumbling-window term
     * counts over a document stream — the "what is the crawl seeing
     * right now" monitoring view next to the batch vocab/entropy

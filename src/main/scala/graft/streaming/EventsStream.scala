@@ -117,9 +117,33 @@ object EventsStream {
   case class MatchSide(
       match_id: Long, side: Int, model: String, value: Double,
       ts: java.sql.Timestamp)
-  case class PendingSide(side: Int, model: String, value: Double, tsMs: Long)
+  /** Per-match state: an open half waiting for its opponent, or —
+    * once `done` — a tombstone marking an already-emitted match so a
+    * re-delivered side inside the admissible window cannot re-form
+    * the pair and emit a duplicate. */
+  case class PendingSide(
+      side: Int, model: String, value: Double, tsMs: Long,
+      done: Boolean = false)
   case class MatchOut(
       match_id: Long, model_a: String, model_b: String, wins_a: Long)
+
+  /** Millis of a `withWatermark`-style delay string ("10 minutes",
+    * "1 hour") — so operators that derive state-retention horizons
+    * from their watermark argument hold state for the window the
+    * CALLER chose, not a hardcoded one. */
+  private[graft] def delayMs(s: String): Long = {
+    val m = "(\\d+)\\s*(millisecond|second|minute|hour|day|week)s?".r
+      .findFirstMatchIn(s.trim.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(s"unparseable delay: '$s'"))
+    m.group(1).toLong * (m.group(2) match {
+      case "millisecond" => 1L
+      case "second"      => 1000L
+      case "minute"      => 60L * 1000
+      case "hour"        => 3600L * 1000
+      case "day"         => 24L * 3600 * 1000
+      case "week"        => 7L * 24 * 3600 * 1000
+    })
+  }
 
   /** STREAMING MATCH COMPLETION — the stateful-pairing half of the
     * arena family (#191/#192 are its batch aggregations): each match's
@@ -130,8 +154,19 @@ object EventsStream {
     * tie → lexicographically smaller model; model_a < model_b in the
     * output). Same-model matches complete silently. An orphan half
     * (opponent never arrives) is EVICTED by event-time timeout once
-    * the watermark passes — state is O(1) per OPEN match, not per
-    * stream.
+    * one `watermark` delay passes its own event time — the horizon is
+    * DERIVED from the watermark argument, so a caller passing
+    * '10 minutes' holds orphan state for ten minutes, not a
+    * hardcoded hour. State is O(1) per open match, not per stream.
+    *
+    * Exactly-once holds against duplicate deliveries inside the
+    * admissible window: a completed match leaves a TOMBSTONE in state
+    * (evicted by the same event-time timeout) so a re-delivery of
+    * both sides cannot re-form the pair and emit twice. A replay
+    * arriving after the watermark has evicted the tombstone is
+    * dropped by the watermark itself before reaching the operator —
+    * duplicates admissibly-late beyond that are out of contract
+    * (the standard Structured Streaming state-retention bound).
     *
     * In batch mode (`sides.isStreaming == false`) every side of a key
     * reaches one invocation, so the operator degrades to the exact
@@ -141,14 +176,25 @@ object EventsStream {
       sides: Dataset[MatchSide], watermark: String = "1 hour"): Dataset[MatchOut] = {
     import sides.sparkSession.implicits._
     val isStreaming = sides.isStreaming
+    val horizonMs = delayMs(watermark)
     sides
       .withWatermark("ts", watermark)
       .groupByKey(_.match_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (m: Long, it: Iterator[MatchSide], state: GroupState[PendingSide]) => {
+          // retention: one watermark delay past the row's own event
+          // time, clamped above the current watermark so the timeout
+          // is admissible
+          def hold(eventMs: Long): Unit =
+            if (isStreaming) state.setTimeoutTimestamp(
+              math.max(eventMs + horizonMs, state.getCurrentWatermarkMs() + 1))
           if (state.hasTimedOut) {
-            // opponent never arrived inside the watermark: evict
+            // opponent never arrived (or a tombstone aged out): evict
             state.remove()
+            Iterator.empty
+          } else if (state.getOption.exists(_.done)) {
+            // match already emitted — swallow re-deliveries, keep the
+            // tombstone until its timeout passes
             Iterator.empty
           } else {
             val pending = state.getOption
@@ -161,7 +207,12 @@ object EventsStream {
             val b = rows.find(_.side == 1)
             (a, b) match {
               case (Some(x), Some(y)) =>
-                if (state.exists) state.remove()
+                // tombstone the completed match (see Scaladoc): a
+                // later re-delivery of both sides finds `done` above
+                // instead of re-pairing
+                state.update(PendingSide(-1, "", 0.0,
+                  math.max(x.ts.getTime, y.ts.getTime), done = true))
+                hold(math.max(x.ts.getTime, y.ts.getTime))
                 if (x.model == y.model) Iterator.empty
                 else {
                   val winner =
@@ -178,14 +229,7 @@ object EventsStream {
                 val p = (a orElse b).get
                 state.update(PendingSide(p.side, p.model, p.value,
                   p.ts.getTime))
-                if (isStreaming) {
-                  // hold one completion horizon past the side's OWN
-                  // event time (clamped above the watermark so the
-                  // timeout is admissible), then evict the orphan
-                  val horizon = p.ts.getTime + 3600L * 1000
-                  state.setTimeoutTimestamp(
-                    math.max(horizon, state.getCurrentWatermarkMs() + 1))
-                }
+                hold(p.ts.getTime)
                 Iterator.empty
             }
           }

@@ -81,7 +81,20 @@ object ScaleProbe {
       // r5 batch F: IVF sweep (bounded probes, flat), cluster-capped
       // sampling (broadcast assignment + bounded top-k), score
       // normalization (distinct-score frame, linear scan)
-      "q_ivf_nprobe_sweep", "q_cluster_sample", "q_score_norm")
+      "q_ivf_nprobe_sweep", "q_cluster_sample", "q_score_norm",
+      // r6 additions (verdict #5): the last unprobed heavies — the
+      // trained-Lloyd recall loop (per-round cost ∝ corpus), the
+      // tolerance-gated sketch aggregate, the rule-frame top-3 window,
+      // the planted-pair MinHash accuracy join, and the two
+      // partials-based ROI rollups (events scanned once, map-side agg)
+      "q_ivf_recall_trained", "q_approx_sketch", "q_item_recs",
+      "q_minhash_accuracy", "q_feature_roi", "q_channel_roi",
+      // r6 additions: trained-PQ recall (two codebook trainings ∝
+      // corpus, ADC ranking bounded by the probe set), the converged
+      // PageRank loop (rounds may GROW with the graph — the probe
+      // shows whether the stop round drifts), and incremental index
+      // absorb+search (build ∝ corpus once, batch assign ∝ batch)
+      "q_pq_recall_trained", "q_pagerank_converged", "q_ann_ivf_incremental")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

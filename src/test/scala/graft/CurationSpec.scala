@@ -211,6 +211,45 @@ class CurationSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("CurationJob.release: all stages commit versioned artifacts; a retry recomputes nothing") {
+    import graft.sources.Snapshots
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft-release").toString
+    val stages = Seq("curated", "labels", "tokens", "bins", "shards",
+      "card", "report", "savings")
+    val r1 = graft.pipelines.CurationJob.release(docs, out)
+    assert(r1.versions.keySet == stages.toSet)
+    assert(r1.recomputed.toSet == stages.toSet + "corpus.bloom")
+    val curated = Snapshots.readVersion(spark, s"$out/curated", r1.versions("curated"))
+    val labels = Snapshots.readVersion(spark, s"$out/labels", r1.versions("labels"))
+    val tokens = Snapshots.readVersion(spark, s"$out/tokens", r1.versions("tokens"))
+    val nCur = curated.count()
+    assert(nCur > 0 && labels.count() == nCur && tokens.count() == nCur)
+    // decontamination held out the eval slice and dropped leaks
+    assert(curated.filter(pmod(col("doc_id"), lit(97)) === 0).count() == 0)
+    assert(tokens.agg(min(col("n_tok"))).head.getLong(0) > 0)
+    // the report artifact IS #36d over the STORED labeling
+    val report = Snapshots.readVersion(spark, s"$out/report", r1.versions("report"))
+    val want = graft.queries.LlmData.dedupReportOf(labels)
+    assert(report.exceptAll(want).count() == 0 && want.exceptAll(report).count() == 0)
+    // card: one row per curated source; savings: one coherent row
+    val card = Snapshots.readVersion(spark, s"$out/card", r1.versions("card"))
+    assert(card.count() == curated.select(col("source")).distinct().count())
+    val sav = Snapshots.readVersion(spark, s"$out/savings", r1.versions("savings")).head()
+    assert(sav.getLong(sav.fieldIndex("n_docs")) == nCur &&
+      sav.getLong(sav.fieldIndex("kept_docs")) <= nCur)
+    // clean retry: same versions, ZERO stages recomputed
+    val r2 = graft.pipelines.CurationJob.release(docs, out)
+    assert(r2.versions == r1.versions && r2.recomputed.isEmpty)
+    // a changed input commits forward while the old release stays pinned
+    val r3 = graft.pipelines.CurationJob.release(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), out)
+    assert(r3.runId != r1.runId &&
+      r3.versions("curated") > r1.versions("curated"))
+    assert(Snapshots.readVersion(spark, s"$out/curated", r1.versions("curated"))
+      .count() == nCur)
+  }
+
   test("CurationJob: empty-after-quality input completes with empty artifacts") {
     // nothing passes the quality gate → deduped corpus empty → the
     // bloom sketch is null; the job must finish, not NPE after the

@@ -104,4 +104,63 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root, 0).columns.toSeq == Seq("id", "v"))
     assert(Snapshots.read(spark, root).columns.toSeq == Seq("id", "v", "score"))
   }
+
+  test("commitAppend: delta dir holds only the batch, reads resolve the chain, time travel intact") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit((1L to 100L).toDF("id"), root)
+    val v1 = Snapshots.commitAppend((101L to 110L).toDF("id"), root)
+    val v2 = Snapshots.commitAppend((111L to 112L).toDF("id"), root)
+    assert(v1 == 1 && v2 == 2)
+    assert(Snapshots.isDelta(root, v1) && Snapshots.isDelta(root, v2) &&
+      !Snapshots.isDelta(root, 0))
+    assert(Snapshots.chainVersions(root, v2) == Seq(2L, 1L, 0L))
+    // batch-cost shape: each delta's OWN data dir holds only its rows
+    assert(spark.read.parquet(s"$root/data/v=1").count() == 10)
+    assert(spark.read.parquet(s"$root/data/v=2").count() == 2)
+    // the logical table is the chain union, at every time-travel point
+    assert(Snapshots.read(spark, root).count() == 112)
+    assert(Snapshots.readVersion(spark, root, v1).count() == 110)
+    assert(Snapshots.readVersion(spark, root, 0).count() == 100)
+  }
+
+  test("commitAppend with partition dirs keeps pruning; batchId replay is a no-op") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commitPartitioned(
+      Seq((1L, 0), (2L, 1)).toDF("id", "bucket"), root, Seq("bucket"))
+    val v1 = Snapshots.commitAppend(
+      Seq((3L, 0), (4L, 2)).toDF("id", "bucket"), root, Seq("bucket"), Some(7L))
+    // idempotent replay of the same batch id
+    assert(Snapshots.commitAppend(
+      Seq((3L, 0), (4L, 2)).toDF("id", "bucket"), root, Seq("bucket"), Some(7L)) == v1)
+    assert(Snapshots.read(spark, root).count() == 4)
+    // partition pruning survives the chain union: both branch scans
+    // carry a PartitionFilters entry on bucket
+    val plan = Snapshots.read(spark, root).filter(col("bucket") === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"chain read lost pruning:\n$plan")
+    assert(Snapshots.read(spark, root).filter(col("bucket") === 0).count() == 2)
+  }
+
+  test("vacuum never drops a chain ancestor; compact collapses the chain to one dir") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit((1L to 5L).toDF("id"), root)       // v0 full
+    Snapshots.commitAppend(Seq(6L).toDF("id"), root)    // v1 delta
+    Snapshots.commitAppend(Seq(7L).toDF("id"), root)    // v2 delta
+    // retention 0 would normally drop v0 and v1 — but both are
+    // ancestors the latest chain resolves through
+    assert(Snapshots.vacuum(root, 0).isEmpty)
+    assert(Snapshots.read(spark, root).count() == 7)
+    val v3 = Snapshots.compact(spark, root)
+    assert(!Snapshots.isDelta(root, v3) &&
+      Snapshots.chainVersions(root, v3) == Seq(v3))
+    assert(Snapshots.read(spark, root).count() == 7)
+    // compacting an already-full latest is a no-op
+    assert(Snapshots.compact(spark, root) == v3)
+    // with the chain collapsed, the old versions become vacuumable
+    assert(Snapshots.vacuum(root, 0).toSet == Set(0L, 1L, 2L))
+    assert(Snapshots.read(spark, root).count() == 7)
+  }
 }

@@ -614,6 +614,70 @@ class StreamingSpec extends AnyFunSuite {
       MatchOut(1, "alpha", "gamma", 1), MatchOut(2, "alpha", "beta", 1)))
   }
 
+  test("match completion: re-delivered sides of a completed match never re-emit") {
+    import spark.implicits._
+    import graft.streaming.EventsStream.{MatchSide, MatchOut}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[MatchSide]
+    val q = EventsStream.matchCompletion(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("arena_dup").start()
+    mem.addData(
+      MatchSide(9, 0, "gamma", 2.0, ts(1)), MatchSide(9, 1, "alpha", 5.0, ts(1)))
+    q.processAllAvailable()
+    assert(spark.table("arena_dup").count() == 1)
+    // full re-delivery of BOTH sides in a later micro-batch: the
+    // tombstone swallows the pair instead of re-forming and re-emitting
+    mem.addData(
+      MatchSide(9, 0, "gamma", 2.0, ts(1)), MatchSide(9, 1, "alpha", 5.0, ts(1)))
+    q.processAllAvailable()
+    // and re-delivery split across batches cannot re-open the match
+    mem.addData(MatchSide(9, 0, "gamma", 2.0, ts(2)))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("arena_dup").as[MatchOut].collect().toSeq ==
+      Seq(MatchOut(9, "alpha", "gamma", 1)))
+  }
+
+  test("matchCompletion horizon follows the watermark argument (delayMs)") {
+    assert(EventsStream.delayMs("10 minutes") == 600000L)
+    assert(EventsStream.delayMs("1 hour") == 3600000L)
+    assert(EventsStream.delayMs("30 seconds") == 30000L)
+    assert(EventsStream.delayMs("2 days") == 172800000L)
+    intercept[IllegalArgumentException](EventsStream.delayMs("soon"))
+  }
+
+  test("streaming vector ingest: stream assignment equals the stored-index rule, zero state") {
+    import spark.implicits._
+    import graft.similarity.{Embeddings, VectorIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sv").toString
+    VectorIndex.build(vecs.filter(col("vec_id") % 10 =!= 7), root)
+    val cents = graft.sources.Snapshots.read(spark, VectorIndex.centroidsRoot(root))
+    val batch = vecs.filter(col("vec_id") % 10 === 7)
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData(batch)
+    val q = graft.streaming.DocsStream
+      .assignVectors(mem.toDF().toDF("vec_id", "v"), cents)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("vecassign").start()
+    q.processAllAvailable()
+    // stateless: no state store operators in the streaming plan
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty,
+      "streaming assignment created state")
+    q.stop()
+    val got = spark.table("vecassign").select(col("vec_id"), col("bucket"))
+    val want = VectorIndex
+      .assignRowLocal(vecs.filter(col("vec_id") % 10 === 7), cents)
+      .select(col("vec_id"), col("bucket"))
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "stream assignment diverged from the batch rule")
+  }
+
   test("match completion: batch replay aggregates to q_win_matrix exactly") {
     import spark.implicits._
     import graft.streaming.EventsStream.MatchSide

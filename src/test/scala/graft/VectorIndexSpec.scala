@@ -105,6 +105,98 @@ class VectorIndexSpec extends AnyFunSuite {
       "stored-codes ADC diverged from the inline PQ search")
   }
 
+  test("assignBatch: O(batch) delta append, idempotent per batchId, search sees the union") {
+    val root = freshRoot()
+    val isBatch = pmod(col("vec_id"), lit(10)) === 7
+    val base = vecs.filter(!isBatch)
+    val batch = vecs.filter(isBatch)
+    VectorIndex.build(base, root, seedK = 8, iters = 2)
+    val aroot = VectorIndex.assignmentsRoot(root)
+    val v1 = VectorIndex.assignBatch(spark, root, batch, batchId = 0L)
+    // batch-cost shape: the delta commit's own data dir holds ONLY the
+    // batch's rows — the stored base corpus was not rewritten
+    assert(Snapshots.isDelta(aroot, v1))
+    assert(spark.read.parquet(s"$aroot/data/v=$v1").count() == batch.count())
+    // idempotent re-apply: same batchId → same version, same rows
+    assert(VectorIndex.assignBatch(spark, root, batch, batchId = 0L) == v1)
+    assert(Snapshots.read(spark, aroot).count() == vecs.count())
+    // the post-append search answers from base AND batch members, and
+    // equals assigning ALL vectors against the base-trained centroids
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val got = VectorIndex.ivfTopKStored(spark, root, queries, k = 3)
+    val cents = Snapshots.read(spark, VectorIndex.centroidsRoot(root))
+    val allAssigned = VectorIndex.assignRowLocal(vecs, cents).drop("ccos")
+    val stored = Snapshots.read(spark, aroot)
+      .select(col("vec_id"), col("v"), col("bucket").cast("int").as("bucket"))
+    assert(stored.exceptAll(allAssigned).count() == 0 &&
+      allAssigned.exceptAll(stored).count() == 0,
+      "post-append assignments diverged from assign-all-vs-base-centroids")
+    assert(got.count() == 3 * queries.count())
+  }
+
+  test("assignDrift: batch mean vs the stored build-time baseline") {
+    val root = freshRoot()
+    val base = vecs.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val batch = vecs.filter(pmod(col("vec_id"), lit(10)) === 7)
+    VectorIndex.build(base, root, seedK = 8, iters = 2)
+    val row = VectorIndex.assignDrift(spark, root, batch).head()
+    assert(row.getLong(row.fieldIndex("n_batch")) == batch.count())
+    val b = row.getDouble(row.fieldIndex("mean_ccos_build"))
+    val m = row.getDouble(row.fieldIndex("mean_ccos_batch"))
+    val d = row.getDouble(row.fieldIndex("drift"))
+    assert(math.abs(d - BigDecimal(b - m).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // a batch drawn from the SAME distribution sits near the baseline
+    assert(math.abs(d) < 0.2, s"same-distribution drift unexpectedly large: $d")
+    // drift on the base itself reproduces the baseline exactly (same
+    // rows, same assignment rule)
+    val self = VectorIndex.assignDrift(spark, root, base).head()
+    assert(math.abs(self.getDouble(self.fieldIndex("drift"))) < 1e-6 + 1e-9)
+  }
+
+  test("row-local assignment: no join, no shuffle, equals the aggregate argmax") {
+    val root = freshRoot()
+    VectorIndex.build(vecs, root, seedK = 8, iters = 2)
+    val cents = Snapshots.read(spark, VectorIndex.centroidsRoot(root))
+    val assigned = VectorIndex.assignRowLocal(vecs, cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"row-local assignment shuffled or joined:\n$plan")
+    // semantics: identical to the crossJoin + max_by aggregate shape
+    // (6dp rounding, ties to lowest cid)
+    val agg = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(Embeddings.cosine(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("v")),
+        struct(col("ccos"), negate(col("cid")))).as("a"))
+      .select(col("vec_id"), col("a.v").as("v"), col("a.cid").as("bucket"))
+    val gotB = assigned.select(col("vec_id"), col("bucket"))
+    val wantB = agg.select(col("vec_id"), col("bucket"))
+    assert(gotB.exceptAll(wantB).count() == 0 &&
+      wantB.exceptAll(gotB).count() == 0,
+      "row-local argmax diverged from the aggregate argmax")
+  }
+
+  test("stored trained PQ: buildPqTrained artifacts equal the replayed training chain") {
+    val root = freshRoot()
+    VectorIndex.buildPqTrained(vecs, root, rounds = 2)
+    val cb = Snapshots.read(spark, VectorIndex.pqCodebookRoot(root))
+    val chain = VectorIndex.trainPqCodebook(vecs, 2)
+    assert(cb.exceptAll(chain).count() == 0 &&
+      chain.exceptAll(cb).count() == 0,
+      "stored trained codebook diverged from the replayed chain")
+    val codes = Snapshots.read(spark, VectorIndex.pqCodesRoot(root))
+    val enc = VectorIndex.encodePq(VectorIndex.subVectors(vecs), chain)
+    assert(codes.exceptAll(enc).count() == 0 &&
+      enc.exceptAll(codes).count() == 0,
+      "stored trained codes diverged from re-encoding")
+    // the stored-query path answers from the trained artifacts as-is
+    val queries = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v"))
+    assert(VectorIndex.adcTopKStored(spark, root, queries, k = 5).count() == 15)
+  }
+
   test("trained centroids do not hurt recall vs label seeding") {
     val trained = SparkEntry.queries("q_ivf_recall_trained")(spark, sf)
       .agg(avg(col("recall"))).head.getDouble(0)

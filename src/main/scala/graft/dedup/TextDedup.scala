@@ -35,10 +35,11 @@ object TextDedup {
     * one-pass kernel ([[graft.plans.MinHashSigs]]).
     */
   def minhashSignatures(
-      docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      carry: Seq[String] = Seq.empty): DataFrame = {
     val sigs = graft.plans.MinHashSigs(col(textCol), k)
-    docs.select((col(idCol) +:
-      (0 until k).map(h => element_at(sigs, h + 1).as(s"sig_$h"))): _*)
+    docs.select((col(idCol) +: carry.map(col)) ++
+      (0 until k).map(h => element_at(sigs, h + 1).as(s"sig_$h")): _*)
   }
 
   /** Higher-order reference implementation of [[minhashSignatures]]
@@ -61,7 +62,8 @@ object TextDedup {
     * null-PROPAGATING (unlike concat_ws): a doc too short to shingle
     * has null signature slots and must not collide with other
     * null-signature docs — DuckDB `||` propagates null the same way. */
-  def bandKeys(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+  def bandKeys(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2,
+      carry: Seq[String] = Seq.empty): DataFrame = {
     // a remainder would silently drop the trailing signature columns
     // from every band — the caller would run lower-k LSH (less
     // recall) with no error
@@ -73,9 +75,13 @@ object TextDedup {
           Seq(lit("|"), col(s"sig_${b * rowsPerBand + r}"))).drop(1): _*)
       struct(lit(b).as("band"), key.as("bucket"))
     }
+    // `carry` rides along row-locally (streaming callers thread the
+    // event-time and shingle columns through the explode)
     sigs
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col(idCol) +: carry.map(col) :+
+        explode(array(bandStructs: _*)).as("bb"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
   }
 
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {

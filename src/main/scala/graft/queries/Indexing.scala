@@ -202,12 +202,36 @@ object Indexing {
     LshIndex.absorbBatch(s, root, batch, batchId = 0L)
   }
 
+  /** #207 INDEX DRIFT REPORT (`q_index_drift`) — the retrain signal
+    * of the incremental family: #203 absorbs batches forever, but
+    * appending is only sound while new data still resembles the
+    * corpus the centroids were trained on. [[VectorIndex.assignDrift]]
+    * scores the planted batch against the PERSISTED centroids
+    * (row-local argmax, no training aggregate in the plan) and
+    * compares its mean assignment cosine to the build-time baseline
+    * from the stored `stats` artifact: one row (n_batch,
+    * mean_ccos_batch, mean_ccos_build, drift), where a positive
+    * drift says the batch sits farther from the centroids than the
+    * corpus did — schedule a retrain instead of appending. The
+    * oracle replays the 2-round Lloyd train and BOTH means. */
+  def indexDrift(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    val isBatch = pmod(col("vec_id"), lit(10)) === 7
+    def vecs(df: DataFrame) = df.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val baseRaw = raw.filter(!isBatch)
+    val root = VectorIndex.defaultRoot(baseRaw, seedK = 8, iters = 2)
+    VectorIndex.buildIfAbsent(vecs(baseRaw), root, seedK = 8, iters = 2)
+    VectorIndex.assignDrift(s, root, vecs(raw.filter(isBatch)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
     "q_ann_ivf_incremental" -> annIvfIncremental _,
     "q_pq_recall_trained"   -> pqRecallTrained _,
-    "q_dedup_lsh_incremental" -> dedupLshIncremental _
+    "q_dedup_lsh_incremental" -> dedupLshIncremental _,
+    "q_index_drift"           -> indexDrift _
   )
 
   private val cosSql =
@@ -419,6 +443,24 @@ object Indexing {
           |  ON sa.doc_id = new_id
           |WHERE ROUND(len(list_intersect(sa.shs, sb.shs)) /
           |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
-          |  >= 0.2""".stripMargin)
+          |  >= 0.2""".stripMargin),
+    "q_index_drift" ->
+      s"""WITH ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT * FROM ea WHERE vec_id % 10 <> 7),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |${lloydChain(2)},
+         |sf AS (
+         |  SELECT ea.vec_id,
+         |    ${cosSql("ea.v", "c.cv")} AS ccos
+         |  FROM ea, c2 c),
+         |best AS (SELECT vec_id, MAX(ccos) AS bc FROM sf GROUP BY 1),
+         |bb AS (SELECT ROUND(AVG(bc), 6) AS mean_ccos_build FROM best
+         |  WHERE vec_id % 10 <> 7),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+         |    ROUND(AVG(bc), 6) AS mean_ccos_batch FROM best
+         |  WHERE vec_id % 10 = 7)
+         |SELECT n_batch, mean_ccos_batch, mean_ccos_build,
+         |  ROUND(mean_ccos_build - mean_ccos_batch, 6) AS drift
+         |FROM nb, bb""".stripMargin
   )
 }

@@ -83,6 +83,63 @@ object DocsStream {
   def assignVectors(vectors: DataFrame, cents: DataFrame): DataFrame =
     graft.similarity.VectorIndex.assignRowLocal(vectors, cents)
 
+  /** Streaming NEAR-DUP PROBE against the STORED LSH index
+    * ([[graft.dedup.LshIndex]]) — the text-side streaming front door
+    * next to [[assignVectors]]: each arriving document is MinHash-
+    * signed row-locally, its band keys joined against the persisted
+    * band artifact and the survivors Jaccard-verified against the
+    * persisted shingle sets — BOTH stream-static joins (stateless,
+    * streaming-legal; the stream side carries its own shingle set
+    * through the band explode, so no stream-stream join ever forms).
+    * Emits verified (new_id, match_id, jaccard ≥ threshold) matches
+    * of the stream against the indexed corpus.
+    *
+    * A pair colliding in multiple bands would emit once per band; the
+    * trailing `dropDuplicatesWithinWatermark` on (new_id, match_id)
+    * collapses them with watermark-BOUNDED state (the only state in
+    * the plan). Within-stream duplicates are out of scope by design —
+    * that is [[dedupNearWithinWatermark]]'s job, and cross-batch
+    * they surface here once a foreachBatch
+    * [[graft.dedup.LshIndex.absorbBatch]] sink (batchId = micro-batch
+    * id) absorbs each micro-batch into the static index.
+    *
+    * The static artifact frames re-read per micro-batch are the
+    * standard stream-static contract; a production job pins them
+    * hot with `.persist()` on the [[graft.sources.Snapshots.read]]
+    * frames and refreshes on index version bumps.
+    *
+    * @param docs streaming (doc_id, text, `tsCol`) frame */
+  def probeNearDups(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      root: String, tsCol: String, watermark: String = "1 hour"): DataFrame = {
+    import graft.dedup.{LshIndex, TextDedup}
+    val sa = array_distinct(transform(
+      graft.functions.TextAnalysis.shinglesOfText(col("text")),
+      s => xxhash64(s)))
+    val bb = TextDedup.bandKeys(
+      TextDedup.minhashSignatures(
+        docs.withWatermark(tsCol, watermark).withColumn("sa", sa),
+        "doc_id", "text", carry = Seq("sa", tsCol)),
+      "doc_id", carry = Seq("sa", tsCol))
+    val storedBands = graft.sources.Snapshots
+      .read(spark, LshIndex.bandsRoot(root))
+      .select(col("doc_id").as("match_id"), col("band"), col("bucket"))
+    val storedSh = graft.sources.Snapshots
+      .read(spark, LshIndex.shinglesRoot(root))
+      .select(col("doc_id").as("match_id"), col("shs").as("sb"))
+    bb.join(storedBands,
+        Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("match_id"))
+      .select(col("doc_id").as("new_id"), col(tsCol), col("sa"), col("match_id"))
+      .join(storedSh, Seq("match_id"))
+      .withColumn("__inter", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("new_id"), col("match_id"), col(tsCol),
+        round(col("__inter") /
+          (size(col("sa")) + size(col("sb")) - col("__inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= LshIndex.JaccardMin)
+      .dropDuplicatesWithinWatermark("new_id", "match_id")
+      .select(col("new_id"), col("match_id"), col("jaccard"))
+  }
+
   /** Streaming TRENDING TERMS: watermarked tumbling-window term
     * counts over a document stream — the "what is the crawl seeing
     * right now" monitoring view next to the batch vocab/entropy

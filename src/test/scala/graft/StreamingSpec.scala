@@ -697,4 +697,46 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("model_a"), col("model_b"), col("n_matches"), col("wins_a"))
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("streaming near-dup probe equals the batch stored-index probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.{LshIndex, TextDedup}
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-lshstream").toString
+    LshIndex.build(corpus, root)
+    val batchRows = corpus.filter(pmod(col("doc_id"), lit(10)) === 0).limit(50)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup probe")).as("text"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(batchRows.map { case (id, t) => (id, t, ts(1)) })
+    val q = graft.streaming.DocsStream
+      .probeNearDups(spark, mem.toDF().toDF("doc_id", "text", "ts"), root, "ts")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lshprobe").start()
+    q.processAllAvailable()
+    // the per-pair dedup is the ONLY state in the plan, and it is
+    // watermark-bounded
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.length <= 1,
+      "streaming probe created unexpected state operators")
+    q.stop()
+    val got = spark.table("lshprobe")
+    // reference: the batch candidate probe + verify, restricted to
+    // vs-corpus pairs (the stream sees no within-batch pairs)
+    val batch = batchRows.toDF("doc_id", "text")
+    val cand = LshIndex.probeCandidates(spark, root,
+        LshIndex.bandsOf(batch), batch.select(col("doc_id")))
+      .filter(col("match_id") < 1000000L)
+    val want = TextDedup.verifyJaccard(
+      cand.select(col("new_id").as("doc_a"), col("match_id").as("doc_b")),
+      corpus.unionByName(batch), "doc_id", "text")
+      .filter(col("jaccard") >= LshIndex.JaccardMin)
+      .select(col("doc_a").as("new_id"), col("doc_b").as("match_id"),
+        col("jaccard"))
+    assert(want.count() > 0, "planted stream batch produced no matches")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streaming probe diverged from the batch stored-index probe")
+  }
 }

@@ -184,4 +184,50 @@ object CurationJob {
     }
     Release(versions.toMap, recomputed.result(), runId)
   }
+
+  /** The DAILY INGEST job — the operational close of the incremental
+    * family: absorb one day's document batch into an existing curated
+    * corpus at O(batch), never re-reading or re-signing the corpus.
+    *
+    *  1. quality gate — row-local, rides the batch scan;
+    *  2. near-dup check + absorption via
+    *    [[graft.dedup.LshIndex.absorbBatch]] — the batch probes the
+    *    stored band index (partition-pruned) and is delta-appended so
+    *    TOMORROW's batch sees today's; an exact duplicate is a
+    *    verified match at Jaccard 1.0, so it is caught here (up to
+    *    LSH recall — a pipeline needing exactness composes the
+    *    stored [[BloomIndex]] as a row-local prefilter);
+    *  3. survivors (quality-passed, no verified match) delta-appended
+    *    to the curated corpus snapshot ([[Snapshots.commitAppend]]).
+    *
+    * Returns the per-doc disposition frame (doc_id, quality_pass,
+    * n_matches, kept) — the audit record an ingest pipeline logs.
+    * Idempotent per `batchId`: both appends replay as no-ops and the
+    * disposition is replay-stable. */
+  def absorbDaily(batch: DataFrame, curatedRoot: String, lshRoot: String,
+      batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val gated = batch
+      .withColumn("quality_pass", TextAnalysis.qualityPass(col("text")).cast("int"))
+    val candidates = gated.filter(col("quality_pass") === 1)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    // near-dup verdicts vs the stored index (and within the batch);
+    // absorbBatch also delta-appends the batch's signatures
+    val matches = graft.dedup.LshIndex
+      .absorbBatch(spark, lshRoot, candidates, batchId)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    val disposition = gated.select(col("doc_id"), col("quality_pass"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_pass"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("kept",
+        (col("quality_pass") === 1 && col("n_matches") === 0L).cast("int"))
+      .localCheckpoint()
+    val kept = disposition.filter(col("kept") === 1).select(col("doc_id"))
+    Snapshots.commitAppend(
+      batch.join(kept, Seq("doc_id")).select(col("doc_id"), col("text")),
+      curatedRoot, Seq.empty, Some(batchId))
+    disposition
+  }
 }

@@ -299,6 +299,23 @@ object VectorIndex {
     (cbv, cdv)
   }
 
+  /** Absorb a NEW embedding batch into the stored PQ codes without
+    * retraining the codebook — the [[assignBatch]] treatment applied
+    * to the quantized corpus: the batch's sub-vectors are encoded
+    * against the PERSISTED codebook (broadcast KB-scale; the only
+    * shuffle is the batch-sized per-(vec_id, m) min) and appended to
+    * the codes table as a DELTA commit, so the compressed corpus
+    * absorbs a daily batch at O(batch) and [[adcTopKStored]] sees the
+    * new members immediately. Idempotent per `batchId`. Completes the
+    * incremental family: IVF assignments, LSH text index, PQ codes.
+    * Returns the committed codes version. */
+  def encodeBatchPq(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Long = {
+    val cb = Snapshots.read(spark, pqCodebookRoot(root))
+    Snapshots.commitAppend(encodePq(subVectors(batch), cb),
+      pqCodesRoot(root), Seq.empty, Some(batchId))
+  }
+
   /** Idempotent [[buildPq]] (no-op when both artifacts exist). */
   def buildPqIfAbsent(vectors: DataFrame, root: String): Unit =
     if (Snapshots.latestVersion(pqCodebookRoot(root)).isEmpty ||

@@ -349,4 +349,59 @@ class CurationSpec extends AnyFunSuite {
     assert(sweep(8) == ((d74.getLong(0), d74.getLong(1))),
       s"sweep n=8 ${sweep(8)} != decontaminate aggregate $d74")
   }
+
+  test("absorbDaily: O(batch) daily ingest — dedup vs stored index, idempotent, chained days") {
+    import spark.implicits._
+    import graft.dedup.LshIndex
+    import graft.pipelines.CurationJob
+    import graft.sources.Snapshots
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val curatedRoot =
+      java.nio.file.Files.createTempDirectory("graft-curated").toString
+    val lshRoot = java.nio.file.Files.createTempDirectory("graft-ingestlsh").toString
+    Snapshots.commit(corpus, curatedRoot)
+    LshIndex.build(corpus, lshRoot)
+    val baseN = corpus.count()
+    // day-1 batch: near-dups of corpus docs + fresh docs + junk
+    // 12 unique 5-7 char words: passes the 10-token / mean-word-len /
+    // symbol-ratio / repetition gates
+    def freshDoc(i: Int): String =
+      (0 until 12).map(j => s"fr${i}w$j").mkString(" ")
+    val nearDups = corpus.filter(pmod(col("doc_id"), lit(10)) === 0).limit(10)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup probe")).as("text"))
+      .as[(Long, String)].collect().toSeq
+    val fresh = (0 until 5).map(i => (2000000L + i, freshDoc(i)))
+    val junk = Seq((3000000L, "x"))
+    val day1 = (nearDups ++ fresh ++ junk).toDF("doc_id", "text")
+    val d1 = CurationJob.absorbDaily(day1, curatedRoot, lshRoot, batchId = 0L)
+      .cache()
+    // dispositions: junk fails quality; near-dups match; fresh kept
+    assert(d1.filter(col("doc_id") === 3000000L && col("quality_pass") === 0 &&
+      col("kept") === 0).count() == 1, "junk doc was not quality-rejected")
+    assert(d1.filter(col("doc_id") >= 2000000L && col("doc_id") < 3000000L &&
+      col("kept") === 1).count() == 5, "fresh docs were not all kept")
+    val dupDrops = d1.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L &&
+      col("n_matches") > 0 && col("kept") === 0).count()
+    assert(dupDrops > 0, "no planted near-dup was matched and dropped")
+    // curated corpus grew by exactly the kept docs, as a delta
+    val kept1 = d1.filter(col("kept") === 1).count()
+    assert(Snapshots.read(spark, curatedRoot).count() == baseN + kept1)
+    val cv1 = Snapshots.versions(curatedRoot)
+    // idempotent replay: same batchId → no new versions, same verdicts
+    val d1b = CurationJob.absorbDaily(day1, curatedRoot, lshRoot, batchId = 0L)
+    assert(Snapshots.versions(curatedRoot) == cv1,
+      "replayed day committed a new curated version")
+    assert(d1.exceptAll(d1b).count() == 0 && d1b.exceptAll(d1).count() == 0,
+      "replayed day changed the disposition")
+    // day 2: a near-dup OF A DAY-1 FRESH DOC must be dropped — the
+    // stored index absorbed day 1, so day 2 sees it
+    val day2 = Seq((4000000L, freshDoc(1) + " again and again")).toDF("doc_id", "text")
+    val d2 = CurationJob.absorbDaily(day2, curatedRoot, lshRoot, batchId = 1L)
+    assert(d2.filter(col("doc_id") === 4000000L && col("n_matches") > 0 &&
+      col("kept") === 0).count() == 1,
+      "day-2 near-dup of a day-1 doc was not caught by the absorbed index")
+    d1.unpersist()
+  }
 }

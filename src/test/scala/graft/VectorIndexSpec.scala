@@ -135,6 +135,35 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got.count() == 3 * queries.count())
   }
 
+  test("encodeBatchPq: O(batch) delta codes, idempotent, ADC sees the union") {
+    val root = freshRoot()
+    val isBatch = pmod(col("vec_id"), lit(10)) === 7
+    val base = vecs.filter(!isBatch)
+    val batch = vecs.filter(isBatch)
+    VectorIndex.buildPq(base, root)
+    val croot = VectorIndex.pqCodesRoot(root)
+    val v1 = VectorIndex.encodeBatchPq(spark, root, batch, batchId = 0L)
+    // delta shape: the new version's dir holds only the batch's codes
+    assert(Snapshots.isDelta(croot, v1))
+    assert(spark.read.parquet(s"$croot/data/v=$v1").count() ==
+      batch.count() * 8)
+    // idempotent re-apply
+    assert(VectorIndex.encodeBatchPq(spark, root, batch, batchId = 0L) == v1)
+    // post-append codes equal encoding ALL vectors against the stored
+    // codebook — batch members are first-class ADC candidates now
+    val cb = Snapshots.read(spark, VectorIndex.pqCodebookRoot(root))
+    val want = VectorIndex.encodePq(VectorIndex.subVectors(vecs), cb)
+    val stored = Snapshots.read(spark, croot)
+    assert(stored.exceptAll(want).count() == 0 &&
+      want.exceptAll(stored).count() == 0,
+      "post-append codes diverged from encode-all-vs-stored-codebook")
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v"))
+    val got = VectorIndex.adcTopKStored(spark, root,
+      queries.select(col("q_id"), col("v")), k = 3)
+    assert(got.count() == 3 * queries.count())
+  }
+
   test("assignDrift: batch mean vs the stored build-time baseline") {
     val root = freshRoot()
     val base = vecs.filter(pmod(col("vec_id"), lit(10)) =!= 7)

@@ -94,7 +94,11 @@ object ScaleProbe {
       // PageRank loop (rounds may GROW with the graph — the probe
       // shows whether the stop round drifts), and incremental index
       // absorb+search (build ∝ corpus once, batch assign ∝ batch)
-      "q_pq_recall_trained", "q_pagerank_converged", "q_ann_ivf_incremental")
+      "q_pq_recall_trained", "q_pagerank_converged", "q_ann_ivf_incremental",
+      // the stored-index absorbs: index build cost ∝ corpus lands in
+      // pass 1 (buildIfAbsent); the min-of-2 curve isolates the
+      // ABSORB+search path, which must track batch/bucket size
+      "q_dedup_lsh_incremental", "q_index_drift")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

@@ -225,13 +225,39 @@ object Indexing {
     VectorIndex.assignDrift(s, root, vecs(raw.filter(isBatch)))
   }
 
+  /** #208 INCREMENTAL PQ ABSORB + ADC SEARCH (`q_ann_pq_incremental`)
+    * — the quantized leg of the #203/#206 daily-ingest family: the
+    * BASE corpus (vec_id % 10 ≠ 7) trains and stores the PQ codebook
+    * + codes; the planted batch is encoded against the PERSISTED
+    * codebook ([[VectorIndex.encodeBatchPq]] — broadcast KB-scale
+    * codebook, batch-sized shuffle only) and delta-appended; the ADC
+    * search then answers over the post-append codes, proving batch
+    * members rank as first-class candidates. The oracle replays
+    * train-on-base + encode-ALL-against-base-codebook (≡ build ∪
+    * absorb, since both encode against the same stored codebook) +
+    * ADC. Idempotent per batchId. */
+  def annPqIncremental(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    val isBatch = pmod(col("vec_id"), lit(10)) === 7
+    def vecs(df: DataFrame) = df.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val baseRaw = raw.filter(!isBatch)
+    val root = VectorIndex.defaultRoot(baseRaw, seedK = 8, iters = 2)
+    VectorIndex.buildPqIfAbsent(vecs(baseRaw), root)
+    VectorIndex.encodeBatchPq(s, root, vecs(raw.filter(isBatch)), batchId = 0L)
+    val queries = vecs(baseRaw).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v"))
+    VectorIndex.adcTopKStored(s, root, queries, k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
     "q_ann_ivf_incremental" -> annIvfIncremental _,
     "q_pq_recall_trained"   -> pqRecallTrained _,
     "q_dedup_lsh_incremental" -> dedupLshIncremental _,
-    "q_index_drift"           -> indexDrift _
+    "q_index_drift"           -> indexDrift _,
+    "q_ann_pq_incremental"    -> annPqIncremental _
   )
 
   private val cosSql =
@@ -461,6 +487,42 @@ object Indexing {
          |  WHERE vec_id % 10 = 7)
          |SELECT n_batch, mean_ccos_batch, mean_ccos_build,
          |  ROUND(mean_ccos_build - mean_ccos_batch, 6) AS drift
-         |FROM nb, bb""".stripMargin
+         |FROM nb, bb""".stripMargin,
+    "q_ann_pq_incremental" ->
+      """WITH ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, m, v[(m*8 + 1):(m*8 + 8)] AS sv
+        |  FROM ea, (SELECT unnest(range(0, 8)) AS m)),
+        |bsub AS (SELECT * FROM sub WHERE vec_id % 10 <> 7),
+        |seeds AS (SELECT m, CAST(vec_id AS INT) AS c, sv AS cv
+        |  FROM bsub WHERE vec_id < 16),
+        |a0 AS (SELECT vec_id, m, c, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id, m
+        |    ORDER BY list_sum(list_transform(range(1, 9),
+        |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), c) AS rn
+        |  FROM bsub JOIN seeds USING (m)),
+        |asg AS (SELECT vec_id, m, c FROM a0 WHERE rn = 1),
+        |cbl AS (SELECT m, c, j, AVG(sv[j]) AS mv
+        |  FROM bsub JOIN asg USING (vec_id, m),
+        |    (SELECT unnest(range(1, 9)) AS j)
+        |  GROUP BY 1, 2, 3),
+        |cb AS (SELECT m, c, list(mv ORDER BY j) AS cv FROM cbl GROUP BY 1, 2),
+        |enc0 AS (SELECT vec_id, m, c, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id, m
+        |    ORDER BY list_sum(list_transform(range(1, 9),
+        |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))), c) AS rn
+        |  FROM sub JOIN cb USING (m)),
+        |codes AS (SELECT vec_id, m, c FROM enc0 WHERE rn = 1),
+        |dtab AS (SELECT s.vec_id AS q_id, s.m, cb.c,
+        |    list_sum(list_transform(range(1, 9),
+        |      j -> (s.sv[j] - cb.cv[j]) * (s.sv[j] - cb.cv[j]))) AS d
+        |  FROM sub s JOIN cb USING (m) WHERE s.vec_id < 5),
+        |ad AS (SELECT dtab.q_id, codes.vec_id, ROUND(SUM(dtab.d), 6) AS adist
+        |  FROM codes JOIN dtab ON codes.m = dtab.m AND codes.c = dtab.c
+        |  WHERE codes.vec_id <> dtab.q_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT q_id, vec_id, adist, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY adist, vec_id) AS rank FROM ad)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS n_id, adist
+        |FROM r WHERE rank <= 3""".stripMargin
   )
 }

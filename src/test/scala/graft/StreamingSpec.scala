@@ -698,6 +698,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("stream -> stored-index loop: foreachBatch assignBatch lands micro-batches exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.{Embeddings, VectorIndex}
+    import graft.sources.Snapshots
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val isBatch = pmod(col("vec_id"), lit(10)) === 7
+    val base = vecs.filter(!isBatch)
+    val root = java.nio.file.Files.createTempDirectory("graft-vloop").toString
+    VectorIndex.build(base, root, seedK = 8, iters = 2)
+    val rows = vecs.filter(isBatch).as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    // the composition SURVEY claims: stateless assignment in the
+    // stream, idempotent delta commit per micro-batch id in the sink
+    val q = graft.streaming.DocsStream
+      .assignVectors(mem.toDF().toDF("vec_id", "v"),
+        Snapshots.read(spark, VectorIndex.centroidsRoot(root)))
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        VectorIndex.assignBatch(spark, root,
+          df.select(col("vec_id"), col("v")), id); ()
+      }.start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    val aroot = VectorIndex.assignmentsRoot(root)
+    // every micro-batch landed; the union equals assign-all
+    val cents = Snapshots.read(spark, VectorIndex.centroidsRoot(root))
+    val want = VectorIndex.assignRowLocal(vecs, cents).drop("ccos")
+    val got = Snapshots.read(spark, aroot)
+      .select(col("vec_id"), col("v"), col("bucket").cast("int").as("bucket"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streamed index != assign-all-vs-stored-centroids")
+    // retry semantics: the runtime re-delivers a micro-batch id on
+    // recovery — the sink must no-op, not double-append
+    val vBefore = Snapshots.versions(aroot)
+    VectorIndex.assignBatch(spark, root, b2.toDF("vec_id", "v"), batchId = 1L)
+    assert(Snapshots.versions(aroot) == vBefore,
+      "replayed micro-batch id re-appended")
+  }
+
   test("streaming near-dup probe equals the batch stored-index probe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -250,6 +250,57 @@ object Indexing {
     VectorIndex.adcTopKStored(s, root, queries, k = 3)
   }
 
+  /** #209 MARGIN-BASED BITEXT MINING (`q_bitext_mine`) — the
+    * parallel-corpus mining step of a multilingual training pipeline
+    * (the ratio-margin criterion of Artetxe & Schwenk 2019, the
+    * public method behind CCMatrix-style mining): for a bounded probe
+    * slice of English documents, each candidate German pair is scored
+    * by cos(x, y) normalized by the mean of both endpoints' k-NN
+    * similarity neighborhoods — the correction that suppresses
+    * hubness false positives a raw-cosine cut keeps. Top-20 pairs by
+    * (margin, ids).
+    *
+    * Scale shape: both directions are bounded-probe brute-force scans
+    * (probes × corpus row-local cosine, bounded map-side TopKAgg — k
+    * rows per probe cross the shuffle); the reverse direction scores
+    * only the ≤ probes×k DISTINCT forward candidates. The margin
+    * arithmetic runs on the tiny candidate frame. At production scale
+    * the two scans swap in the stored IVF index
+    * ([[VectorIndex.ivfTopKStored]]) unchanged — the margin layer is
+    * representation-agnostic. */
+  def bitextMine(s: SparkSession, dir: String): DataFrame = {
+    val langOf = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+      .join(langOf, "vec_id")
+      .localCheckpoint()
+    val en = vecs.filter(col("lang") === "en")
+    val de = vecs.filter(col("lang") === "de")
+    val k = 4
+    val q = en.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val fwd = Embeddings.bruteForceTopK(q,
+        de.select(col("vec_id").as("n_id"), col("v").as("nv")), k)
+      .localCheckpoint()
+    val xm = fwd.groupBy(col("q_id")).agg(round(avg(col("cos")), 6).as("xm"))
+    // reverse neighborhoods of the bounded candidate set, over the
+    // FULL English side (the margin must see y's true neighborhood)
+    val ys = fwd.select(col("n_id")).distinct()
+      .join(de, col("n_id") === col("vec_id"))
+      .select(col("n_id").as("q_id"), col("v").as("qv"))
+    val ym = Embeddings.bruteForceTopK(ys,
+        en.select(col("vec_id").as("n_id"), col("v").as("nv")), k)
+      .groupBy(col("q_id").as("n_id"))
+      .agg(round(avg(col("cos")), 6).as("ym"))
+    fwd.join(xm, "q_id").join(ym, "n_id")
+      .select(col("q_id").as("en_id"), col("n_id").as("de_id"), col("cos"),
+        round(col("cos") / ((col("xm") + col("ym")) / 2.0), 6)
+          .as("margin_score"))
+      .orderBy(col("margin_score").desc, col("en_id"), col("de_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
@@ -257,7 +308,8 @@ object Indexing {
     "q_pq_recall_trained"   -> pqRecallTrained _,
     "q_dedup_lsh_incremental" -> dedupLshIncremental _,
     "q_index_drift"           -> indexDrift _,
-    "q_ann_pq_incremental"    -> annPqIncremental _
+    "q_ann_pq_incremental"    -> annPqIncremental _,
+    "q_bitext_mine"           -> bitextMine _
   )
 
   private val cosSql =
@@ -523,6 +575,31 @@ object Indexing {
         |r AS (SELECT q_id, vec_id, adist, ROW_NUMBER() OVER (
         |    PARTITION BY q_id ORDER BY adist, vec_id) AS rank FROM ad)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS n_id, adist
-        |FROM r WHERE rank <= 3""".stripMargin
+        |FROM r WHERE rank <= 3""".stripMargin,
+    "q_bitext_mine" ->
+      s"""WITH lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+         |e AS (SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS v, lg.lang
+         |  FROM embeddings e0 JOIN lg USING (vec_id)),
+         |en AS (SELECT vec_id, v FROM e WHERE lang = 'en'),
+         |de AS (SELECT vec_id, v FROM e WHERE lang = 'de'),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM en WHERE vec_id < 50),
+         |fs AS (SELECT q.q_id, de.vec_id AS n_id,
+         |    ${cosSql("q.qv", "de.v")} AS cos
+         |  FROM q, de),
+         |fwd AS (SELECT q_id, n_id, cos FROM fs
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 4),
+         |xm AS (SELECT q_id, ROUND(AVG(cos), 6) AS xm FROM fwd GROUP BY 1),
+         |ys AS (SELECT DISTINCT n_id FROM fwd),
+         |rs AS (SELECT ys.n_id, en.vec_id AS b_id,
+         |    ${cosSql("de.v", "en.v")} AS cos
+         |  FROM ys JOIN de ON de.vec_id = ys.n_id, en),
+         |rev AS (SELECT n_id, b_id, cos FROM rs
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY cos DESC, b_id) <= 4),
+         |ym AS (SELECT n_id, ROUND(AVG(cos), 6) AS ym FROM rev GROUP BY 1)
+         |SELECT fwd.q_id AS en_id, fwd.n_id AS de_id, fwd.cos,
+         |  ROUND(fwd.cos / ((xm.xm + ym.ym) / 2.0), 6) AS margin_score
+         |FROM fwd JOIN xm USING (q_id) JOIN ym USING (n_id)
+         |ORDER BY margin_score DESC, en_id, de_id
+         |LIMIT 20""".stripMargin
   )
 }

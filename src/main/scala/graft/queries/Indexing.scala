@@ -301,6 +301,33 @@ object Indexing {
       .limit(20)
   }
 
+  /** #210 DELTA-CHAIN COMPACTION (`q_ann_ivf_compacted`) — the
+    * maintenance half of the append contract, gated end-to-end: after
+    * #203's build + batch absorb leaves the assignments table as a
+    * full-snapshot + delta chain, [[graft.sources.Snapshots.compact]]
+    * rewrites the chain as ONE full version (readers touch one dir
+    * again; older versions stay time-travelable until vacuumed), and
+    * the search over the COMPACTED index must return exactly what the
+    * chained index returned — the oracle is #203's, unchanged,
+    * because compaction must be invisible to every reader. Compact is
+    * idempotent (latest already full → no-op), so driver re-runs are
+    * stable. */
+  def annIvfCompacted(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    val isBatch = pmod(col("vec_id"), lit(10)) === 7
+    def vecs(df: DataFrame) = df.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val baseRaw = raw.filter(!isBatch)
+    val root = VectorIndex.defaultRoot(baseRaw, seedK = 8, iters = 2)
+    VectorIndex.buildIfAbsent(vecs(baseRaw), root, seedK = 8, iters = 2)
+    VectorIndex.assignBatch(s, root, vecs(raw.filter(isBatch)), batchId = 0L)
+    graft.sources.Snapshots.compact(s,
+      VectorIndex.assignmentsRoot(root), Seq("bucket"))
+    val queries = vecs(baseRaw).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    VectorIndex.ivfTopKStored(s, root, queries, k = 3, nprobe = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
@@ -309,7 +336,8 @@ object Indexing {
     "q_dedup_lsh_incremental" -> dedupLshIncremental _,
     "q_index_drift"           -> indexDrift _,
     "q_ann_pq_incremental"    -> annPqIncremental _,
-    "q_bitext_mine"           -> bitextMine _
+    "q_bitext_mine"           -> bitextMine _,
+    "q_ann_ivf_compacted"     -> annIvfCompacted _
   )
 
   private val cosSql =
@@ -340,6 +368,31 @@ object Indexing {
        |p$r AS (SELECT m, c, list(mv ORDER BY j) AS cv FROM pl$r GROUP BY 1, 2)""".stripMargin
   }.mkString(",\n")
 
+  private lazy val annIvfIncrementalSql: String =
+      s"""WITH ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT * FROM ea WHERE vec_id % 10 <> 7),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |${lloydChain(2)},
+         |sf AS (
+         |  SELECT ea.vec_id, ea.v, c.cid,
+         |    ${cosSql("ea.v", "c.cv")} AS ccos
+         |  FROM ea, c2 c),
+         |asg AS (SELECT vec_id, v, cid AS bucket FROM sf
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS bucket FROM sf WHERE vec_id < 5
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) <= 2),
+         |pairs AS (
+         |  SELECT p.q_id, c.vec_id AS n_id,
+         |    ${cosSql("qe.v", "c.v")} AS cos
+         |  FROM probes p
+         |  JOIN ea qe ON qe.vec_id = p.q_id
+         |  JOIN asg c ON c.bucket = p.bucket AND c.vec_id <> p.q_id)
+         |SELECT q_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank,
+         |  n_id, cos
+         |FROM pairs
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ann_ivf_stored" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -364,30 +417,10 @@ object Indexing {
          |  n_id, cos
          |FROM pairs
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin,
-    "q_ann_ivf_incremental" ->
-      s"""WITH ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |e AS (SELECT * FROM ea WHERE vec_id % 10 <> 7),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |${lloydChain(2)},
-         |sf AS (
-         |  SELECT ea.vec_id, ea.v, c.cid,
-         |    ${cosSql("ea.v", "c.cv")} AS ccos
-         |  FROM ea, c2 c),
-         |asg AS (SELECT vec_id, v, cid AS bucket FROM sf
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
-         |probes AS (SELECT vec_id AS q_id, cid AS bucket FROM sf WHERE vec_id < 5
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) <= 2),
-         |pairs AS (
-         |  SELECT p.q_id, c.vec_id AS n_id,
-         |    ${cosSql("qe.v", "c.v")} AS cos
-         |  FROM probes p
-         |  JOIN ea qe ON qe.vec_id = p.q_id
-         |  JOIN asg c ON c.bucket = p.bucket AND c.vec_id <> p.q_id)
-         |SELECT q_id,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank,
-         |  n_id, cos
-         |FROM pairs
-         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin,
+    "q_ann_ivf_incremental" -> annIvfIncrementalSql,
+    // compaction must be invisible to readers: the compacted index
+    // answers the SAME oracle as the chained one (#210 == #203's SQL)
+    "q_ann_ivf_compacted" -> annIvfIncrementalSql,
     "q_pq_recall_trained" -> {
       def variant(rounds: Int): String =
         s"""codes$rounds AS (SELECT vec_id, m, c FROM (

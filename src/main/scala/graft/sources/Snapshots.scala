@@ -142,7 +142,15 @@ object Snapshots {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     if (!isDelta(root, latest)) latest
-    else commitInternal(read(spark, root), root, None, partitionCols)
+    else {
+      // carry the chain's max batchId into the compacted manifest:
+      // commitAppend's replay check reads the LATEST version's
+      // batchId, so a compact that dropped it would let a re-delivered
+      // old batch append AGAIN on top of data that already contains it
+      val maxBatch = chainVersions(root, latest).flatMap(batchIdOf(root, _))
+        .reduceOption(_ max _)
+      commitInternal(read(spark, root), root, maxBatch, partitionCols)
+    }
   }
 
   /** Idempotent commit keyed by an arbitrary UNORDERED run key (a

@@ -163,4 +163,21 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.vacuum(root, 0).toSet == Set(0L, 1L, 2L))
     assert(Snapshots.read(spark, root).count() == 7)
   }
+
+  test("compact carries the chain's max batchId: replayed appends still no-op") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit((1L to 5L).toDF("id"), root)                        // v0 full
+    Snapshots.commitAppend(Seq(6L).toDF("id"), root, Seq.empty, Some(0L)) // id 0
+    Snapshots.commitAppend(Seq(7L).toDF("id"), root, Seq.empty, Some(1L)) // id 1
+    val v3 = Snapshots.compact(spark, root)
+    // the compacted manifest must remember id 1 — otherwise a
+    // re-delivered batch would append on top of data that already
+    // contains it and the table would double-count
+    assert(Snapshots.batchIdOf(root, v3).contains(1L),
+      "compact dropped the chain's max batchId")
+    assert(Snapshots.commitAppend(Seq(7L).toDF("id"), root,
+      Seq.empty, Some(1L)) == v3, "replayed batch re-appended after compact")
+    assert(Snapshots.read(spark, root).count() == 7)
+  }
 }

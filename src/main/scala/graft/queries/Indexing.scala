@@ -328,6 +328,29 @@ object Indexing {
     VectorIndex.ivfTopKStored(s, root, queries, k = 3, nprobe = 2)
   }
 
+  /** #211 TWO-DAY CHAINED INGEST over the stored LSH index
+    * (`q_dedup_lsh_chained`) — gates what the LshIndexSpec chain test
+    * proves, against the ORACLE: day-1's batch is absorbed (delta 1),
+    * then day-2's batch — variants of day-1's docs under a different
+    * suffix — probes the index and must find its matches THROUGH
+    * day-1's delta-appended rows (a chain read across full + delta
+    * dirs), plus the originals in the base snapshot. Own index root
+    * (fingerprint + "-chain") so #206's single-batch result stays
+    * order-independent. Idempotent per batchId as ever. */
+  def dedupLshChained(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def planted(shift: Long, suffix: String) = corpus
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + shift).as("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"))
+    val root = LshIndex.defaultRoot(corpus) + "-chain"
+    LshIndex.buildIfAbsent(corpus, root)
+    LshIndex.absorbBatch(s, root, planted(1000000L, " near dup probe"),
+      batchId = 0L)
+    LshIndex.absorbBatch(s, root, planted(2000000L, " near dup probe again"),
+      batchId = 1L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
@@ -337,7 +360,8 @@ object Indexing {
     "q_index_drift"           -> indexDrift _,
     "q_ann_pq_incremental"    -> annPqIncremental _,
     "q_bitext_mine"           -> bitextMine _,
-    "q_ann_ivf_compacted"     -> annIvfCompacted _
+    "q_ann_ivf_compacted"     -> annIvfCompacted _,
+    "q_dedup_lsh_chained"     -> dedupLshChained _
   )
 
   private val cosSql =
@@ -392,6 +416,66 @@ object Indexing {
          |  n_id, cos
          |FROM pairs
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin
+
+  /** DuckDB replay of the stored-LSH incremental dedup (#206/#211):
+    * sign corpus + batch, band-join candidates (batch vs index, plus
+    * within-batch), verify exact string-shingle Jaccard >= 0.2. The
+    * corpus/batch CTE bodies are parameters so the chained variant
+    * replays a two-day ingest with the SAME machinery. */
+  private def lshIncrementalOracle(corpusSql: String, batchSql: String): String =
+    s"WITH corpus AS ($corpusSql),\nbatch AS ($batchSql),\n" +
+      ("""tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         |scp AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM tc),
+         |tn AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+         |snw AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM tn),
+         |sigc AS (SELECT doc_id, """.stripMargin +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        " FROM scp),\nsign AS (SELECT doc_id, " +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        """ FROM snw),
+          |bandc AS (
+          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sigc
+          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sigc
+          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sigc
+          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sigc),
+          |bandn AS (
+          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sign
+          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sign
+          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sign
+          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sign),
+          |cand AS (SELECT DISTINCT new_id, match_id FROM (
+          |  SELECT n.doc_id AS new_id, i.doc_id AS match_id
+          |  FROM bandn n JOIN bandc i
+          |    ON n.band = i.band AND n.bucket = i.bucket
+          |  UNION ALL
+          |  SELECT a.doc_id, b.doc_id
+          |  FROM bandn a JOIN bandn b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)),
+          |shdc AS (SELECT doc_id, list_distinct(sh) AS shs FROM scp
+          |  UNION ALL SELECT doc_id, list_distinct(sh) FROM snw)
+          |SELECT new_id, match_id,
+          |  ROUND(len(list_intersect(sa.shs, sb.shs)) /
+          |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
+          |    AS jaccard
+          |FROM cand
+          |JOIN shdc sb ON sb.doc_id = match_id
+          |JOIN (SELECT doc_id, list_distinct(sh) AS shs FROM snw) sa
+          |  ON sa.doc_id = new_id
+          |WHERE ROUND(len(list_intersect(sa.shs, sb.shs)) /
+          |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
+          |  >= 0.2""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q_ann_ivf_stored" ->
@@ -498,63 +582,18 @@ object Indexing {
          |    / COUNT(*), 6) AS recall
          |FROM bf LEFT JOIN ivf i ON bf.q_id = i.q_id AND bf.n_id = i.n_id
          |GROUP BY 1""".stripMargin,
-    "q_dedup_lsh_incremental" ->
-      ("""WITH corpus AS (SELECT doc_id, text FROM documents),
-         |batch AS (
-         |  SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text
-         |  FROM documents WHERE doc_id % 10 = 0),
-         |tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-         |scp AS (SELECT doc_id,
-         |  CASE WHEN len(toks) >= 3
-         |    THEN list_transform(range(1, len(toks) - 1),
-         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |    ELSE CAST([] AS VARCHAR[]) END AS sh
-         |  FROM tc),
-         |tn AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
-         |snw AS (SELECT doc_id,
-         |  CASE WHEN len(toks) >= 3
-         |    THEN list_transform(range(1, len(toks) - 1),
-         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |    ELSE CAST([] AS VARCHAR[]) END AS sh
-         |  FROM tn),
-         |sigc AS (SELECT doc_id, """.stripMargin +
-        (0 until 8).map(h =>
-          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
-        " FROM scp),\nsign AS (SELECT doc_id, " +
-        (0 until 8).map(h =>
-          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
-        """ FROM snw),
-          |bandc AS (
-          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sigc
-          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sigc
-          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sigc
-          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sigc),
-          |bandn AS (
-          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sign
-          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sign
-          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sign
-          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sign),
-          |cand AS (SELECT DISTINCT new_id, match_id FROM (
-          |  SELECT n.doc_id AS new_id, i.doc_id AS match_id
-          |  FROM bandn n JOIN bandc i
-          |    ON n.band = i.band AND n.bucket = i.bucket
-          |  UNION ALL
-          |  SELECT a.doc_id, b.doc_id
-          |  FROM bandn a JOIN bandn b
-          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)),
-          |shdc AS (SELECT doc_id, list_distinct(sh) AS shs FROM scp
-          |  UNION ALL SELECT doc_id, list_distinct(sh) FROM snw)
-          |SELECT new_id, match_id,
-          |  ROUND(len(list_intersect(sa.shs, sb.shs)) /
-          |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
-          |    AS jaccard
-          |FROM cand
-          |JOIN shdc sb ON sb.doc_id = match_id
-          |JOIN (SELECT doc_id, list_distinct(sh) AS shs FROM snw) sa
-          |  ON sa.doc_id = new_id
-          |WHERE ROUND(len(list_intersect(sa.shs, sb.shs)) /
-          |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
-          |  >= 0.2""".stripMargin),
+    "q_dedup_lsh_incremental" -> lshIncrementalOracle(
+      "SELECT doc_id, text FROM documents",
+      """SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+    "q_dedup_lsh_chained" -> lshIncrementalOracle(
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near dup probe'
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      """SELECT doc_id + 2000000 AS doc_id,
+        |    text || ' near dup probe again' AS text
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     "q_index_drift" ->
       s"""WITH ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |e AS (SELECT * FROM ea WHERE vec_id % 10 <> 7),

@@ -123,11 +123,14 @@ object LshIndex {
       // copies must not re-pair with it on a re-run
       .join(broadcast(batchIds.withColumnRenamed("doc_id", "match_id")),
         Seq("match_id"), "left_anti")
+    // within-batch: the SMALLER id is the kept match_id — the
+    // dedupKeepOne lowest-id-wins convention, so absorbDaily drops the
+    // larger-id duplicate and keeps the original-most doc
     val within = bb.as("a")
       .join(bb.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("match_id"))
+      .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("match_id"))
     vsCorpus.unionByName(within).distinct()
   }
 
@@ -136,7 +139,8 @@ object LshIndex {
     * the batch's band keys + shingle sets delta-appended so the NEXT
     * batch sees this one. Returns (new_id, match_id, jaccard) with
     * jaccard ≥ [[JaccardMin]]; `match_id` is a corpus doc or a
-    * smaller-id batch doc.
+    * smaller-id batch doc (within-batch pairs keep the LOWEST id as
+    * the match — the dedupKeepOne convention).
     *
     * Cost shape: batch signing is row-local; the candidate probe
     * scans only the `bmod=` partitions the batch's buckets hash into

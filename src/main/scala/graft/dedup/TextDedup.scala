@@ -117,11 +117,14 @@ object TextDedup {
         col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket") &&
           col(s"n.$idCol") =!= col(s"i.$idCol")) // a batch doc already indexed must not self-match
       .select(col(s"n.$idCol").as("new_id"), col(s"i.$idCol").as("match_id"))
+    // within-batch pairs keep the SMALLER id as match_id (the
+    // dedupKeepOne lowest-id-wins convention; the larger id is the
+    // "new" duplicate a downstream keep-filter drops)
     val within = nw.as("a")
       .join(nw.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("new_id"), col(s"b.$idCol").as("match_id"))
+      .select(col(s"b.$idCol").as("new_id"), col(s"a.$idCol").as("match_id"))
     vsCorpus.unionByName(within).distinct()
   }
 

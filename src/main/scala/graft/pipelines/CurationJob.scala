@@ -69,7 +69,8 @@ object CurationJob {
     * names this invocation actually computed (empty on a clean
     * retry), and the content-fingerprint run key. */
   final case class Release(
-      versions: Map[String, Long], recomputed: Seq[String], runId: Long)
+      versions: Map[String, Long], recomputed: Seq[String], runId: Long,
+      bloomPath: String)
 
   /** The FULL data-release pipeline as an idempotent multi-stage job —
     * the r5 verdict's Next #3: the curation chain extended with
@@ -171,8 +172,13 @@ object CurationJob {
         artifact("tokens").select(col("doc_id"), col("n_tok")))
     }
     // the bloom membership index for the NEXT incremental batch —
-    // file-format artifact (BloomIndex), guarded by existence
-    val bloomPath = s"$outRoot/corpus.bloom"
+    // file-format artifact (BloomIndex), keyed by the SAME
+    // content-fingerprint runId as every Snapshots stage: a bare
+    // existence guard at a fixed path would silently reuse a stale
+    // bloom built from a PREVIOUS corpus when the input changes, so
+    // the membership prefilter would no longer match the curated
+    // artifact it claims to index
+    val bloomPath = s"$outRoot/corpus.$runId.bloom"
     if (!new java.io.File(bloomPath).exists()) {
       val curated = artifact("curated")
       val n = curated.count()
@@ -182,7 +188,7 @@ object CurationJob {
         bloomPath)
       recomputed += "corpus.bloom"
     }
-    Release(versions.toMap, recomputed.result(), runId)
+    Release(versions.toMap, recomputed.result(), runId, bloomPath)
   }
 
   /** The DAILY INGEST job — the operational close of the incremental

@@ -1068,7 +1068,7 @@ object LlmData {
           |  FROM bandn n JOIN bandc i
           |    ON n.band = i.band AND n.bucket = i.bucket
           |  UNION ALL
-          |  SELECT a.doc_id, b.doc_id
+          |  SELECT b.doc_id, a.doc_id
           |  FROM bandn a JOIN bandn b
           |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin)
   )

@@ -84,7 +84,7 @@ object Snapshots {
     * point). Returns the committed (or already-current) version. */
   def commitBatch(df: DataFrame, root: String, batchId: Long): Long = {
     val latest = latestVersion(root)
-    if (latest.exists(v => batchIdOf(root, v).exists(_ >= batchId))) latest.get
+    if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= batchId))) latest.get
     else commitInternal(df, root, Some(batchId))
   }
 
@@ -105,7 +105,12 @@ object Snapshots {
     batchId match {
       case Some(b) =>
         val latest = latestVersion(root)
-        if (latest.exists(v => batchIdOf(root, v).exists(_ >= b))) latest.get
+        // the replay guard reads the HISTORY-WIDE max monotone batch id
+        // (carried forward through every manifest), not just the latest
+        // version's own batchId: an interleaved unkeyed commit would
+        // otherwise blank the guard and let a re-delivered batch
+        // double-append its rows
+        if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= b))) latest.get
         else commitInternal(delta, root, batchId, partitionCols, delta = true)
       case None => commitInternal(delta, root, None, partitionCols, delta = true)
     }
@@ -163,7 +168,12 @@ object Snapshots {
       partitionCols: Seq[String] = Seq.empty): (Long, Boolean) =
     versions(root).find(v => batchIdOf(root, v).contains(key)) match {
       case Some(v) => (v, false)
-      case None => (commitInternal(df, root, Some(key), partitionCols), true)
+      // monotone = false: a content-fingerprint key is an UNORDERED
+      // identity, not a monotone batch id — folding it into the carried
+      // maxBatchId would let one (arbitrarily large) fingerprint block
+      // every later commitBatch/commitAppend on a shared root
+      case None => (commitInternal(df, root, Some(key), partitionCols,
+        monotone = false), true)
     }
 
   /** The batch id recorded in a version's manifest, if any. */
@@ -175,8 +185,26 @@ object Snapshots {
       .map(_.group(1).toLong)
   }
 
+  /** The HISTORY-WIDE max monotone batch id as of version `v` — the
+    * replay-guard watermark [[commitBatch]]/[[commitAppend]] check.
+    * Every commit carries the running max forward in its manifest
+    * (`maxBatchId`), so the guard survives interleaved unkeyed
+    * commits whose own `batchId` field is absent. Manifests written
+    * before the field existed fall back to the max over `v`'s delta
+    * chain (the pre-field semantics, as `compact` carried it). */
+  def maxBatchIdOf(root: String, v: Long): Option[Long] = {
+    val m = manifest(root, v)
+    if (!Files.exists(m)) None
+    else "\"maxBatchId\":(-?\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+      .map(_.group(1).toLong)
+      .orElse(chainVersions(root, v).flatMap(batchIdOf(root, _))
+        .reduceOption(_ max _))
+  }
+
   private def commitInternal(df: DataFrame, root: String, batchId: Option[Long],
-      partitionCols: Seq[String] = Seq.empty, delta: Boolean = false): Long = {
+      partitionCols: Seq[String] = Seq.empty, delta: Boolean = false,
+      monotone: Boolean = true): Long = {
     val next = latestVersion(root).getOrElse(-1L) + 1
     // 1. data (distributed; overwrite clears any orphan from a crash)
     val w = df.write.mode(SaveMode.Overwrite)
@@ -189,8 +217,14 @@ object Snapshots {
     Files.createDirectories(manifest(root, next).getParent)
     val batchField = batchId.map(b => s""","batchId":$b""").getOrElse("")
     val deltaField = if (delta) ""","delta":true""" else ""
+    // running max of monotone batch ids, carried through EVERY commit
+    // (keyed fingerprints excluded — see commitKeyed)
+    val prevMax = latestVersion(root).flatMap(maxBatchIdOf(root, _))
+    val newMax = (prevMax.toSeq ++ (if (monotone) batchId.toSeq else Seq.empty))
+      .reduceOption(_ max _)
+    val maxField = newMax.map(b => s""","maxBatchId":$b""").getOrElse("")
     Files.write(manifest(root, next),
-      s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField$deltaField}"""
+      s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField$deltaField$maxField}"""
         .getBytes(StandardCharsets.UTF_8))
     // 3. commit point: atomic pointer swap
     val tmp = Paths.get(s"$root/_latest.tmp")
@@ -236,11 +270,17 @@ object Snapshots {
     * reverse. */
   def vacuum(root: String, keep: Int): Seq[Long] = {
     val latest = latestVersion(root).getOrElse(return Seq.empty)
-    // never drop an ancestor the latest version's delta chain still
-    // resolves through — a vacuumed base would corrupt every reader
-    val protectedChain = chainVersions(root, latest).toSet
+    // never drop an ancestor that ANY retained version's delta chain
+    // still resolves through: a retained delta whose full-snapshot
+    // base fell outside retention would otherwise become unreadable,
+    // breaking the "every version stays a time-travel point until
+    // vacuumed" contract (protecting only the LATEST chain missed
+    // exactly that case)
+    val cutoff = latest - keep.max(0)
+    val retained = versions(root).filter(v => v >= cutoff || v == latest)
+    val protectedChain = retained.flatMap(chainVersions(root, _)).toSet
     val drop = versions(root).filter(v =>
-      v < latest - keep.max(0) && v != latest && !protectedChain(v))
+      v < cutoff && v != latest && !protectedChain(v))
     drop.foreach { v =>
       Files.deleteIfExists(manifest(root, v))
       val d = Paths.get(dataDir(root, v))

@@ -132,17 +132,27 @@ object EventsStream {
     * from their watermark argument hold state for the window the
     * CALLER chose, not a hardcoded one. */
   private[graft] def delayMs(s: String): Long = {
-    val m = "(\\d+)\\s*(millisecond|second|minute|hour|day|week)s?".r
-      .findFirstMatchIn(s.trim.toLowerCase)
-      .getOrElse(throw new IllegalArgumentException(s"unparseable delay: '$s'"))
-    m.group(1).toLong * (m.group(2) match {
-      case "millisecond" => 1L
-      case "second"      => 1000L
-      case "minute"      => 60L * 1000
-      case "hour"        => 3600L * 1000
-      case "day"         => 24L * 3600 * 1000
-      case "week"        => 7L * 24 * 3600 * 1000
-    })
+    // Spark's CalendarInterval parser accepts COMPOUND delays
+    // ("1 hour 30 minutes") — summing only the first unit would derive
+    // a state-retention horizon SHORTER than the watermark, evicting
+    // tombstones while re-deliveries are still admissible. Sum every
+    // unit and reject any unmatched residue so malformed strings still
+    // throw instead of silently truncating.
+    val re = "(\\d+)\\s*(millisecond|second|minute|hour|day|week)s?".r
+    val str = s.trim.toLowerCase
+    val parts = re.findAllMatchIn(str).toSeq
+    if (parts.isEmpty || re.replaceAllIn(str, "").trim.nonEmpty)
+      throw new IllegalArgumentException(s"unparseable delay: '$s'")
+    parts.map { m =>
+      m.group(1).toLong * (m.group(2) match {
+        case "millisecond" => 1L
+        case "second"      => 1000L
+        case "minute"      => 60L * 1000
+        case "hour"        => 3600L * 1000
+        case "day"         => 24L * 3600 * 1000
+        case "week"        => 7L * 24 * 3600 * 1000
+      })
+    }.sum
   }
 
   /** STREAMING MATCH COMPLETION — the stateful-pairing half of the

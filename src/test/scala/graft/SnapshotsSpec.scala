@@ -164,6 +164,53 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root).count() == 7)
   }
 
+  test("vacuum protects EVERY retained version's chain, not just the latest's") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit((1L to 5L).toDF("id"), root)        // v0 full
+    Snapshots.commitAppend(Seq(6L).toDF("id"), root)     // v1 delta (base = v0)
+    Snapshots.compact(spark, root)                       // v2 full
+    Snapshots.commit((1L to 8L).toDF("id"), root)        // v3 full
+    // keep=2 retains v1..v3; v1 is a DELTA whose base v0 falls outside
+    // retention — v0 must survive or readVersion(v1) corrupts, which
+    // is exactly the "every version stays a time-travel point until
+    // vacuumed" contract
+    assert(Snapshots.vacuum(root, keep = 2).isEmpty,
+      "vacuum dropped the base of a still-retained delta")
+    assert(Snapshots.readVersion(spark, root, 1).count() == 6)
+    // once the delta itself leaves retention, its base goes with it
+    assert(Snapshots.vacuum(root, keep = 1).toSet == Set(0L, 1L))
+    assert(Snapshots.read(spark, root).count() == 8)
+    assert(Snapshots.readVersion(spark, root, 2).count() == 6)
+  }
+
+  test("append replay guard survives interleaved unkeyed commits (history-wide max)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit((1L to 3L).toDF("id"), root)                          // v0
+    Snapshots.commitAppend(Seq(4L).toDF("id"), root, Seq.empty, Some(5L))  // v1, id 5
+    // an interleaved UNKEYED commit leaves the latest manifest with no
+    // batchId of its own — the guard must still remember id 5
+    Snapshots.commit((1L to 4L).toDF("id"), root)                          // v2
+    val before = Snapshots.versions(root)
+    assert(Snapshots.commitAppend(Seq(99L).toDF("id"), root,
+      Seq.empty, Some(5L)) == 2L, "re-delivered batch slipped past the guard")
+    assert(Snapshots.versions(root) == before &&
+      Snapshots.read(spark, root).count() == 4)
+    // same contract for commitBatch
+    assert(Snapshots.commitBatch(Seq(99L).toDF("id"), root, batchId = 5L) == 2L)
+    // a genuinely NEW batch id still advances
+    assert(Snapshots.commitAppend(Seq(5L).toDF("id"), root,
+      Seq.empty, Some(6L)) == 3L)
+    assert(Snapshots.read(spark, root).count() == 5)
+    // keyed fingerprints must NOT feed the monotone guard: a huge
+    // content-fingerprint key on the same root cannot block later
+    // small batch ids
+    Snapshots.commitKeyed(Seq(7L).toDF("id"), root, key = Long.MaxValue - 1)
+    assert(Snapshots.commitAppend(Seq(8L).toDF("id"), root,
+      Seq.empty, Some(7L)) == 5L, "a keyed fingerprint blocked a live batch")
+  }
+
   test("compact carries the chain's max batchId: replayed appends still no-op") {
     import spark.implicits._
     val root = tmpRoot()

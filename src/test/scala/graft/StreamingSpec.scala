@@ -643,7 +643,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventsStream.delayMs("1 hour") == 3600000L)
     assert(EventsStream.delayMs("30 seconds") == 30000L)
     assert(EventsStream.delayMs("2 days") == 172800000L)
+    // COMPOUND intervals (withWatermark accepts them): every unit must
+    // sum — a first-unit-only parse would derive a retention horizon
+    // SHORTER than the watermark and evict tombstones early
+    assert(EventsStream.delayMs("1 hour 30 minutes") == 5400000L)
+    assert(EventsStream.delayMs("2 days 3 hours 15 seconds") ==
+      2 * 86400000L + 3 * 3600000L + 15000L)
     intercept[IllegalArgumentException](EventsStream.delayMs("soon"))
+    // malformed residue must still throw, not silently truncate
+    intercept[IllegalArgumentException](EventsStream.delayMs("1 hour and a bit"))
+    intercept[IllegalArgumentException](EventsStream.delayMs("5 fortnights"))
   }
 
   test("streaming vector ingest: stream assignment equals the stored-index rule, zero state") {

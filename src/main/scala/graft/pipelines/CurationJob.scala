@@ -1,5 +1,8 @@
 package graft.pipelines
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
@@ -186,8 +189,22 @@ object CurationJob {
         BloomIndex.build(curated.select(md5(col("text")).as("content_hash")),
           "content_hash", math.max(n, 1L)),
         bloomPath)
-      recomputed += "corpus.bloom"
+      recomputed += s"corpus.$runId.bloom"
     }
+    // retention: superseded runs' blooms are dead weight (one file per
+    // distinct input/budget, never read again once this release wins);
+    // prune them on successful release, and repoint a small `latest`
+    // marker so fixed-path consumers discover the current artifact
+    // instead of silently reading a stale one
+    val outDir = new java.io.File(outRoot)
+    Option(outDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("corpus.") && f.getName.endsWith(".bloom")
+        && f.getName != s"corpus.$runId.bloom")
+      .foreach(_.delete())
+    val latestTmp = Paths.get(s"$outRoot/corpus.bloom.latest.tmp")
+    Files.write(latestTmp, s"corpus.$runId.bloom".getBytes(StandardCharsets.UTF_8))
+    Files.move(latestTmp, Paths.get(s"$outRoot/corpus.bloom.latest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     Release(versions.toMap, recomputed.result(), runId, bloomPath)
   }
 

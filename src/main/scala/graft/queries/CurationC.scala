@@ -62,6 +62,73 @@ object CurationC {
         md5(array_join(col("kept"), " ")).as("cleaned_hash"))
   }
 
+  /** #91b OFFSET-ROBUST exact-substring duplicate detection — the
+    * fix for the one blind spot in the #73/#91 span grid: those cut
+    * docs into NON-OVERLAPPING 16-token spans, so a verbatim
+    * duplicate whose start offsets differ mod 16 between its two
+    * occurrences never aligns and is invisible. Here spans are
+    * enumerated at EVERY token position (Lee et al. 2022's actual
+    * suffix-granularity) and thinned by the winnowing rule of #84
+    * (window-minimum over WIN consecutive span hashes, Schleimer et
+    * al. 2003): any shared run of >= W+WIN-1 = 23 tokens at ANY pair
+    * of offsets is guaranteed to share an anchor hash.
+    *
+    * The query PLANTS its own off-grid duplicates so the gate proves
+    * the property: every doc_id % 10 == 0 doc with >= 45 tokens is
+    * re-injected (as doc_id + 1000000) as a 3-junk-token prefix plus
+    * its tokens [6, 45] — run offset 5 in the source vs 3 in the
+    * copy, a shift of 2 that the 16-grid provably cannot align
+    * (CurationCSpec pins that the grid method scores these pairs
+    * zero while this one flags them).
+    *
+    * Scale shape: span enumeration + winnowing are ROW-LOCAL
+    * (transform/slice/array_min HOFs on the scan; hash arrays
+    * materialized as columns so the window sweep stays linear);
+    * only ~n/WIN distinct anchor hashes per doc ever explode. The
+    * corpus-wide anchor df is one map-side-combining hash agg; the
+    * join-back is SHUFFLE_HASH on the anchor (exchange reuse). At
+    * 100 TB the shuffle volume is the anchor stream — a factor
+    * ~W*WIN/2 smaller than shuffling every positional span, and
+    * no span TEXT ever leaves its row. */
+  def substringDedupOffsets(s: SparkSession, dir: String): DataFrame = {
+    val W = 16   // span width (tokens)
+    val WIN = 8  // winnowing window (spans)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val planted = base
+      .filter(pmod(col("doc_id"), lit(10)) === 0 && size(col("toks")) >= 45)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(array(lit("<p0>"), lit("<p1>"), lit("<p2>")),
+          slice(col("toks"), 6, 40)).as("toks"))
+    val docs = base.unionByName(planted)
+    val nPos = greatest(size(col("toks")) - W + 1, lit(0))
+    // rolling spans at every position; the when-guard matters because
+    // sequence(1, 0) would generate a DESCENDING [1, 0]
+    val spansArr = when(nPos > 0,
+      transform(sequence(lit(1), nPos),
+        i => md5(array_join(slice(col("toks"), i, lit(W)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val hashed = docs.select(col("doc_id"), spansArr.as("h"))
+    val h = col("h")
+    val anchors = when(size(h) >= WIN,
+      array_distinct(transform(sequence(lit(1), size(h) - WIN + 1),
+        i => array_min(slice(h, i, lit(WIN))))))
+      .otherwise(array_distinct(h))
+    val anch = hashed.select(col("doc_id"), explode(anchors).as("a"))
+    val adf = anch.groupBy(col("a")).agg(count(lit(1)).as("adf"))
+    val per = anch.join(adf.hint("shuffle_hash"), "a")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("adf") > 1, 1L).otherwise(0L)).as("n_dup_anchors"))
+    docs.select(col("doc_id")).join(per.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_anchors"), lit(0L)).as("n_anchors"),
+        coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
+        round(when(coalesce(col("n_anchors"), lit(0L)) > 0,
+          col("n_dup_anchors").cast("double") / col("n_anchors"))
+          .otherwise(lit(0.0)), 6).as("dup_frac"))
+  }
+
   /** #92 exact per-source BUDGET SAMPLING — "give me exactly k docs
     * per domain, reproducibly" (the fixed-budget counterpart of #61's
     * rate-based stratified sample): docs ranked by a uniform 32-bit
@@ -376,6 +443,7 @@ object CurationC {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir"            -> dsirWeights _,
     "q_substring_dedup" -> substringDedup _,
+    "q_substring_dedup_offsets" -> substringDedupOffsets _,
     "q_budget_sample"   -> budgetSample _,
     "q_source_overlap"  -> sourceOverlap _,
     "q_ann_filtered"    -> annFiltered _,
@@ -469,6 +537,42 @@ object CurationC {
         |  -- array_to_string([]) is NULL in DuckDB but '' in Spark
         |  md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_hash
         |FROM k""".stripMargin,
+    "q_substring_dedup_offsets" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |docs AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    list_concat(['<p0>', '<p1>', '<p2>'], toks[6:45]) AS toks
+        |  FROM base WHERE doc_id % 10 = 0 AND len(toks) >= 45),
+        |sp AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+        |    md5(array_to_string(list_slice(toks, t.i, t.i + 15), ' ')) AS h
+        |  FROM docs, UNNEST(range(1, greatest(len(toks) - 15, 0) + 1)) AS t(i)),
+        |wm AS (
+        |  SELECT doc_id, pos, h,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS nspans
+        |  FROM sp),
+        |anch AS (
+        |  SELECT DISTINCT doc_id, wmin AS a FROM wm
+        |  WHERE nspans >= 8 AND pos <= nspans - 7
+        |  UNION
+        |  SELECT DISTINCT doc_id, h AS a FROM wm WHERE nspans < 8),
+        |adf AS (SELECT a, COUNT(*) AS adf FROM anch GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_anchors,
+        |    SUM(CASE WHEN adf > 1 THEN 1 ELSE 0 END) AS n_dup_anchors
+        |  FROM anch JOIN adf USING (a) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_anchors, 0) AS BIGINT) AS n_anchors,
+        |  CAST(COALESCE(n_dup_anchors, 0) AS BIGINT) AS n_dup_anchors,
+        |  ROUND(CASE WHEN COALESCE(n_anchors, 0) > 0
+        |    THEN COALESCE(n_dup_anchors, 0) / CAST(n_anchors AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_frac
+        |FROM (SELECT doc_id FROM docs) d LEFT JOIN per USING (doc_id)""".stripMargin,
     "q_budget_sample" -> {
       val weights = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
       val terms = weights.zipWithIndex.map { case (w, i) =>

@@ -351,6 +351,123 @@ object Indexing {
       batchId = 1L)
   }
 
+  /** #214 BITEXT MINING OVER THE STORED INDEX
+    * (`q_bitext_mine_indexed`) — the production composition #209 only
+    * claimed: both margin arms answered by
+    * [[VectorIndex.ivfTopKStored]] probes instead of brute-force
+    * scans. The realistic shape is ONE multilingual index: every
+    * embedding is assigned once, with its `lang` tag STORED IN THE
+    * INDEX ROWS as a payload column ([[VectorIndex.assignRowLocal]]
+    * carries extra columns — the FAISS/vector-DB payload pattern,
+    * because at 100 TB the metadata cannot be a corpus-sized join at
+    * query time), and each arm applies a language CANDIDATE FILTER
+    * inside the probe (`candFilter` — filtered ANN composed with the
+    * stored index, which #94 only did inline). Forward: en probe
+    * slice → top-4 de candidates in the probed buckets; reverse: the
+    * distinct forward candidates → top-4 en; margin = cos over the
+    * mean of both neighborhood means (Artetxe & Schwenk 2019), top-20
+    * by (margin, ids). Per-arm cost is probe-bucket-sized with the
+    * lang predicate pushed into the pruned parquet scan; rankings via
+    * the bounded map-side TopKAgg. Own `-ml` root: the payload-
+    * carrying artifact must never collide with the plain #168/#213
+    * indexes at the same fingerprint. */
+  def bitextMineIndexed(s: SparkSession, dir: String): DataFrame = {
+    val langOf = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val raw = Tables.embeddings(s, dir)
+    val vecs = raw
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+      .join(langOf, "vec_id")
+      .localCheckpoint()
+    val root = VectorIndex.defaultRoot(raw, seedK = 8, iters = 2) + "-ml"
+    VectorIndex.buildIfAbsent(vecs, root, seedK = 8, iters = 2)
+    val k = 4
+    val q = vecs.filter(col("lang") === "en" && col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val fwd = VectorIndex.ivfTopKStored(s, root, q, k, nprobe = 2,
+        candFilter = col("lang") === "de")
+      .localCheckpoint()
+    val xm = fwd.groupBy(col("q_id")).agg(round(avg(col("cos")), 6).as("xm"))
+    val ys = fwd.select(col("n_id")).distinct()
+      .join(vecs, col("n_id") === col("vec_id"))
+      .select(col("n_id").as("q_id"), col("v").as("qv"))
+    val ym = VectorIndex.ivfTopKStored(s, root, ys, k, nprobe = 2,
+        candFilter = col("lang") === "en")
+      .groupBy(col("q_id").as("n_id"))
+      .agg(round(avg(col("cos")), 6).as("ym"))
+    fwd.join(xm, "q_id").join(ym, "n_id")
+      .select(col("q_id").as("en_id"), col("n_id").as("de_id"), col("cos"),
+        round(col("cos") / ((col("xm") + col("ym")) / 2.0), 6)
+          .as("margin_score"))
+      .orderBy(col("margin_score").desc, col("en_id"), col("de_id"))
+      .limit(20)
+  }
+
+  /** #213 RETRAIN-AND-SWAP (`q_index_retrain_swap`) — the operational
+    * response to #207's drift signal, closing the loop the incremental
+    * family left open: absorbing forever degrades once data drifts, so
+    * the nightly job REBUILDS the index from the full corpus under a
+    * NEW content-fingerprint root ([[VectorIndex.retrainSwap]] — a
+    * retried job re-trains nothing) and atomically repoints the
+    * family's `_current` pointer (one ATOMIC_MOVE over one small
+    * file). Readers resolve the pointer ONCE and read every artifact
+    * under that single root, so a mid-swap reader sees the old index
+    * or the new index, never new centroids over old assignments
+    * (VectorIndexSpec pins in-flight-reader consistency and old-root
+    * time travel). The gate: base-corpus index built and installed,
+    * then retrain-on-ALL + swap; the post-swap search must answer the
+    * train-on-all stored-IVF oracle (#168's SQL) exactly. */
+  def indexRetrainSwap(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    val isBatch = pmod(col("vec_id"), lit(10)) === 7
+    def vecs(df: DataFrame) = df.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val baseRaw = raw.filter(!isBatch)
+    val root1 = VectorIndex.defaultRoot(baseRaw, seedK = 8, iters = 2)
+    val root2 = VectorIndex.defaultRoot(raw, seedK = 8, iters = 2)
+    val family = root2 + "-family"
+    // day 0: the base corpus trains the live index
+    VectorIndex.buildIfAbsent(vecs(baseRaw), root1, seedK = 8, iters = 2)
+    if (VectorIndex.currentRoot(family).isEmpty)
+      VectorIndex.swapTo(family, root1)
+    // drift response: retrain on the FULL corpus, atomic repoint
+    VectorIndex.retrainSwap(vecs(raw), root2, family, seedK = 8, iters = 2)
+    val resolved = VectorIndex.currentRoot(family).get
+    val queries = vecs(raw).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    VectorIndex.ivfTopKStored(s, resolved, queries, k = 3, nprobe = 2)
+  }
+
+  /** #212 TEXT-INDEX DELTA-CHAIN COMPACTION (`q_dedup_lsh_compacted`)
+    * — #210's maintenance gate applied to the STORED LSH text index,
+    * closing the asymmetry where only the vector side had compaction
+    * under oracle: a daily absorb loop grows the band/shingle
+    * artifacts one delta dir per batch forever (a week of absorbs = a
+    * 7-dir chain read per probe), so the nightly job compacts both
+    * chains back to ONE full snapshot each. The gate: build + day-1
+    * absorb, COMPACT both artifacts, then day-2's probe must answer
+    * the `q_dedup_lsh_chained` oracle UNCHANGED — compaction is
+    * invisible to every reader, including the replay watermark
+    * ([[graft.sources.Snapshots.compact]] carries the chain's
+    * maxBatchId forward, so a re-delivered day-1 batch still no-ops
+    * after compaction — LshIndexSpec pins that). Own root suffix so
+    * sibling gates stay order-independent. */
+  def dedupLshCompacted(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def planted(shift: Long, suffix: String) = corpus
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + shift).as("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"))
+    val root = LshIndex.defaultRoot(corpus) + "-compacted"
+    LshIndex.buildIfAbsent(corpus, root)
+    LshIndex.absorbBatch(s, root, planted(1000000L, " near dup probe"),
+      batchId = 0L)
+    graft.sources.Snapshots.compact(s, LshIndex.bandsRoot(root), Seq("bmod"))
+    graft.sources.Snapshots.compact(s, LshIndex.shinglesRoot(root), Seq("dmod"))
+    LshIndex.absorbBatch(s, root, planted(2000000L, " near dup probe again"),
+      batchId = 1L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
@@ -361,7 +478,10 @@ object Indexing {
     "q_ann_pq_incremental"    -> annPqIncremental _,
     "q_bitext_mine"           -> bitextMine _,
     "q_ann_ivf_compacted"     -> annIvfCompacted _,
-    "q_dedup_lsh_chained"     -> dedupLshChained _
+    "q_dedup_lsh_chained"     -> dedupLshChained _,
+    "q_dedup_lsh_compacted"   -> dedupLshCompacted _,
+    "q_index_retrain_swap"    -> indexRetrainSwap _,
+    "q_bitext_mine_indexed"   -> bitextMineIndexed _
   )
 
   private val cosSql =
@@ -477,8 +597,10 @@ object Indexing {
           |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
           |  >= 0.2""".stripMargin)
 
-  val oracles: Map[String, String] = Map(
-    "q_ann_ivf_stored" ->
+  /** DuckDB replay of train-on-ALL + stored-IVF search (#168's gate;
+    * also the post-swap answer #213 must reproduce, since a retrain on
+    * the full corpus IS a train-on-all build). */
+  private lazy val annIvfStoredSql: String =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
          |${lloydChain(2)},
@@ -500,7 +622,62 @@ object Indexing {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank,
          |  n_id, cos
          |FROM pairs
-         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin,
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin
+
+  /** DuckDB replay of #214: train-on-all Lloyd, lang-payload
+    * assignment, probe-pruned lang-filtered top-4 both directions,
+    * margin over neighborhood means, top-20. */
+  private lazy val bitextIndexedSql: String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |${lloydChain(2)},
+         |lg AS (SELECT e.vec_id, e.v, d.lang FROM e
+         |  JOIN documents d ON e.vec_id = d.doc_id),
+         |sf AS (SELECT e.vec_id, e.v, c.cid,
+         |    ${cosSql("e.v", "c.cv")} AS ccos
+         |  FROM e, c2 c),
+         |asg AS (SELECT s.vec_id, s.v, s.cid AS bucket, l.lang
+         |  FROM sf s JOIN lg l ON s.vec_id = l.vec_id
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |    ORDER BY s.ccos DESC, s.cid) = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM lg
+         |  WHERE lang = 'en' AND vec_id < 50),
+         |qp AS (SELECT q.q_id, q.qv, c.cid AS bucket,
+         |    ${cosSql("q.qv", "c.cv")} AS ccos
+         |  FROM q, c2 c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |    ORDER BY ccos DESC, c.cid) <= 2),
+         |fwd AS (SELECT p.q_id, a.vec_id AS n_id,
+         |    ${cosSql("p.qv", "a.v")} AS cos
+         |  FROM qp p JOIN asg a
+         |    ON a.bucket = p.bucket AND a.lang = 'de' AND a.vec_id <> p.q_id
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.q_id
+         |    ORDER BY cos DESC, n_id) <= 4),
+         |xm AS (SELECT q_id, ROUND(AVG(cos), 6) AS xm FROM fwd GROUP BY 1),
+         |yq AS (SELECT DISTINCT f.n_id AS q_id, l.v AS qv
+         |  FROM fwd f JOIN lg l ON l.vec_id = f.n_id),
+         |yp AS (SELECT y.q_id, y.qv, c.cid AS bucket,
+         |    ${cosSql("y.qv", "c.cv")} AS ccos
+         |  FROM yq y, c2 c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY y.q_id
+         |    ORDER BY ccos DESC, c.cid) <= 2),
+         |rev AS (SELECT p.q_id, a.vec_id AS n_id,
+         |    ${cosSql("p.qv", "a.v")} AS cos
+         |  FROM yp p JOIN asg a
+         |    ON a.bucket = p.bucket AND a.lang = 'en' AND a.vec_id <> p.q_id
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.q_id
+         |    ORDER BY cos DESC, n_id) <= 4),
+         |ym AS (SELECT q_id AS n_id, ROUND(AVG(cos), 6) AS ym FROM rev GROUP BY 1)
+         |SELECT f.q_id AS en_id, f.n_id AS de_id, f.cos,
+         |  ROUND(f.cos / ((x.xm + y.ym) / 2.0), 6) AS margin_score
+         |FROM fwd f JOIN xm x ON f.q_id = x.q_id JOIN ym y ON f.n_id = y.n_id
+         |ORDER BY margin_score DESC, en_id, de_id LIMIT 20""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_ivf_stored" -> annIvfStoredSql,
+    "q_bitext_mine_indexed" -> bitextIndexedSql,
+    // the post-swap index IS a train-on-all build — same oracle
+    "q_index_retrain_swap" -> annIvfStoredSql,
     "q_ann_ivf_incremental" -> annIvfIncrementalSql,
     // compaction must be invisible to readers: the compacted index
     // answers the SAME oracle as the chained one (#210 == #203's SQL)
@@ -587,6 +764,16 @@ object Indexing {
       """SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text
         |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     "q_dedup_lsh_chained" -> lshIncrementalOracle(
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near dup probe'
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      """SELECT doc_id + 2000000 AS doc_id,
+        |    text || ' near dup probe again' AS text
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+    // the compacted gate answers the CHAINED oracle verbatim —
+    // compaction must be invisible to every reader
+    "q_dedup_lsh_compacted" -> lshIncrementalOracle(
       """SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text || ' near dup probe'

@@ -56,6 +56,52 @@ object VectorIndex {
     s"/tmp/graft-vecindex/v$layoutVersion/k$seedK-i$iters-${fp.getLong(0)}-${fp.getLong(1)}"
   }
 
+  // ------------------------------------------------------ index pointer
+
+  /** The retrain-and-swap layer: an index FAMILY is a directory whose
+    * `_current` file names the ACTIVE index root. Queries resolve the
+    * pointer ONCE and read every artifact (centroids, assignments,
+    * stats) under that single root — the atomic unit is the whole
+    * root, so a reader can never pair new centroids with old
+    * assignments (the mixed-index hazard of swapping artifacts
+    * independently). The swap is one `ATOMIC_MOVE` over one small
+    * file (the [[Snapshots]] pointer discipline one level up);
+    * superseded roots stay on disk, fully time-travelable, until
+    * their retention lapses. */
+  def currentRoot(family: String): Option[String] = {
+    val p = java.nio.file.Paths.get(s"$family/_current")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  /** Atomically repoint `family`'s current index to `root`. Readers
+    * see the old root or the new root, never anything between. */
+  def swapTo(family: String, root: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(family))
+    val tmp = java.nio.file.Paths.get(s"$family/_current.tmp")
+    java.nio.file.Files.write(tmp,
+      root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$family/_current"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** RETRAIN-AND-SWAP — the operational response to [[assignDrift]]'s
+    * signal: (idempotently) build a FRESH index for `vectors` under
+    * `newRoot` (a content-fingerprint root, so a retried job re-trains
+    * nothing), then atomically repoint the family. In-flight readers
+    * that already resolved the old root finish against its immutable
+    * artifacts; new readers resolve the new root; nobody ever sees a
+    * mix. Returns `newRoot`. */
+  def retrainSwap(vectors: DataFrame, newRoot: String, family: String,
+      seedK: Int = 8, iters: Int = 2): String = {
+    buildIfAbsent(vectors, newRoot, seedK, iters)
+    swapTo(family, newRoot)
+    newRoot
+  }
+
   // ---------------------------------------------------------------- IVF
 
   /** ROW-LOCAL nearest-centroid assignment: the centroid table is
@@ -66,7 +112,12 @@ object VectorIndex {
     * the same assignment run identically in a batch scan, a delta
     * append, and a stateless streaming select. Semantics match the
     * `q_ann_ivf` convention exactly: cosine rounded 6dp, tie-break
-    * lowest cid. Returns (vec_id, v, bucket, ccos). */
+    * lowest cid. Returns (vec_id, v, <payload cols>, bucket, ccos) —
+    * any EXTRA columns on `vectors` ride through untouched, which is
+    * how metadata payloads (a `lang` tag, a source label) end up
+    * STORED IN THE INDEX rows for filtered search (the FAISS/vector-DB
+    * payload pattern: at 100 TB the metadata cannot be a separate
+    * corpus-sized join at query time). */
   def assignRowLocal(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val cl: Array[(Int, Seq[Double])] = cents.select(col("cid"), col("cv"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
@@ -79,10 +130,10 @@ object VectorIndex {
         round(Embeddings.cosine(col("v"), typedLit(cv)), 6).as("ccos"),
         lit(-cid).as("ncid"))
     }: _*)
-    vectors.select(col("vec_id"), col("v"),
-      array_max(scored).as("best"))
-      .select(col("vec_id"), col("v"),
-        negate(col("best.ncid")).as("bucket"), col("best.ccos").as("ccos"))
+    vectors.withColumn("__best", array_max(scored))
+      .withColumn("bucket", negate(col("__best.ncid")))
+      .withColumn("ccos", col("__best.ccos"))
+      .drop("__best")
   }
 
   /** Train the coarse quantizer ([[Embeddings.lloyd]], seeds =
@@ -160,10 +211,17 @@ object VectorIndex {
     * non-probed directories are pruned and per-query I/O is
     * probe-bucket-sized.
     *
+    * `candFilter` restricts the CANDIDATE side before ranking (a
+    * metadata predicate over the index rows' stored payload columns —
+    * see [[assignRowLocal]]): top-k is computed among MATCHING
+    * candidates, the filtered-ANN semantics of `q_ann_filtered`
+    * composed with the stored index. The predicate rides the pruned
+    * assignments scan, so it pushes into the parquet read.
+    *
     * @param queries (q_id, qv) query frame (small by contract)
     */
   def ivfTopKStored(spark: SparkSession, root: String, queries: DataFrame,
-      k: Int, nprobe: Int = 2): DataFrame = {
+      k: Int, nprobe: Int = 2, candFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
     val cents = Snapshots.read(spark, centroidsRoot(root))
     // probe set: |queries| × K scored rows — bounded scalar reduction
@@ -186,6 +244,7 @@ object VectorIndex {
     val buckets = probes.flatMap(_._2).distinct.map(_.toInt)
     val cand = Snapshots.read(spark, assignmentsRoot(root))
       .filter(col("bucket").isin(buckets: _*))
+      .filter(candFilter)
     // a neighbor appears at most once per query (one home bucket), so
     // the probed union needs no dedup; ranking via the bounded
     // map-side TopKAgg — k rows per query reach the shuffle

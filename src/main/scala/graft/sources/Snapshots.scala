@@ -152,7 +152,8 @@ object Snapshots {
       // commitAppend's replay check reads the LATEST version's
       // batchId, so a compact that dropped it would let a re-delivered
       // old batch append AGAIN on top of data that already contains it
-      val maxBatch = chainVersions(root, latest).flatMap(batchIdOf(root, _))
+      val maxBatch = chainVersions(root, latest).filterNot(isKeyed(root, _))
+        .flatMap(batchIdOf(root, _))
         .reduceOption(_ max _)
       commitInternal(read(spark, root), root, maxBatch, partitionCols)
     }
@@ -185,6 +186,20 @@ object Snapshots {
       .map(_.group(1).toLong)
   }
 
+  /** Whether a version's batchId is an UNORDERED content-fingerprint
+    * key (written by [[commitKeyed]]) rather than a monotone batch id.
+    * Keyed versions are excluded from every monotone-watermark
+    * computation: a keyed commit that happens to be the FIRST commit
+    * on a root (a released curated artifact) must not poison the
+    * replay guard with a ~random 64-bit fingerprint, which would make
+    * every later commitBatch/commitAppend silently no-op. */
+  def isKeyed(root: String, v: Long): Boolean = {
+    val m = manifest(root, v)
+    Files.exists(m) &&
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+        .contains("\"keyed\":true")
+  }
+
   /** The HISTORY-WIDE max monotone batch id as of version `v` — the
     * replay-guard watermark [[commitBatch]]/[[commitAppend]] check.
     * Every commit carries the running max forward in its manifest
@@ -198,7 +213,11 @@ object Snapshots {
     else "\"maxBatchId\":(-?\\d+)".r
       .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
       .map(_.group(1).toLong)
-      .orElse(chainVersions(root, v).flatMap(batchIdOf(root, _))
+      // legacy fallback: only MONOTONE batch ids count toward the
+      // watermark — a keyed fingerprint in the chain is an identity,
+      // not an ordering
+      .orElse(chainVersions(root, v).filterNot(isKeyed(root, _))
+        .flatMap(batchIdOf(root, _))
         .reduceOption(_ max _))
   }
 
@@ -217,6 +236,9 @@ object Snapshots {
     Files.createDirectories(manifest(root, next).getParent)
     val batchField = batchId.map(b => s""","batchId":$b""").getOrElse("")
     val deltaField = if (delta) ""","delta":true""" else ""
+    // keyed marker: lets watermark readers distinguish an unordered
+    // content-fingerprint batchId from a monotone one
+    val keyedField = if (!monotone && batchId.nonEmpty) ""","keyed":true""" else ""
     // running max of monotone batch ids, carried through EVERY commit
     // (keyed fingerprints excluded — see commitKeyed)
     val prevMax = latestVersion(root).flatMap(maxBatchIdOf(root, _))
@@ -224,7 +246,7 @@ object Snapshots {
       .reduceOption(_ max _)
     val maxField = newMax.map(b => s""","maxBatchId":$b""").getOrElse("")
     Files.write(manifest(root, next),
-      s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField$deltaField$maxField}"""
+      s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField$deltaField$keyedField$maxField}"""
         .getBytes(StandardCharsets.UTF_8))
     // 3. commit point: atomic pointer swap
     val tmp = Paths.get(s"$root/_latest.tmp")
@@ -278,7 +300,13 @@ object Snapshots {
     // exactly that case)
     val cutoff = latest - keep.max(0)
     val retained = versions(root).filter(v => v >= cutoff || v == latest)
-    val protectedChain = retained.flatMap(chainVersions(root, _)).toSet
+    // tolerate legacy-damaged roots: a pre-fix vacuum may have dropped
+    // a retained delta's full-snapshot base, making chainVersions
+    // throw; such a version is already unreadable, so skip it (its own
+    // manifest still counts as protected) instead of failing the whole
+    // vacuum forever
+    val protectedChain = retained.flatMap(v =>
+      scala.util.Try(chainVersions(root, v)).getOrElse(Seq(v))).toSet
     val drop = versions(root).filter(v =>
       v < cutoff && v != latest && !protectedChain(v))
     drop.foreach { v =>

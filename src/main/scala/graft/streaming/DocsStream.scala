@@ -99,9 +99,9 @@ object DocsStream {
     * collapses them with watermark-BOUNDED state (the only state in
     * the plan). Within-stream duplicates are out of scope by design —
     * that is [[dedupNearWithinWatermark]]'s job, and cross-batch
-    * they surface here once a foreachBatch
-    * [[graft.dedup.LshIndex.absorbBatch]] sink (batchId = micro-batch
-    * id) absorbs each micro-batch into the static index.
+    * they surface here once the [[absorbNearDups]] sink (foreachBatch
+    * [[graft.dedup.LshIndex.absorbBatch]], batchId = micro-batch id)
+    * absorbs each micro-batch into the static index.
     *
     * The static artifact frames re-read per micro-batch are the
     * standard stream-static contract; a production job pins them
@@ -138,6 +138,45 @@ object DocsStream {
       .filter(col("jaccard") >= LshIndex.JaccardMin)
       .dropDuplicatesWithinWatermark("new_id", "match_id")
       .select(col("new_id"), col("match_id"), col("jaccard"))
+  }
+
+  /** Streaming TEXT-INDEX ABSORB LOOP — the foreachBatch sink that
+    * closes the stream → stored-LSH-index cycle (the text twin of the
+    * vector side's assignBatch sink, ending [[probeNearDups]]'s
+    * probe-only asymmetry): each micro-batch of (doc_id, text) rows is
+    * absorbed via [[graft.dedup.LshIndex.absorbBatch]] with batchId =
+    * the MICRO-BATCH id, so the band/shingle delta appends are
+    * exactly-once under runtime replay, and TOMORROW's arrivals match
+    * against TODAY's through the stored index. The verified matches of
+    * each micro-batch are landed under `matchesRoot` with the same
+    * micro-batch id (first batch = full snapshot, later ones idempotent
+    * delta appends), so a crash between the index append and the
+    * matches commit retries into a no-op on the index side and a
+    * replay-stable match set on the matches side — end-to-end
+    * exactly-once without a transaction.
+    *
+    * Per-micro-batch cost is [[graft.dedup.LshIndex.absorbBatch]]'s
+    * O(batch + candidates) with partition-pruned stored reads — the
+    * corpus is never re-signed, so the loop runs forever on an
+    * unbounded crawl. */
+  def absorbNearDups(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, root: String, matchesRoot: String,
+      checkpoint: Option[String] = None):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.dedup.LshIndex
+    import graft.sources.Snapshots
+    val w = docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val matches = LshIndex.absorbBatch(spark, root,
+          df.select(col("doc_id"), col("text")), id)
+        if (Snapshots.latestVersion(matchesRoot).isEmpty)
+          Snapshots.commitBatch(matches, matchesRoot, id)
+        else
+          Snapshots.commitAppend(matches, matchesRoot, batchId = Some(id))
+        ()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
   /** Streaming TRENDING TERMS: watermarked tumbling-window term

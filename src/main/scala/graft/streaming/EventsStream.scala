@@ -139,7 +139,10 @@ object EventsStream {
     // unit and reject any unmatched residue so malformed strings still
     // throw instead of silently truncating.
     val re = "(\\d+)\\s*(millisecond|second|minute|hour|day|week)s?".r
-    val str = s.trim.toLowerCase
+    // mirror Spark's IntervalUtils leniency: an optional leading
+    // "interval" token and separating commas are accepted by
+    // withWatermark, so the SAME string must parse here too
+    val str = s.trim.toLowerCase.stripPrefix("interval").replace(",", " ").trim
     val parts = re.findAllMatchIn(str).toSeq
     if (parts.isEmpty || re.replaceAllIn(str, "").trim.nonEmpty)
       throw new IllegalArgumentException(s"unparseable delay: '$s'")

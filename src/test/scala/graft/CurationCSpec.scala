@@ -51,6 +51,52 @@ class CurationCSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("substring_dedup_offsets: finds off-grid duplicates the span grid provably misses") {
+    import spark.implicits._
+    // doc 1: 60 distinct tokens; doc 2: a 3-token prefix + doc 1's
+    // tokens [5, 44] — a 40-token verbatim run whose start offsets (5
+    // vs 3) disagree, so NO non-overlapping 16-token grid span can
+    // ever align between the two docs
+    val aToks = (0 until 60).map(i => s"a$i")
+    val bToks = Seq("x0", "x1", "x2") ++ aToks.slice(5, 45)
+    val tiny = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-offgrid").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the 16-token grid (#73) scores this pair ZERO duplicated spans —
+    // the exact blind spot
+    val grid = SparkEntry.queries("q_dedup_spans")(spark, dir)
+    assert(grid.agg(sum(col("n_dup_spans"))).head.getLong(0) == 0,
+      "grid method unexpectedly aligned the planted run")
+    // the offsets method flags BOTH docs (40-token run >= W+WIN-1 = 23
+    // guarantees a shared winnowing anchor at any offset pair)
+    val off = SparkEntry.queries("q_substring_dedup_offsets")(spark, dir)
+      .filter(col("doc_id") <= 2)
+    val by = off.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(by(1L) > 0 && by(2L) > 0,
+      s"offsets method missed the off-grid duplicate: $by")
+  }
+
+  test("substring_dedup_offsets: every planted off-boundary copy is flagged; stats coherent") {
+    val df = SparkEntry.queries("q_substring_dedup_offsets")(spark, sf).cache()
+    val planted = df.filter(col("doc_id") >= 1000000L).cache()
+    assert(planted.count() > 0, "no planted copies at this sf")
+    // every planted copy carries a >= 40-token verbatim run from its
+    // source doc — the anchor guarantee says ALL must be flagged
+    assert(planted.filter(col("n_dup_anchors") === 0).count() == 0,
+      "a planted off-boundary duplicate went undetected")
+    // anchor accounting is sane everywhere
+    assert(df.filter(col("n_dup_anchors") > col("n_anchors")).count() == 0)
+    assert(df.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    // winnowing thins: anchors per doc are a small fraction of tokens
+    val docsN = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+    assert(df.join(docsN, "doc_id").filter(col("n_anchors") > col("ntok")).count() == 0)
+    planted.unpersist(); df.unpersist()
+  }
+
   test("budget_sample: exactly min(k, n) docs per source, ranks contiguous, deterministic") {
     val df = SparkEntry.queries("q_budget_sample")(spark, sf).cache()
     val perSource = graft.sources.Tables.documents(spark, sf)

@@ -219,7 +219,12 @@ class CurationSpec extends AnyFunSuite {
       "card", "report", "savings")
     val r1 = graft.pipelines.CurationJob.release(docs, out)
     assert(r1.versions.keySet == stages.toSet)
-    assert(r1.recomputed.toSet == stages.toSet + "corpus.bloom")
+    // recomputed reports the ACTUAL artifact name (runId-keyed), and a
+    // `latest` pointer names it for fixed-path consumers
+    assert(r1.recomputed.toSet == stages.toSet + s"corpus.${r1.runId}.bloom")
+    def latestBloom(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/corpus.bloom.latest")), "UTF-8")
+    assert(latestBloom() == s"corpus.${r1.runId}.bloom")
     val curated = Snapshots.readVersion(spark, s"$out/curated", r1.versions("curated"))
     val labels = Snapshots.readVersion(spark, s"$out/labels", r1.versions("labels"))
     val tokens = Snapshots.readVersion(spark, s"$out/tokens", r1.versions("tokens"))
@@ -248,6 +253,13 @@ class CurationSpec extends AnyFunSuite {
       r3.versions("curated") > r1.versions("curated"))
     assert(Snapshots.readVersion(spark, s"$out/curated", r1.versions("curated"))
       .count() == nCur)
+    // bloom retention: the superseded run's bloom is pruned on the new
+    // release and the latest pointer follows the winner
+    val blooms = new java.io.File(out).listFiles()
+      .map(_.getName).filter(n => n.startsWith("corpus.") && n.endsWith(".bloom"))
+    assert(blooms.toSeq == Seq(s"corpus.${r3.runId}.bloom"),
+      s"stale blooms survive release: ${blooms.mkString(",")}")
+    assert(latestBloom() == s"corpus.${r3.runId}.bloom")
   }
 
   test("CurationJob: empty-after-quality input completes with empty artifacts") {

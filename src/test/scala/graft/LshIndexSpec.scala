@@ -102,4 +102,35 @@ class LshIndexSpec extends AnyFunSuite {
     assert(vsB1.count() > 0,
       "batch 2 found no matches against batch 1's delta-appended index rows")
   }
+
+  test("compaction: invisible to probes, carries the maxBatchId watermark forward") {
+    val root = freshRoot()
+    LshIndex.build(corpus, root)
+    val b1 = plantedBatch(5000000L).localCheckpoint()
+    val r1 = LshIndex.absorbBatch(spark, root, b1, batchId = 0L).collect().toSet
+    // compact BOTH artifact chains back to single full snapshots
+    Snapshots.compact(spark, LshIndex.bandsRoot(root), Seq("bmod"))
+    Snapshots.compact(spark, LshIndex.shinglesRoot(root), Seq("dmod"))
+    assert(!Snapshots.isDelta(LshIndex.bandsRoot(root),
+      Snapshots.latestVersion(LshIndex.bandsRoot(root)).get))
+    // watermark carry: a re-delivered day-1 batch must still no-op
+    // AFTER compaction (the bug class #210 caught on the IVF side)
+    val bv = Snapshots.versions(LshIndex.bandsRoot(root))
+    val sv = Snapshots.versions(LshIndex.shinglesRoot(root))
+    val r1b = LshIndex.absorbBatch(spark, root, b1, batchId = 0L).collect().toSet
+    assert(Snapshots.versions(LshIndex.bandsRoot(root)) == bv &&
+      Snapshots.versions(LshIndex.shinglesRoot(root)) == sv,
+      "replayed batch re-appended after compaction — watermark lost")
+    assert(r1b == r1, "replay across compaction changed the match set")
+    // a genuinely new day still absorbs, and matches THROUGH the
+    // compacted index exactly as through the chain
+    val b2 = b1.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" again")).as("text")).localCheckpoint()
+    val m = LshIndex.absorbBatch(spark, root, b2, batchId = 1L)
+    assert(m.filter(col("match_id").between(5000000L, 5999999L)).count() > 0,
+      "batch 2 lost its batch-1 matches after compaction")
+    // vacuum afterwards keeps every retained version's chain readable
+    Snapshots.vacuum(LshIndex.bandsRoot(root), keep = 1)
+    assert(Snapshots.read(spark, LshIndex.bandsRoot(root)).count() > 0)
+  }
 }

@@ -211,6 +211,53 @@ class SnapshotsSpec extends AnyFunSuite {
       Seq.empty, Some(7L)) == 5L, "a keyed fingerprint blocked a live batch")
   }
 
+  test("keyed-FIRST root: a fingerprint commit never becomes the watermark") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // exactly CurationJob.release's shape: the ROOT's first commit is
+    // a content-fingerprint keyed artifact (huge ~random positive key)
+    val (v0, fresh) = Snapshots.commitKeyed(
+      (1L to 4L).toDF("id"), root, key = Long.MaxValue - 17)
+    assert(v0 == 0L && fresh)
+    // its manifest has no maxBatchId — the legacy fallback must NOT
+    // surface the fingerprint as a monotone watermark
+    assert(Snapshots.maxBatchIdOf(root, v0).isEmpty,
+      "keyed fingerprint leaked into the monotone watermark")
+    // a later real batch (small id) must commit, not silently no-op
+    assert(Snapshots.commitAppend(Seq(5L).toDF("id"), root,
+      Seq.empty, Some(0L)) == 1L, "append after keyed-first root was dropped")
+    assert(Snapshots.read(spark, root).count() == 5)
+    assert(Snapshots.commitBatch(Seq(9L).toDF("id"), root, batchId = 1L) == 2L)
+    // compact on a history CONTAINING the keyed commit must carry
+    // only the monotone ids, not the fingerprint
+    Snapshots.commitAppend(Seq(6L).toDF("id"), root, Seq.empty, Some(2L))
+    val vC = Snapshots.compact(spark, root)
+    assert(Snapshots.maxBatchIdOf(root, vC).contains(2L),
+      s"compact watermark poisoned: ${Snapshots.maxBatchIdOf(root, vC)}")
+    // replaying the keyed commit is still idempotent
+    assert(Snapshots.commitKeyed(sys.error("must not evaluate"),
+      root, key = Long.MaxValue - 17) == (0L, false))
+  }
+
+  test("vacuum progresses on legacy-damaged roots (broken retained chain)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit((1L to 3L).toDF("id"), root)     // v0 full
+    Snapshots.commitAppend(Seq(4L).toDF("id"), root)  // v1 delta (base v0)
+    Snapshots.commit((1L to 5L).toDF("id"), root)     // v2 full
+    Snapshots.commit((1L to 6L).toDF("id"), root)     // v3 full
+    // simulate pre-fix vacuum damage: v1's full-snapshot base v0 is
+    // already gone, so chainVersions(v1) throws
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/manifests/v0.json"))
+    intercept[IllegalArgumentException](Snapshots.chainVersions(root, 1))
+    // vacuum must still clean what it can instead of failing forever:
+    // keep=2 retains v1..v3; the broken v1 chain is skipped, not fatal
+    assert(Snapshots.vacuum(root, keep = 2).isEmpty)
+    // and once v1 leaves retention it is itself droppable
+    assert(Snapshots.vacuum(root, keep = 1).toSet == Set(1L))
+    assert(Snapshots.read(spark, root).count() == 6)
+  }
+
   test("compact carries the chain's max batchId: replayed appends still no-op") {
     import spark.implicits._
     val root = tmpRoot()

@@ -649,6 +649,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventsStream.delayMs("1 hour 30 minutes") == 5400000L)
     assert(EventsStream.delayMs("2 days 3 hours 15 seconds") ==
       2 * 86400000L + 3 * 3600000L + 15000L)
+    // Spark's IntervalUtils accepts a leading "interval" token and
+    // commas; the SAME string goes to withWatermark and delayMs, so
+    // both spellings must parse here too
+    assert(EventsStream.delayMs("interval 1 hour") == 3600000L)
+    assert(EventsStream.delayMs("INTERVAL 1 hour, 30 minutes") == 5400000L)
     intercept[IllegalArgumentException](EventsStream.delayMs("soon"))
     // malformed residue must still throw, not silently truncate
     intercept[IllegalArgumentException](EventsStream.delayMs("1 hour and a bit"))
@@ -749,6 +754,56 @@ class StreamingSpec extends AnyFunSuite {
     VectorIndex.assignBatch(spark, root, b2.toDF("vec_id", "v"), batchId = 1L)
     assert(Snapshots.versions(aroot) == vBefore,
       "replayed micro-batch id re-appended")
+  }
+
+  test("stream -> stored-LSH-index loop: foreachBatch absorb equals batch absorb; replay no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.LshIndex
+    import graft.sources.Snapshots
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val rows = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup probe")).as("text"))
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    // streamed index: two micro-batches through the absorb sink
+    val sroot = java.nio.file.Files.createTempDirectory("graft-lshloop-s").toString
+    val mroot = s"$sroot/matches"
+    LshIndex.build(corpus, sroot)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocsStream.absorbNearDups(spark,
+      mem.toDF().toDF("doc_id", "text"), sroot, mroot)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    // reference: the same two batches absorbed in BATCH mode
+    val broot = java.nio.file.Files.createTempDirectory("graft-lshloop-b").toString
+    LshIndex.build(corpus, broot)
+    val m1 = LshIndex.absorbBatch(spark, broot, b1.toDF("doc_id", "text"), 0L)
+    val m2 = LshIndex.absorbBatch(spark, broot, b2.toDF("doc_id", "text"), 1L)
+    // stream-absorbed artifacts == batch-absorbed artifacts
+    val gotBands = Snapshots.read(spark, LshIndex.bandsRoot(sroot))
+    val wantBands = Snapshots.read(spark, LshIndex.bandsRoot(broot))
+    assert(gotBands.exceptAll(wantBands).count() == 0 &&
+      wantBands.exceptAll(gotBands).count() == 0,
+      "stream-absorbed band index diverged from batch absorb")
+    // landed matches == the batch matches, across both micro-batches
+    val gotM = Snapshots.read(spark, mroot)
+    val wantM = m1.unionByName(m2)
+    assert(gotM.count() > 0, "loop landed no matches")
+    assert(gotM.exceptAll(wantM).count() == 0 &&
+      wantM.exceptAll(gotM).count() == 0,
+      "landed match set diverged from batch absorb")
+    // replayed micro-batch id: index AND matches no-op
+    val bv = Snapshots.versions(LshIndex.bandsRoot(sroot))
+    val mv = Snapshots.versions(mroot)
+    val mReplay = LshIndex.absorbBatch(spark, sroot, b2.toDF("doc_id", "text"), 1L)
+    Snapshots.commitAppend(mReplay, mroot, batchId = Some(1L))
+    assert(Snapshots.versions(LshIndex.bandsRoot(sroot)) == bv &&
+      Snapshots.versions(mroot) == mv,
+      "replayed micro-batch re-appended")
   }
 
   test("streaming near-dup probe equals the batch stored-index probe") {

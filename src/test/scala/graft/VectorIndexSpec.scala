@@ -234,4 +234,50 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(trained >= seeded - 1e-9,
       s"trained recall $trained fell below label-seeded $seeded")
   }
+
+  test("retrain-and-swap: atomic repoint, in-flight readers stay consistent, old root time-travelable") {
+    val base = vecs.filter(pmod(col("vec_id"), lit(10)) =!= 7).localCheckpoint()
+    val all = vecs.localCheckpoint()
+    val root1 = freshRoot(); val root2 = freshRoot()
+    val family = java.nio.file.Files.createTempDirectory("graft-vfam").toString
+    VectorIndex.build(base, root1)
+    VectorIndex.swapTo(family, root1)
+    assert(VectorIndex.currentRoot(family).contains(root1))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // an in-flight reader resolves the pointer ONCE, pre-swap
+    val pinnedRoot = VectorIndex.currentRoot(family).get
+    // the swap: retrain on ALL vectors under a new root, repoint
+    VectorIndex.retrainSwap(all, root2, family)
+    assert(VectorIndex.currentRoot(family).contains(root2), "pointer did not flip")
+    // no partial pointer state left behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$family/_current.tmp")))
+    // the pinned reader finishes against the OLD index — bit-identical
+    // to a pre-swap evaluation (every artifact it touches is the old
+    // root's immutable pair; nothing mixed in from the new index)
+    val oldView = VectorIndex.ivfTopKStored(spark, pinnedRoot, queries, k = 3, nprobe = 2)
+    val oldRef  = VectorIndex.ivfTopKStored(spark, root1, queries, k = 3, nprobe = 2)
+    assert(oldView.exceptAll(oldRef).count() == 0 &&
+      oldRef.exceptAll(oldView).count() == 0,
+      "in-flight reader view diverged after the swap")
+    // new readers answer from the retrained index: equals a direct
+    // train-on-all build
+    val root3 = freshRoot()
+    VectorIndex.build(all, root3)
+    val newView = VectorIndex.ivfTopKStored(spark,
+      VectorIndex.currentRoot(family).get, queries, k = 3, nprobe = 2)
+    val newRef = VectorIndex.ivfTopKStored(spark, root3, queries, k = 3, nprobe = 2)
+    assert(newView.exceptAll(newRef).count() == 0 &&
+      newRef.exceptAll(newView).count() == 0,
+      "post-swap search diverged from a train-on-all build")
+    // old root stays fully readable (time travel until retention lapses)
+    assert(Snapshots.read(spark, VectorIndex.centroidsRoot(root1)).count() > 0)
+    assert(Snapshots.read(spark, VectorIndex.assignmentsRoot(root1)).count() > 0)
+    // retrainSwap is idempotent: a retried job re-trains nothing
+    val cv = Snapshots.versions(VectorIndex.centroidsRoot(root2))
+    VectorIndex.retrainSwap(all, root2, family)
+    assert(Snapshots.versions(VectorIndex.centroidsRoot(root2)) == cv,
+      "retried retrainSwap re-trained")
+  }
 }

@@ -42,49 +42,113 @@ object Bench {
       try run(fn, warmDir) catch { case _: Throwable => () }
       cleanup()
     }
-    // Self-calibration: a fixed single-threaded CPU-bound task timed
-    // at the endpoints and through the run, plus /proc/loadavg at both
-    // ends. On an idle box all calibration timings agree across runs;
-    // a loaded-box artifact (BENCH_r04: 251 s driver capture vs 168 s
-    // committed) becomes self-evident from an inflated calibration or
-    // loadavg instead of needing an after-the-fact re-timing.
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      var x = 0x9E3779B97F4A7C15L
+    // Self-calibration: a fixed CPU-bound task timed at the endpoints
+    // and through the run, plus /proc/loadavg at both ends. On an idle
+    // box all calibration timings agree across runs; a loaded-box
+    // artifact (BENCH_r04: 251 s driver capture vs 168 s committed)
+    // becomes self-evident from an inflated calibration or loadavg
+    // instead of needing an after-the-fact re-timing.
+    def spin(seed: Long): Unit = {
+      var x = seed
       var i = 0
       while (i < 300000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
       if (x == 42L) print("") // keep the loop live under JIT
+    }
+    // single-threaded probe: JIT / clock-speed sanity
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spin(0x9E3779B97F4A7C15L)
       (System.nanoTime() - t0) / 1e9
     }
-    // Calibration SERIES: the fixed single-threaded CPU task is
-    // interleaved every `calibEvery` queries (outside the per-query
-    // timed windows), so a mid-run load spike localizes to the
-    // queries it actually hit — with only endpoint calibration, one
-    // spike invalidated the whole artifact two driver rounds running.
-    // Each entry is (index of the next query in run order, seconds).
-    val calibSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    val calibEvery = 25
-    // two timed passes, report per-query min: single-pass numbers on a
-    // shared machine carry ±80% scheduler noise; min-of-2 is the
-    // repeatable steady-state figure
-    def timed(pass: Int): Map[String, Double] =
-      SparkEntry.queries.zipWithIndex.map { case ((name, fn), i) =>
-        if (i % calibEvery == 0)
-          calibSeries += ((pass * SparkEntry.queries.size + i, calibrate()))
-        val t0 = System.nanoTime()
-        try { run(fn, sfDir) } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        cleanup()
-        name -> dt
-      }.toMap
+    // ALL-CORES probe: one spin thread per configured CPU, wall time.
+    // This is the probe that actually sees what the queries see — the
+    // r6 AND r7 artifacts were inflated by background load that the
+    // 1-thread probe provably could not detect (a competing process
+    // leaves 31 of 32 cores untouched; a 32-way-parallel stage loses
+    // proportional throughput). Idle box: wall ≈ single-thread time;
+    // contended box: wall inflates by the stolen-core fraction.
+    def calibratePar(): Double = {
+      val n = math.max(1, cpus.toInt)
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { t =>
+        val th = new Thread(() => spin(0x9E3779B97F4A7C15L + t))
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     def loadavg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    val (calibFirst, loadStart) = (calibrate(), loadavg())
-    val (r1, r2) = (timed(0), timed(1))
-    val (calibLast, loadEnd) = (calibrate(), loadavg())
-    val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+    // Calibration SERIES: BOTH probes interleaved every `calibEvery`
+    // queries (outside the per-query timed windows), so a mid-run load
+    // spike localizes to the queries it actually hit — with only
+    // endpoint calibration, one spike invalidated the whole artifact
+    // two driver rounds running. Entry: (next-query run-order index,
+    // single-thread secs, all-cores wall secs).
+    val calibEvery = 25
+    final case class Attempt(
+        results: Map[String, Double],
+        series: Seq[(Int, Double, Double)],
+        calibFirst: Double, calibLast: Double,
+        parFirst: Double, parLast: Double,
+        loadStart: Double, loadEnd: Double) {
+      // contention score: spread of the all-cores probe across the
+      // run, ROBUST to a single blip (the probe shares the box with
+      // the bench JVM's own GC/netty threads, which cost one isolated
+      // ~1.4x outlier even on an idle box): second-highest sample over
+      // the median. Flat ≈ 1.0 means no external load touched any
+      // timed segment; sustained pollution (the r6/r7 artifact shape —
+      // many inflated samples) stays far above the threshold.
+      def parRatio: Double = {
+        val ps = (series.map(_._3) ++ Seq(parFirst, parLast)).sorted
+        if (ps.isEmpty || ps.head <= 0) Double.MaxValue
+        else ps(math.max(0, ps.size - 2)) / ps(ps.size / 2)
+      }
+      // loadavg is NOT part of the criterion: the bench's own 32
+      // executor threads dominate it (a heavy final query legitimately
+      // leaves loadavg_end > start+1), so it would flag clean runs.
+      // Both loadavgs stay in the artifact as context; the all-cores
+      // probe directly measures the CPU actually available to the
+      // timed windows, which is the thing that matters.
+      def clean: Boolean = parRatio <= 1.3
+    }
+    // two timed passes per attempt, report per-query min: single-pass
+    // numbers on a shared machine carry ±80% scheduler noise; min-of-2
+    // is the repeatable steady-state figure
+    def attempt(): Attempt = {
+      val series = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+      def timed(pass: Int): Map[String, Double] =
+        SparkEntry.queries.zipWithIndex.map { case ((name, fn), i) =>
+          if (i % calibEvery == 0)
+            series += ((pass * SparkEntry.queries.size + i,
+              calibrate(), calibratePar()))
+          val t0 = System.nanoTime()
+          try { run(fn, sfDir) } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          cleanup()
+          name -> dt
+        }.toMap
+      val (cF, pF, lS) = (calibrate(), calibratePar(), loadavg())
+      val (r1, r2) = (timed(0), timed(1))
+      val (cL, pL, lE) = (calibrate(), calibratePar(), loadavg())
+      Attempt(r1.map { case (k, v) => k -> math.min(v, r2(k)) },
+        series.toSeq, cF, cL, pF, pL, lS, lE)
+    }
+    // COMMIT POLICY (the r6/r7 lesson, now enforced in the harness
+    // itself): if the attempt's all-cores calibration is not flat —
+    // external load polluted some timed segment — rerun the whole
+    // measurement (bounded by SPARK_GRAFT_BENCH_ATTEMPTS, default 2)
+    // and publish the CLEANEST attempt (lowest parallel-probe spread),
+    // never the last one.
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
+    val attempts = scala.collection.mutable.ArrayBuffer(attempt())
+    while (attempts.size < maxAttempts && !attempts.last.clean)
+      attempts += attempt()
+    val best = attempts.minBy(_.parRatio)
+    val results = best.results
+    import best.{calibFirst, calibLast, loadStart, loadEnd}
     // stable key order; scalar fields FIRST, then the 10 slowest, then
     // the full map — a consumer that truncates the line tail still gets
     // the total and the queries that matter; times at 3 decimals keep
@@ -102,13 +166,14 @@ object Bench {
     val total =
       if (results.isEmpty) BigDecimal(0)
       else results.values.map(v => BigDecimal(ms(v))).sum
-    // calib_series: [[queryIndexInRunOrder, seconds], ...] across both
-    // timed passes — a flat series means the whole artifact is clean;
-    // an inflated segment names exactly which queries a load spike hit
-    val series = calibSeries
-      .map { case (i, v) => s"[$i,${ms(v)}]" }.mkString("[", ",", "]")
+    // calib_series: [[queryIndexInRunOrder, 1-thread secs, all-cores
+    // wall secs], ...] across both timed passes of the PUBLISHED
+    // attempt — both series flat means the whole artifact is clean; an
+    // inflated segment names exactly which queries a load spike hit
+    val series = best.series
+      .map { case (i, v, p) => s"[$i,${ms(v)},${ms(p)}]" }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"calib_series":$series,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"slowest":$slow,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","attempts":${attempts.size},"clean":${best.clean},"calib_par_ratio":${ms(best.parRatio)},"calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"calib_par_first_sec":${ms(best.parFirst)},"calib_par_last_sec":${ms(best.parLast)},"calib_series":$series,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"slowest":$slow,"queries":$qs}"""
     // durable copy the driver can read whole even if stdout is capped
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LATEST.json"),

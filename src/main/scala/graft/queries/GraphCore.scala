@@ -58,14 +58,21 @@ private[graft] object GraphCore {
     * not at all); the triangle family derives [[orientedOf]]. */
   def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val items = array_sort(collect_set(col("l_partkey")))
-    Tables.lineitem(s, dir)
+    // canonical (x < y) pairs only — the items array is sorted, so the
+    // indexed slice enumerates each unordered pair once: the distinct
+    // then deduplicates HALF the rows the emit-both-directions form
+    // shuffled (same hash-agg state either way — one row per edge —
+    // but half the exchange volume), and the mirror union after the
+    // dedup is a row-local projection
+    val canon = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey")).agg(items.as("items"))
-      .select(explode(flatten(transform(col("items"), x =>
-        transform(filter(col("items"), y => y =!= x),
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))),
           y => struct(x.as("src"), y.as("dst")))))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+    bidirected(canon.select(col("src").as("pa"), col("dst").as("pb")))
       .localCheckpoint()
   }
 

@@ -989,33 +989,43 @@ object ScaleOps {
          |SELECT id AS part, ROUND(r, 6) AS rank FROM r3""".stripMargin
     },
     "q_pagerank_converged" -> {
+      // MULTI-STATEMENT oracle: each round is a materialized TEMP
+      // TABLE, not a nested CTE — the 12-round unrolled-CTE form made
+      // DuckDB re-derive every upstream round per reference and blew
+      // its temp disk at sf0.1 (~1.3 s as staged tables). The driver's
+      // DuckDB runner executes ';'-separated statements and compares
+      // the final SELECT.
       val cap = prCap
-      val rounds = (1 to cap).map { i =>
-        s"""r$i AS (SELECT ed.dst AS id, 0.15 + 0.85 * SUM(r${i - 1}.r / ed.deg) AS r
-           |  FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.id GROUP BY 1),
-           |d$i AS (SELECT MAX(ABS(a.r - b.r)) AS d
-           |  FROM r$i a JOIN r${i - 1} b ON a.id = b.id)""".stripMargin
-      }.mkString(",\n")
-      val deltaRows = (1 to cap)
-        .map(i => s"($i, (SELECT d FROM d$i))").mkString(", ")
-      val unionAll = (1 to cap)
-        .map(i => s"SELECT $i AS i, id, r FROM r$i").mkString("\n|  UNION ALL ")
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |p AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-         |  FROM li a JOIN li b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-         |e AS (SELECT pa AS src, pb AS dst FROM p
-         |  UNION ALL SELECT pb, pa FROM p),
-         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
-         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src),
-         |r0 AS (SELECT src AS id, 1.0 AS r FROM deg),
-         |$rounds,
-         |ds AS (SELECT * FROM (VALUES $deltaRows) t(i, d)),
-         |stop AS (SELECT CAST(COALESCE(MIN(i), $cap) AS BIGINT) AS n
-         |  FROM ds WHERE d < $prTol),
-         |allr AS ($unionAll)
+      val roundStmts = (1 to cap).map { i =>
+        s"""CREATE OR REPLACE TEMP TABLE pr_r$i AS
+           |  SELECT ed.dst AS id, 0.15 + 0.85 * SUM(p.r / ed.deg) AS r
+           |  FROM pr_ed ed JOIN pr_r${i - 1} p ON ed.src = p.id GROUP BY 1;
+           |CREATE OR REPLACE TEMP TABLE pr_d$i AS
+           |  SELECT $i AS i, MAX(ABS(a.r - b.r)) AS d
+           |  FROM pr_r$i a JOIN pr_r${i - 1} b ON a.id = b.id""".stripMargin
+      }.mkString(";\n")
+      val unionR = (1 to cap)
+        .map(i => s"SELECT $i AS i, id, r FROM pr_r$i").mkString(" UNION ALL ")
+      val unionD = (1 to cap)
+        .map(i => s"SELECT i, d FROM pr_d$i").mkString(" UNION ALL ")
+      s"""CREATE OR REPLACE TEMP TABLE pr_e AS
+         |  WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |  p AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |    FROM li a JOIN li b
+         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+         |  SELECT pa AS src, pb AS dst FROM p UNION ALL SELECT pb, pa FROM p;
+         |CREATE OR REPLACE TEMP TABLE pr_deg AS
+         |  SELECT src, COUNT(*) AS deg FROM pr_e GROUP BY 1;
+         |CREATE OR REPLACE TEMP TABLE pr_ed AS
+         |  SELECT e.src, e.dst, d.deg FROM pr_e e JOIN pr_deg d ON e.src = d.src;
+         |CREATE OR REPLACE TEMP TABLE pr_r0 AS
+         |  SELECT src AS id, 1.0 AS r FROM pr_deg;
+         |$roundStmts;
          |SELECT a.id AS part, ROUND(a.r, 6) AS rank, stop.n AS n_rounds
-         |FROM allr a, stop WHERE a.i = stop.n""".stripMargin
+         |FROM ($unionR) a,
+         |  (SELECT CAST(COALESCE(MIN(i), $cap) AS BIGINT) AS n
+         |   FROM ($unionD) ds WHERE d < $prTol) stop
+         |WHERE a.i = stop.n""".stripMargin
     }
   )
 }

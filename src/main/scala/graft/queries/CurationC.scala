@@ -129,6 +129,70 @@ object CurationC {
           .otherwise(lit(0.0)), 6).as("dup_frac"))
   }
 
+  /** #91c OFFSET-ROBUST exact-substring REMOVAL + reassembly
+    * (`q_substring_dedup_removal`) — the output half at suffix
+    * granularity, completing #91b's detection: spans are enumerated
+    * at EVERY token position (not the 16-grid), the corpus-wide
+    * keeper of each duplicated span is its FIRST occurrence (min
+    * (doc_id, pos) — Lee et al. 2022 keep-one-occurrence), every
+    * other occurrence marks its 16-token interval for removal, and
+    * each document is rebuilt from the tokens no removal interval
+    * covers (overlapping intervals merge implicitly in the coverage
+    * test). A planted off-grid copy therefore collapses to exactly
+    * its 3-token junk prefix — the grid version (#91) would have
+    * returned it untouched.
+    *
+    * Scale shape: this is the one dedup operator that pays
+    * suffix-granularity honestly — n span rows per doc cross the
+    * hash agg (16× the grid's n/16; winnowing CANNOT thin here
+    * because removal needs every duplicated occurrence, not a shared
+    * anchor). Everything else is bounded: one map-side-combining agg
+    * for (df, keeper), one SHUFFLE_HASH join-back, a per-doc removal
+    * position list (≤ n ints), and a ROW-LOCAL coverage rebuild
+    * (filter-with-index + exists over the removal list). At 100 TB
+    * the shuffle is the hashed span stream — the same order as
+    * tokenization itself, and the reason Lee et al.'s exact method
+    * is tractable at corpus scale. */
+  def substringDedupRemoval(s: SparkSession, dir: String): DataFrame = {
+    val W = 16
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val planted = base
+      .filter(pmod(col("doc_id"), lit(10)) === 0 && size(col("toks")) >= 45)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(array(lit("<p0>"), lit("<p1>"), lit("<p2>")),
+          slice(col("toks"), 6, 40)).as("toks"))
+    val docs = base.unionByName(planted)
+    val nPos = greatest(size(col("toks")) - W + 1, lit(0))
+    val spans = when(nPos > 0, transform(sequence(lit(1), nPos),
+      i => struct(i.as("pos"),
+        md5(array_join(slice(col("toks"), i, lit(W)), " ")).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:string>>"))
+    val sp = docs.select(col("doc_id"), explode(spans).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+    val stats = sp.groupBy(col("h")).agg(count(lit(1)).as("df"),
+      min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    val rm = sp.join(stats.hint("shuffle_hash"), "h")
+      .filter(col("df") > 1 && !(col("doc_id") === col("keeper.doc_id") &&
+        col("pos") === col("keeper.pos")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("rmpos"))
+    // row-local coverage rebuild: token (1-based index t) survives iff
+    // no removal interval [p, p+W-1] contains it — overlapping
+    // intervals merge for free in the exists test
+    val kept = filter(col("toks"), (_, idx) =>
+      !exists(col("rmpos"), p =>
+        p <= idx + 1 && idx + 1 <= p + lit(W - 1)))
+    docs.join(rm.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("rmpos", coalesce(col("rmpos"), array().cast("array<int>")))
+      .withColumn("kept", kept)
+      .select(col("doc_id"),
+        nPos.cast("long").as("n_spans"),
+        size(col("rmpos")).cast("long").as("n_rm_spans"),
+        size(col("kept")).cast("long").as("kept_ntok"),
+        md5(array_join(col("kept"), " ")).as("cleaned_hash"))
+  }
+
   /** #92 exact per-source BUDGET SAMPLING — "give me exactly k docs
     * per domain, reproducibly" (the fixed-budget counterpart of #61's
     * rate-based stratified sample): docs ranked by a uniform 32-bit
@@ -444,6 +508,7 @@ object CurationC {
     "q_dsir"            -> dsirWeights _,
     "q_substring_dedup" -> substringDedup _,
     "q_substring_dedup_offsets" -> substringDedupOffsets _,
+    "q_substring_dedup_removal" -> substringDedupRemoval _,
     "q_budget_sample"   -> budgetSample _,
     "q_source_overlap"  -> sourceOverlap _,
     "q_ann_filtered"    -> annFiltered _,
@@ -573,6 +638,40 @@ object CurationC {
         |    THEN COALESCE(n_dup_anchors, 0) / CAST(n_anchors AS DOUBLE)
         |    ELSE 0.0 END, 6) AS dup_frac
         |FROM (SELECT doc_id FROM docs) d LEFT JOIN per USING (doc_id)""".stripMargin,
+    "q_substring_dedup_removal" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |docs AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    list_concat(['<p0>', '<p1>', '<p2>'], toks[6:45]) AS toks
+        |  FROM base WHERE doc_id % 10 = 0 AND len(toks) >= 45),
+        |sp AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+        |    md5(array_to_string(list_slice(toks, t.i, t.i + 15), ' ')) AS h
+        |  FROM docs, UNNEST(range(1, greatest(len(toks) - 15, 0) + 1)) AS t(i)),
+        |rk AS (SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY h) AS df,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM sp),
+        |rm AS (SELECT doc_id, pos FROM rk WHERE df > 1 AND rn > 1),
+        |tok AS (SELECT doc_id, CAST(t.i AS BIGINT) AS ti, toks[t.i] AS tk
+        |  FROM docs, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+        |cov AS (SELECT DISTINCT tok.doc_id, tok.ti FROM tok JOIN rm
+        |  ON tok.doc_id = rm.doc_id AND tok.ti BETWEEN rm.pos AND rm.pos + 15),
+        |keptt AS (SELECT t.doc_id, t.ti, t.tk FROM tok t LEFT JOIN cov c
+        |  ON t.doc_id = c.doc_id AND t.ti = c.ti WHERE c.ti IS NULL),
+        |agg AS (SELECT doc_id, COUNT(*) AS kept_ntok,
+        |    md5(string_agg(tk, ' ' ORDER BY ti)) AS cleaned_hash
+        |  FROM keptt GROUP BY 1),
+        |nr AS (SELECT doc_id, COUNT(*) AS n_rm_spans FROM rm GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(greatest(len(d.toks) - 15, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(nr.n_rm_spans, 0) AS BIGINT) AS n_rm_spans,
+        |  CAST(COALESCE(agg.kept_ntok, 0) AS BIGINT) AS kept_ntok,
+        |  COALESCE(agg.cleaned_hash, md5('')) AS cleaned_hash
+        |FROM docs d LEFT JOIN agg USING (doc_id) LEFT JOIN nr USING (doc_id)""".stripMargin,
     "q_budget_sample" -> {
       val weights = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
       val terms = weights.zipWithIndex.map { case (w, i) =>

@@ -98,7 +98,16 @@ object ScaleProbe {
       // the stored-index absorbs: index build cost ∝ corpus lands in
       // pass 1 (buildIfAbsent); the min-of-2 curve isolates the
       // ABSORB+search path, which must track batch/bucket size
-      "q_dedup_lsh_incremental", "q_index_drift")
+      "q_dedup_lsh_incremental", "q_index_drift",
+      // r8 additions: offset-robust substring dedup — detection thins
+      // to ~n/WIN anchors (near-grid curve expected) while REMOVAL
+      // pays the honest n-spans/doc stream (linear, steeper constant);
+      // the compacted/swap/indexed-bitext gates re-build + probe the
+      // stored indexes, so build ∝ corpus in pass 1 and the min-of-2
+      // curve isolates the probe path
+      "q_substring_dedup_offsets", "q_substring_dedup_removal",
+      "q_dedup_lsh_compacted", "q_index_retrain_swap",
+      "q_bitext_mine_indexed")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

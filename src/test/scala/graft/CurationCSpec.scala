@@ -79,6 +79,63 @@ class CurationCSpec extends AnyFunSuite {
       s"offsets method missed the off-grid duplicate: $by")
   }
 
+  test("substring_dedup_removal: off-grid run removed at suffix granularity, keeper intact") {
+    import spark.implicits._
+    val aToks = (0 until 60).map(i => s"a$i")
+    val bToks = Seq("x0", "x1", "x2") ++ aToks.slice(5, 45)
+    val tiny = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-offrm").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rm = SparkEntry.queries("q_substring_dedup_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // the grid version (#91) would return doc 2 UNTOUCHED (no aligned
+    // span); suffix-granularity removal collapses it to the 3-token
+    // junk prefix, while the keeper (first occurrence, doc 1) keeps
+    // its exact original text
+    val md5a = java.security.MessageDigest.getInstance("MD5")
+      .digest(aToks.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val md5b = java.security.MessageDigest.getInstance("MD5")
+      .digest("x0 x1 x2".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rm(1L) == ((0L, 60L, md5a)), s"keeper doc was touched: ${rm(1L)}")
+    assert(rm(2L)._2 == 3L && rm(2L)._3 == md5b,
+      s"off-grid duplicate run survived removal: ${rm(2L)}")
+  }
+
+  test("substring_dedup_removal: planted copies collapse to their prefix; invariants hold") {
+    val df = SparkEntry.queries("q_substring_dedup_removal")(spark, sf).cache()
+    val planted = df.filter(col("doc_id") >= 1000000L).cache()
+    assert(planted.count() > 0)
+    // every planted copy = 3 junk tokens + a 40-token verbatim run
+    // whose keeper is the source doc — removal strips AT LEAST the
+    // run (kept <= prefix; a copy whose SOURCE doc is itself an exact
+    // duplicate also loses prefix-straddling spans to its twin copy,
+    // hence <= rather than ==), and copies of unique sources keep
+    // exactly the prefix
+    assert(planted.filter(col("kept_ntok") > 3).count() == 0,
+      "a planted copy's duplicated run survived removal")
+    assert(planted.filter(col("kept_ntok") === 3).count() > 0,
+      "no planted copy kept exactly its junk prefix")
+    // untouched docs reassemble to their original text
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val intact = df.filter(col("n_rm_spans") === 0)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("oh"),
+        size(split(col("text"), " ")).cast("long").as("ont")), "doc_id")
+    assert(intact.count() > 0)
+    assert(intact.filter(col("cleaned_hash") =!= col("oh") ||
+      col("kept_ntok") =!= col("ont")).count() == 0)
+    // removal only shrinks
+    assert(df.join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ont")), "doc_id")
+      .filter(col("kept_ntok") > col("ont")).count() == 0)
+    planted.unpersist(); df.unpersist()
+  }
+
   test("substring_dedup_offsets: every planted off-boundary copy is flagged; stats coherent") {
     val df = SparkEntry.queries("q_substring_dedup_offsets")(spark, sf).cache()
     val planted = df.filter(col("doc_id") >= 1000000L).cache()

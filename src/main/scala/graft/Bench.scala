@@ -33,6 +33,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
+      // provoke the ContextCleaner: shuffle files and broadcast blocks
+      // of FINISHED queries are only reclaimed when their dependency
+      // objects are garbage-collected, and in one long-lived JVM that
+      // lags hundreds of queries behind — the accumulated tmpfs
+      // shuffle dirs and block-manager entries are a chunk of the
+      // in-suite vs standalone gap on the heavy graph queries. Runs
+      // OUTSIDE the timed window.
+      System.gc()
     }
     // Warmup at the smallest SF: identical plans → whole-stage codegen
     // classes, shuffle machinery and JIT are hot before timing, so the

@@ -253,4 +253,42 @@ object CurationJob {
       curatedRoot, Seq.empty, Some(batchId))
     disposition
   }
+
+  /** What [[nightly]] touched: the compacted version per chain root
+    * (None = latest was already full, nothing to do) and the
+    * vacuumed versions per root. */
+  final case class Maintenance(
+      compacted: Map[String, Option[Long]],
+      vacuumed: Map[String, Seq[Long]])
+
+  /** NIGHTLY MAINTENANCE — the operational close of the
+    * [[absorbDaily]] loop: every daily batch leaves one more delta
+    * dir on the curated corpus and on BOTH stored-LSH artifact
+    * chains, so after a week every probe resolves a 7-dir chain read.
+    * This job compacts each chain back to ONE full snapshot (a no-op
+    * when the latest is already full — re-running is free) and then
+    * vacuums history beyond `keep` versions (vacuum never drops an
+    * ancestor a retained version's chain still resolves through).
+    * The replay watermark survives compaction
+    * ([[Snapshots.compact]] carries the chain's maxBatchId), so a
+    * re-delivered pre-compaction batch still no-ops afterwards — the
+    * invariant `q_dedup_lsh_compacted` gates end-to-end against the
+    * oracle. Cost: one distributed rewrite per chain that actually
+    * has deltas, metadata otherwise. */
+  def nightly(spark: org.apache.spark.sql.SparkSession,
+      curatedRoot: String, lshRoot: String, keep: Int = 7): Maintenance = {
+    import graft.dedup.LshIndex
+    def compactIfChained(root: String, parts: Seq[String]): (String, Option[Long]) = {
+      val did = Snapshots.latestVersion(root)
+        .filter(v => Snapshots.isDelta(root, v))
+        .map(_ => Snapshots.compact(spark, root, parts))
+      root -> did
+    }
+    val roots = Seq(
+      compactIfChained(curatedRoot, Seq.empty),
+      compactIfChained(LshIndex.bandsRoot(lshRoot), Seq("bmod")),
+      compactIfChained(LshIndex.shinglesRoot(lshRoot), Seq("dmod")))
+    Maintenance(roots.toMap,
+      roots.map { case (r, _) => r -> Snapshots.vacuum(r, keep) }.toMap)
+  }
 }

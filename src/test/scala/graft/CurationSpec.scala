@@ -414,6 +414,44 @@ class CurationSpec extends AnyFunSuite {
     assert(d2.filter(col("doc_id") === 4000000L && col("n_matches") > 0 &&
       col("kept") === 0).count() == 1,
       "day-2 near-dup of a day-1 doc was not caught by the absorbed index")
+
+    // NIGHTLY MAINTENANCE: both days left delta chains on all three
+    // roots — nightly compacts each back to one full snapshot and
+    // vacuums history, with every reader invariant intact
+    val preCount = Snapshots.read(spark, curatedRoot).count()
+    val m = CurationJob.nightly(spark, curatedRoot, lshRoot, keep = 0)
+    assert(m.compacted(curatedRoot).nonEmpty, "curated chain was not compacted")
+    assert(m.compacted(LshIndex.bandsRoot(lshRoot)).nonEmpty &&
+      m.compacted(LshIndex.shinglesRoot(lshRoot)).nonEmpty,
+      "an index chain was not compacted")
+    Seq(curatedRoot, LshIndex.bandsRoot(lshRoot),
+        LshIndex.shinglesRoot(lshRoot)).foreach { r =>
+      assert(!Snapshots.isDelta(r, Snapshots.latestVersion(r).get),
+        s"latest under $r still a delta after nightly")
+    }
+    assert(m.vacuumed(curatedRoot).nonEmpty, "keep=0 vacuum dropped nothing")
+    assert(Snapshots.read(spark, curatedRoot).count() == preCount,
+      "nightly changed the curated corpus contents")
+    // a re-run is free: nothing left to compact, nothing to vacuum
+    val m2 = CurationJob.nightly(spark, curatedRoot, lshRoot, keep = 0)
+    assert(m2.compacted.values.forall(_.isEmpty) &&
+      m2.vacuumed.values.forall(_.isEmpty), "nightly re-run was not a no-op")
+    // the replay watermark survived compaction: a re-delivered day-2
+    // batch still no-ops on every root
+    val cvN = Snapshots.versions(curatedRoot)
+    val bvN = Snapshots.versions(LshIndex.bandsRoot(lshRoot))
+    val d2b = CurationJob.absorbDaily(day2, curatedRoot, lshRoot, batchId = 1L)
+    assert(Snapshots.versions(curatedRoot) == cvN &&
+      Snapshots.versions(LshIndex.bandsRoot(lshRoot)) == bvN,
+      "replayed day re-appended after nightly compaction")
+    assert(d2.exceptAll(d2b).count() == 0 && d2b.exceptAll(d2).count() == 0)
+    // and day 3 still matches THROUGH the compacted index
+    val day3 = Seq((5000000L, freshDoc(2) + " once more with feeling"))
+      .toDF("doc_id", "text")
+    val d3 = CurationJob.absorbDaily(day3, curatedRoot, lshRoot, batchId = 2L)
+    assert(d3.filter(col("doc_id") === 5000000L && col("n_matches") > 0 &&
+      col("kept") === 0).count() == 1,
+      "day-3 near-dup lost its match after nightly maintenance")
     d1.unpersist()
   }
 }

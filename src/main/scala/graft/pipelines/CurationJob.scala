@@ -182,29 +182,51 @@ object CurationJob {
     // the membership prefilter would no longer match the curated
     // artifact it claims to index
     val bloomPath = s"$outRoot/corpus.$runId.bloom"
-    if (!new java.io.File(bloomPath).exists()) {
-      val curated = artifact("curated")
-      val n = curated.count()
-      BloomIndex.save(
-        BloomIndex.build(curated.select(md5(col("text")).as("content_hash")),
-          "content_hash", math.max(n, 1L)),
-        bloomPath)
-      recomputed += s"corpus.$runId.bloom"
+    // Replay guard for the bloom artifact: a RETRIED release of an OLD
+    // runId (all Snapshots stages no-op via commitKeyed, so
+    // `recomputed` is empty) must not rebuild a bloom a NEWER release
+    // already pruned, delete the current release's bloom, or roll the
+    // `latest` marker backwards — the marker's last writer is by
+    // construction the most recent successful release, so when it
+    // names a DIFFERENT runId whose artifact is still present, this
+    // run is a superseded replay and the whole bloom step is skipped.
+    // A genuinely NEW release always recomputes its stages, so it is
+    // never mistaken for a replay.
+    def marker(): Option[String] = {
+      val p = Paths.get(s"$outRoot/corpus.bloom.latest")
+      if (Files.exists(p))
+        Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+      else None
     }
-    // retention: superseded runs' blooms are dead weight (one file per
-    // distinct input/budget, never read again once this release wins);
-    // prune them on successful release, and repoint a small `latest`
-    // marker so fixed-path consumers discover the current artifact
-    // instead of silently reading a stale one
-    val outDir = new java.io.File(outRoot)
-    Option(outDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("corpus.") && f.getName.endsWith(".bloom")
-        && f.getName != s"corpus.$runId.bloom")
-      .foreach(_.delete())
-    val latestTmp = Paths.get(s"$outRoot/corpus.bloom.latest.tmp")
-    Files.write(latestTmp, s"corpus.$runId.bloom".getBytes(StandardCharsets.UTF_8))
-    Files.move(latestTmp, Paths.get(s"$outRoot/corpus.bloom.latest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val superseded = !new java.io.File(bloomPath).exists() &&
+      recomputed.result().isEmpty &&
+      marker().exists(m => m != s"corpus.$runId.bloom" &&
+        new java.io.File(s"$outRoot/$m").exists())
+    if (!superseded) {
+      if (!new java.io.File(bloomPath).exists()) {
+        val curated = artifact("curated")
+        val n = curated.count()
+        BloomIndex.save(
+          BloomIndex.build(curated.select(md5(col("text")).as("content_hash")),
+            "content_hash", math.max(n, 1L)),
+          bloomPath)
+        recomputed += s"corpus.$runId.bloom"
+      }
+      // retention: superseded runs' blooms are dead weight (one file per
+      // distinct input/budget, never read again once this release wins);
+      // prune them on successful release, and repoint a small `latest`
+      // marker so fixed-path consumers discover the current artifact
+      // instead of silently reading a stale one
+      val outDir = new java.io.File(outRoot)
+      Option(outDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("corpus.") && f.getName.endsWith(".bloom")
+          && f.getName != s"corpus.$runId.bloom")
+        .foreach(_.delete())
+      val latestTmp = Paths.get(s"$outRoot/corpus.bloom.latest.tmp")
+      Files.write(latestTmp, s"corpus.$runId.bloom".getBytes(StandardCharsets.UTF_8))
+      Files.move(latestTmp, Paths.get(s"$outRoot/corpus.bloom.latest"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     Release(versions.toMap, recomputed.result(), runId, bloomPath)
   }
 
@@ -254,12 +276,8 @@ object CurationJob {
     disposition
   }
 
-  /** What [[nightly]] touched: the compacted version per chain root
-    * (None = latest was already full, nothing to do) and the
-    * vacuumed versions per root. */
-  final case class Maintenance(
-      compacted: Map[String, Option[Long]],
-      vacuumed: Map[String, Seq[Long]])
+  /** What [[nightly]] touched — see [[Snapshots.Maintenance]]. */
+  type Maintenance = Snapshots.Maintenance
 
   /** NIGHTLY MAINTENANCE — the operational close of the
     * [[absorbDaily]] loop: every daily batch leaves one more delta
@@ -274,21 +292,35 @@ object CurationJob {
     * re-delivered pre-compaction batch still no-ops afterwards — the
     * invariant `q_dedup_lsh_compacted` gates end-to-end against the
     * oracle. Cost: one distributed rewrite per chain that actually
-    * has deltas, metadata otherwise. */
+    * has deltas, metadata otherwise.
+    *
+    * A deployment that also runs the STREAMING absorb loop
+    * ([[graft.streaming.DocsStream.absorbNearDups]]) passes its
+    * `matchesRoot` — the landed-matches chain grows one delta per
+    * micro-batch and is compacted here; one that ingests EMBEDDINGS
+    * ([[graft.similarity.VectorIndex.assignBatch]]/`encodeBatchPq`)
+    * passes its index root via `vectorRoot` and the vector families'
+    * chains (IVF assignments, PQ codes) are maintained in the same
+    * pass ([[graft.similarity.VectorIndex.nightly]] standalone covers
+    * the index-only deployment). */
   def nightly(spark: org.apache.spark.sql.SparkSession,
-      curatedRoot: String, lshRoot: String, keep: Int = 7): Maintenance = {
+      curatedRoot: String, lshRoot: String, keep: Int = 7,
+      matchesRoot: Option[String] = None,
+      vectorRoot: Option[String] = None): Maintenance = {
     import graft.dedup.LshIndex
-    def compactIfChained(root: String, parts: Seq[String]): (String, Option[Long]) = {
-      val did = Snapshots.latestVersion(root)
-        .filter(v => Snapshots.isDelta(root, v))
-        .map(_ => Snapshots.compact(spark, root, parts))
-      root -> did
-    }
-    val roots = Seq(
-      compactIfChained(curatedRoot, Seq.empty),
-      compactIfChained(LshIndex.bandsRoot(lshRoot), Seq("bmod")),
-      compactIfChained(LshIndex.shinglesRoot(lshRoot), Seq("dmod")))
-    Maintenance(roots.toMap,
-      roots.map { case (r, _) => r -> Snapshots.vacuum(r, keep) }.toMap)
+    import graft.similarity.VectorIndex
+    Snapshots.maintain(spark,
+      Seq(
+        curatedRoot -> Seq.empty,
+        LshIndex.bandsRoot(lshRoot) -> Seq("bmod"),
+        LshIndex.shinglesRoot(lshRoot) -> Seq("dmod")) ++
+        matchesRoot.map(_ -> Seq.empty[String]).toSeq ++
+        vectorRoot.toSeq.flatMap(r => Seq(
+          VectorIndex.assignmentsRoot(r) -> Seq("bucket"),
+          VectorIndex.pqCodesRoot(r) -> Seq.empty[String],
+          VectorIndex.centroidsRoot(r) -> Seq.empty[String],
+          VectorIndex.statsRoot(r) -> Seq.empty[String],
+          VectorIndex.pqCodebookRoot(r) -> Seq.empty[String])),
+      keep)
   }
 }

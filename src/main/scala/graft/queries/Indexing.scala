@@ -468,6 +468,35 @@ object Indexing {
       batchId = 1L)
   }
 
+  /** #215 PQ-CODES DELTA-CHAIN COMPACTION (`q_ann_pq_compacted`) —
+    * the last asymmetric cell in the maintenance matrix (#210 gated
+    * the IVF assignments chain, #212 the LSH text chains; #208's
+    * daily `encodeBatchPq` deltas grew the codes chain forever with
+    * no gate): build the PQ index on the BASE corpus, delta-absorb
+    * the planted batch, run [[graft.similarity.VectorIndex.nightly]]
+    * — the vector families' maintenance entry point, which compacts
+    * the codes chain back to ONE full snapshot and vacuums — and the
+    * ADC search over the COMPACTED codes must answer #208's oracle
+    * UNCHANGED (compaction invisible to every reader, including the
+    * replay watermark: [[graft.sources.Snapshots.compact]] carries
+    * maxBatchId, VectorIndexSpec pins the re-delivered batch
+    * no-oping post-compaction). Own root suffix so sibling gates stay
+    * order-independent. */
+  def annPqCompacted(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    val isBatch = pmod(col("vec_id"), lit(10)) === 7
+    def vecs(df: DataFrame) = df.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val baseRaw = raw.filter(!isBatch)
+    val root = VectorIndex.defaultRoot(baseRaw, seedK = 8, iters = 2) + "-pqcompact"
+    VectorIndex.buildPqIfAbsent(vecs(baseRaw), root)
+    VectorIndex.encodeBatchPq(s, root, vecs(raw.filter(isBatch)), batchId = 0L)
+    VectorIndex.nightly(s, root)
+    val queries = vecs(baseRaw).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v"))
+    VectorIndex.adcTopKStored(s, root, queries, k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
@@ -481,7 +510,8 @@ object Indexing {
     "q_dedup_lsh_chained"     -> dedupLshChained _,
     "q_dedup_lsh_compacted"   -> dedupLshCompacted _,
     "q_index_retrain_swap"    -> indexRetrainSwap _,
-    "q_bitext_mine_indexed"   -> bitextMineIndexed _
+    "q_bitext_mine_indexed"   -> bitextMineIndexed _,
+    "q_ann_pq_compacted"      -> annPqCompacted _
   )
 
   private val cosSql =
@@ -799,7 +829,42 @@ object Indexing {
          |SELECT n_batch, mean_ccos_batch, mean_ccos_build,
          |  ROUND(mean_ccos_build - mean_ccos_batch, 6) AS drift
          |FROM nb, bb""".stripMargin,
-    "q_ann_pq_incremental" ->
+    "q_ann_pq_incremental" -> annPqIncrementalOracleSql,
+    // the compacted codes chain answers the SAME oracle as the
+    // chained one — compaction must be invisible to every reader
+    "q_ann_pq_compacted" -> annPqIncrementalOracleSql,
+    "q_bitext_mine" ->
+      s"""WITH lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+         |e AS (SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS v, lg.lang
+         |  FROM embeddings e0 JOIN lg USING (vec_id)),
+         |en AS (SELECT vec_id, v FROM e WHERE lang = 'en'),
+         |de AS (SELECT vec_id, v FROM e WHERE lang = 'de'),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM en WHERE vec_id < 50),
+         |fs AS (SELECT q.q_id, de.vec_id AS n_id,
+         |    ${cosSql("q.qv", "de.v")} AS cos
+         |  FROM q, de),
+         |fwd AS (SELECT q_id, n_id, cos FROM fs
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 4),
+         |xm AS (SELECT q_id, ROUND(AVG(cos), 6) AS xm FROM fwd GROUP BY 1),
+         |ys AS (SELECT DISTINCT n_id FROM fwd),
+         |rs AS (SELECT ys.n_id, en.vec_id AS b_id,
+         |    ${cosSql("de.v", "en.v")} AS cos
+         |  FROM ys JOIN de ON de.vec_id = ys.n_id, en),
+         |rev AS (SELECT n_id, b_id, cos FROM rs
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY cos DESC, b_id) <= 4),
+         |ym AS (SELECT n_id, ROUND(AVG(cos), 6) AS ym FROM rev GROUP BY 1)
+         |SELECT fwd.q_id AS en_id, fwd.n_id AS de_id, fwd.cos,
+         |  ROUND(fwd.cos / ((xm.xm + ym.ym) / 2.0), 6) AS margin_score
+         |FROM fwd JOIN xm USING (q_id) JOIN ym USING (n_id)
+         |ORDER BY margin_score DESC, en_id, de_id
+         |LIMIT 20""".stripMargin
+  )
+
+  /** DuckDB replay of #208 (and #215, which must answer it
+    * unchanged): train the PQ codebook on the base corpus, encode ALL
+    * vectors against it (≡ build ∪ absorb — both encode against the
+    * same stored codebook), ADC top-3. */
+  private lazy val annPqIncrementalOracleSql: String =
       """WITH ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sub AS (SELECT vec_id, m, v[(m*8 + 1):(m*8 + 8)] AS sv
         |  FROM ea, (SELECT unnest(range(0, 8)) AS m)),
@@ -834,31 +899,5 @@ object Indexing {
         |r AS (SELECT q_id, vec_id, adist, ROW_NUMBER() OVER (
         |    PARTITION BY q_id ORDER BY adist, vec_id) AS rank FROM ad)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS n_id, adist
-        |FROM r WHERE rank <= 3""".stripMargin,
-    "q_bitext_mine" ->
-      s"""WITH lg AS (SELECT doc_id AS vec_id, lang FROM documents),
-         |e AS (SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS v, lg.lang
-         |  FROM embeddings e0 JOIN lg USING (vec_id)),
-         |en AS (SELECT vec_id, v FROM e WHERE lang = 'en'),
-         |de AS (SELECT vec_id, v FROM e WHERE lang = 'de'),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM en WHERE vec_id < 50),
-         |fs AS (SELECT q.q_id, de.vec_id AS n_id,
-         |    ${cosSql("q.qv", "de.v")} AS cos
-         |  FROM q, de),
-         |fwd AS (SELECT q_id, n_id, cos FROM fs
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 4),
-         |xm AS (SELECT q_id, ROUND(AVG(cos), 6) AS xm FROM fwd GROUP BY 1),
-         |ys AS (SELECT DISTINCT n_id FROM fwd),
-         |rs AS (SELECT ys.n_id, en.vec_id AS b_id,
-         |    ${cosSql("de.v", "en.v")} AS cos
-         |  FROM ys JOIN de ON de.vec_id = ys.n_id, en),
-         |rev AS (SELECT n_id, b_id, cos FROM rs
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY cos DESC, b_id) <= 4),
-         |ym AS (SELECT n_id, ROUND(AVG(cos), 6) AS ym FROM rev GROUP BY 1)
-         |SELECT fwd.q_id AS en_id, fwd.n_id AS de_id, fwd.cos,
-         |  ROUND(fwd.cos / ((xm.xm + ym.ym) / 2.0), 6) AS margin_score
-         |FROM fwd JOIN xm USING (q_id) JOIN ym USING (n_id)
-         |ORDER BY margin_score DESC, en_id, de_id
-         |LIMIT 20""".stripMargin
-  )
+        |FROM r WHERE rank <= 3""".stripMargin
 }

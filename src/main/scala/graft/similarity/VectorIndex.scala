@@ -102,6 +102,33 @@ object VectorIndex {
     newRoot
   }
 
+  /** NIGHTLY MAINTENANCE for the vector families — the operational
+    * close of [[assignBatch]]/[[encodeBatchPq]]'s daily-ingest loops,
+    * completing the maintenance matrix (curated corpus and LSH text
+    * chains are [[graft.pipelines.CurationJob.nightly]]'s; this covers
+    * the two chains an EMBEDDING-ingest deployment grows): every daily
+    * batch leaves one more delta dir on the `bucket=`-partitioned IVF
+    * assignments and on the PQ codes table, so after a week every
+    * probe/ADC scan resolves a 7-dir chain read. Compacts each chain
+    * back to ONE full snapshot when its latest is a delta (re-running
+    * is free) and vacuums history beyond `keep` on every artifact
+    * root, including the full-commit-only ones (centroids, stats,
+    * codebook — rebuilt roots accrue versions too). The replay
+    * watermark survives compaction ([[graft.sources.Snapshots.compact]]
+    * carries the chain's maxBatchId — a re-delivered pre-compaction
+    * batch still no-ops; `q_ann_pq_compacted` gates the codes chain
+    * end-to-end, `q_ann_ivf_compacted` the assignments chain). */
+  def nightly(spark: SparkSession, root: String,
+      keep: Int = 7): Snapshots.Maintenance =
+    Snapshots.maintain(spark,
+      Seq(
+        assignmentsRoot(root) -> Seq("bucket"),
+        pqCodesRoot(root) -> Seq.empty,
+        centroidsRoot(root) -> Seq.empty,
+        statsRoot(root) -> Seq.empty,
+        pqCodebookRoot(root) -> Seq.empty),
+      keep)
+
   // ---------------------------------------------------------------- IVF
 
   /** ROW-LOCAL nearest-centroid assignment: the centroid table is

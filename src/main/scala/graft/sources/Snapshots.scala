@@ -152,9 +152,7 @@ object Snapshots {
       // commitAppend's replay check reads the LATEST version's
       // batchId, so a compact that dropped it would let a re-delivered
       // old batch append AGAIN on top of data that already contains it
-      val maxBatch = chainVersions(root, latest).filterNot(isKeyed(root, _))
-        .flatMap(batchIdOf(root, _))
-        .reduceOption(_ max _)
+      val maxBatch = monotoneChainMax(root, chainVersions(root, latest))
       commitInternal(read(spark, root), root, maxBatch, partitionCols)
     }
   }
@@ -200,6 +198,26 @@ object Snapshots {
         .contains("\"keyed\":true")
   }
 
+  /** Monotone batch ids are small counters (micro-batch ids, day
+    * indexes); [[commitKeyed]] fingerprints are ~uniform 64-bit
+    * values. Keyed manifests written BEFORE the `"keyed":true` marker
+    * existed carry no marker, so every legacy-chain watermark fallback
+    * additionally treats an implausibly large |batchId| as keyed — a
+    * real monotone id can never approach 2^40, while a random 64-bit
+    * fingerprint exceeds it with probability 1 - 2^-23. Without this,
+    * a pre-marker keyed first-root commit still poisons the watermark
+    * the marker was introduced to protect. */
+  private val MaxPlausibleMonotoneId = 1L << 40
+
+  /** Max MONOTONE batch id across `vs` — keyed versions excluded by
+    * marker, legacy keyed versions excluded by the plausibility
+    * bound. */
+  private def monotoneChainMax(root: String, vs: Seq[Long]): Option[Long] =
+    vs.filterNot(isKeyed(root, _))
+      .flatMap(batchIdOf(root, _))
+      .filter(b => math.abs(b) <= MaxPlausibleMonotoneId)
+      .reduceOption(_ max _)
+
   /** The HISTORY-WIDE max monotone batch id as of version `v` — the
     * replay-guard watermark [[commitBatch]]/[[commitAppend]] check.
     * Every commit carries the running max forward in its manifest
@@ -215,10 +233,9 @@ object Snapshots {
       .map(_.group(1).toLong)
       // legacy fallback: only MONOTONE batch ids count toward the
       // watermark — a keyed fingerprint in the chain is an identity,
-      // not an ordering
-      .orElse(chainVersions(root, v).filterNot(isKeyed(root, _))
-        .flatMap(batchIdOf(root, _))
-        .reduceOption(_ max _))
+      // not an ordering (pre-marker keyed commits are caught by the
+      // plausibility bound in monotoneChainMax)
+      .orElse(monotoneChainMax(root, chainVersions(root, v)))
   }
 
   private def commitInternal(df: DataFrame, root: String, batchId: Option[Long],
@@ -286,6 +303,36 @@ object Snapshots {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** What [[maintain]] touched: the compacted version per chain root
+    * (None = latest was already full or the root is empty — nothing
+    * to do) and the vacuumed versions per root. */
+  final case class Maintenance(
+      compacted: Map[String, Option[Long]],
+      vacuumed: Map[String, Seq[Long]])
+
+  /** NIGHTLY CHAIN MAINTENANCE over a set of snapshot roots — the
+    * shared machinery behind [[graft.pipelines.CurationJob.nightly]]
+    * and [[graft.similarity.VectorIndex.nightly]]: for each
+    * (root, partitionCols) whose latest version is a delta, [[compact]]
+    * the chain back to ONE full snapshot (re-running is free — a full
+    * latest is a no-op), then [[vacuum]] history beyond `keep`
+    * versions. Roots with no committed version are skipped, so a
+    * caller can list every chain its deployment MIGHT grow. The
+    * replay watermark survives throughout ([[compact]] carries the
+    * chain's maxBatchId). Cost: one distributed rewrite per chain
+    * that actually has deltas, metadata otherwise. */
+  def maintain(spark: SparkSession, roots: Seq[(String, Seq[String])],
+      keep: Int = 7): Maintenance = {
+    val done = roots.map { case (root, parts) =>
+      val did = latestVersion(root)
+        .filter(v => isDelta(root, v))
+        .map(_ => compact(spark, root, parts))
+      root -> did
+    }
+    Maintenance(done.toMap,
+      done.map { case (r, _) => r -> vacuum(r, keep) }.toMap)
+  }
+
   /** Retention: drop all snapshots older than `keep` versions behind
     * latest (never the pointer target), manifest first so a crashed
     * vacuum leaves data-without-manifest (invisible), not the
@@ -304,9 +351,13 @@ object Snapshots {
     // a retained delta's full-snapshot base, making chainVersions
     // throw; such a version is already unreadable, so skip it (its own
     // manifest still counts as protected) instead of failing the whole
-    // vacuum forever
+    // vacuum forever. ONLY that broken-chain IllegalArgumentException
+    // is tolerated — a transient I/O failure reading a manifest must
+    // propagate, or a healthy retained chain would silently lose its
+    // protection and vacuum would delete its live full-snapshot base.
     val protectedChain = retained.flatMap(v =>
-      scala.util.Try(chainVersions(root, v)).getOrElse(Seq(v))).toSet
+      try chainVersions(root, v)
+      catch { case _: IllegalArgumentException => Seq(v) }).toSet
     val drop = versions(root).filter(v =>
       v < cutoff && v != latest && !protectedChain(v))
     drop.foreach { v =>

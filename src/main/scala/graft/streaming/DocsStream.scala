@@ -158,15 +158,25 @@ object DocsStream {
     * Per-micro-batch cost is [[graft.dedup.LshIndex.absorbBatch]]'s
     * O(batch + candidates) with partition-pruned stored reads — the
     * corpus is never re-signed, so the loop runs forever on an
-    * unbounded crawl. */
+    * unbounded crawl.
+    *
+    * `checkpoint` is REQUIRED, not optional: the exactly-once story
+    * rests on micro-batch ids replaying monotonically, and a query
+    * restarted WITHOUT its checkpoint restarts ids at 0 — every
+    * genuinely new batch would then sit below the stored replay
+    * watermark and silently no-op on both roots (data loss that looks
+    * healthy). Forcing the caller to name a checkpoint location makes
+    * the unsafe restart impossible to reach by default. */
   def absorbNearDups(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, root: String, matchesRoot: String,
-      checkpoint: Option[String] = None):
+      checkpoint: String):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.dedup.LshIndex
     import graft.sources.Snapshots
-    val w = docs.writeStream
+    require(checkpoint.nonEmpty, "absorbNearDups needs a checkpoint location")
+    docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         val matches = LshIndex.absorbBatch(spark, root,
           df.select(col("doc_id"), col("text")), id)
@@ -176,7 +186,7 @@ object DocsStream {
           Snapshots.commitAppend(matches, matchesRoot, batchId = Some(id))
         ()
       }
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+      .start()
   }
 
   /** Streaming TRENDING TERMS: watermarked tumbling-window term

@@ -260,6 +260,18 @@ class CurationSpec extends AnyFunSuite {
     assert(blooms.toSeq == Seq(s"corpus.${r3.runId}.bloom"),
       s"stale blooms survive release: ${blooms.mkString(",")}")
     assert(latestBloom() == s"corpus.${r3.runId}.bloom")
+    // STALE REPLAY of the superseded release: a retried r1 (its
+    // stages all no-op, its bloom already pruned by r3) must not
+    // rebuild the old bloom, delete r3's, or roll the marker back
+    val r1replay = graft.pipelines.CurationJob.release(docs, out)
+    assert(r1replay.versions == r1.versions && r1replay.recomputed.isEmpty,
+      "stale replay recomputed artifacts")
+    val bloomsAfter = new java.io.File(out).listFiles()
+      .map(_.getName).filter(n => n.startsWith("corpus.") && n.endsWith(".bloom"))
+    assert(bloomsAfter.toSeq == Seq(s"corpus.${r3.runId}.bloom"),
+      s"stale replay disturbed the winner's bloom: ${bloomsAfter.mkString(",")}")
+    assert(latestBloom() == s"corpus.${r3.runId}.bloom",
+      "stale replay rolled the latest marker backwards")
   }
 
   test("CurationJob: empty-after-quality input completes with empty artifacts") {

@@ -239,6 +239,27 @@ class SnapshotsSpec extends AnyFunSuite {
       root, key = Long.MaxValue - 17) == (0L, false))
   }
 
+  test("LEGACY keyed-first root (manifest predates the keyed marker): watermark still clean") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val (v0, _) = Snapshots.commitKeyed(
+      (1L to 4L).toDF("id"), root, key = Long.MaxValue - 31)
+    // simulate a manifest written BEFORE the "keyed":true marker
+    // existed: strip the marker, leaving only the huge batchId
+    val m = Paths.get(s"$root/manifests/v$v0.json")
+    Files.writeString(m,
+      Files.readString(m).replace(""","keyed":true""", ""))
+    assert(!Snapshots.isKeyed(root, v0))
+    // the legacy fallback must still refuse the implausibly large id
+    // as a monotone watermark — else every later append no-ops
+    assert(Snapshots.maxBatchIdOf(root, v0).isEmpty,
+      "pre-marker keyed fingerprint poisoned the legacy watermark")
+    assert(Snapshots.commitAppend(Seq(5L).toDF("id"), root,
+      Seq.empty, Some(0L)) == 1L,
+      "append after LEGACY keyed-first root was dropped")
+    assert(Snapshots.read(spark, root).count() == 5)
+  }
+
   test("vacuum progresses on legacy-damaged roots (broken retained chain)") {
     import spark.implicits._
     val root = tmpRoot()

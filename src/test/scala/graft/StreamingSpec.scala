@@ -774,7 +774,7 @@ class StreamingSpec extends AnyFunSuite {
     LshIndex.build(corpus, sroot)
     val mem = MemoryStream[(Long, String)]
     val q = graft.streaming.DocsStream.absorbNearDups(spark,
-      mem.toDF().toDF("doc_id", "text"), sroot, mroot)
+      mem.toDF().toDF("doc_id", "text"), sroot, mroot, s"$sroot/ckpt")
     mem.addData(b1); q.processAllAvailable()
     mem.addData(b2); q.processAllAvailable()
     q.stop()

@@ -280,4 +280,48 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(Snapshots.versions(VectorIndex.centroidsRoot(root2)) == cv,
       "retried retrainSwap re-trained")
   }
+
+  test("nightly: every vector chain compacts invisibly, watermark survives, re-run free") {
+    val root = freshRoot()
+    val isBatch = pmod(col("vec_id"), lit(10)) === 7
+    val base = vecs.filter(!isBatch)
+    val batch = vecs.filter(isBatch)
+    // grow BOTH delta chains a nightly job must maintain
+    VectorIndex.build(base, root, seedK = 8, iters = 2)
+    VectorIndex.buildPq(base, root)
+    VectorIndex.assignBatch(spark, root, batch, batchId = 0L)
+    VectorIndex.encodeBatchPq(spark, root, batch, batchId = 0L)
+    val (aroot, croot) =
+      (VectorIndex.assignmentsRoot(root), VectorIndex.pqCodesRoot(root))
+    assert(Snapshots.isDelta(aroot, Snapshots.latestVersion(aroot).get))
+    assert(Snapshots.isDelta(croot, Snapshots.latestVersion(croot).get))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v"))
+    val ivfBefore = VectorIndex.ivfTopKStored(spark, root,
+      queries.withColumnRenamed("v", "qv"), k = 3, nprobe = 2).collect().toSet
+    val adcBefore = VectorIndex.adcTopKStored(spark, root, queries, k = 3)
+      .collect().toSet
+    val m = VectorIndex.nightly(spark, root)
+    // both grown chains compacted; full-commit-only roots untouched
+    assert(m.compacted(aroot).nonEmpty && m.compacted(croot).nonEmpty)
+    assert(m.compacted(VectorIndex.centroidsRoot(root)).isEmpty)
+    assert(!Snapshots.isDelta(aroot, Snapshots.latestVersion(aroot).get))
+    assert(!Snapshots.isDelta(croot, Snapshots.latestVersion(croot).get))
+    // compaction is invisible to BOTH search paths
+    val ivfAfter = VectorIndex.ivfTopKStored(spark, root,
+      queries.withColumnRenamed("v", "qv"), k = 3, nprobe = 2).collect().toSet
+    val adcAfter = VectorIndex.adcTopKStored(spark, root, queries, k = 3)
+      .collect().toSet
+    assert(ivfAfter == ivfBefore, "nightly changed the IVF answer")
+    assert(adcAfter == adcBefore, "nightly changed the ADC answer")
+    // the replay watermark survives compaction on both chains
+    val (av, cvv) = (Snapshots.versions(aroot), Snapshots.versions(croot))
+    VectorIndex.assignBatch(spark, root, batch, batchId = 0L)
+    VectorIndex.encodeBatchPq(spark, root, batch, batchId = 0L)
+    assert(Snapshots.versions(aroot) == av && Snapshots.versions(croot) == cvv,
+      "re-delivered batch re-appended after nightly compaction")
+    // re-running nightly is free: latest is full everywhere
+    val m2 = VectorIndex.nightly(spark, root)
+    assert(m2.compacted.values.forall(_.isEmpty), "nightly re-run recompacted")
+  }
 }

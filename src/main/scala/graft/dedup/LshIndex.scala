@@ -39,8 +39,9 @@ import graft.sources.Snapshots
 object LshIndex {
 
   /** Bump when build semantics change: a [[defaultRoot]] from an
-    * older layout can then never be silently reused. */
-  val layoutVersion = 1
+    * older layout can then never be silently reused. (2: build also
+    * stores the banding parameters and the `stats` drift baseline.) */
+  val layoutVersion = 2
 
   /** Hash-partition fanout of the band artifact (`bmod=` dirs) and
     * the shingle artifact (`dmod=` dirs). Partition-pruning probe
@@ -54,16 +55,33 @@ object LshIndex {
 
   def bandsRoot(root: String): String = s"$root/bands"
   def shinglesRoot(root: String): String = s"$root/shingles"
+  def statsRoot(root: String): String = s"$root/stats"
 
   /** Deterministic index root for a corpus: keyed on an
     * order-independent content fingerprint (an index built from
-    * DIFFERENT data at the same path is never reused) plus
-    * [[layoutVersion]]. One map-side-combined scan. */
-  def defaultRoot(docs: DataFrame): String = {
+    * DIFFERENT data at the same path is never reused), the banding
+    * parameters (a re-banded index is a DIFFERENT index — the #194
+    * sweep's whole point), and [[layoutVersion]]. One
+    * map-side-combined scan. */
+  def defaultRoot(docs: DataFrame, rowsPerBand: Int = 2): String = {
     val fp = docs.agg(
       bit_xor(xxhash64(col("doc_id"), col("text"))).as("h"),
       count(lit(1)).as("n")).head()
-    s"/tmp/graft-lshindex/v$layoutVersion/${fp.getLong(0)}-${fp.getLong(1)}"
+    s"/tmp/graft-lshindex/v$layoutVersion/r$rowsPerBand-${fp.getLong(0)}-${fp.getLong(1)}"
+  }
+
+  /** The banding parameter a root was built with — stored in a
+    * `_params` file at build time so every probe/absorb against the
+    * root signs its batch with the MATCHING band structure (a probe
+    * banded differently would silently find nothing). Roots from
+    * before the file existed default to the original
+    * rows-per-band = 2. */
+  def rowsPerBandOf(root: String): Int = {
+    val p = java.nio.file.Paths.get(s"$root/_params")
+    if (!java.nio.file.Files.exists(p)) 2
+    else "\"rowsPerBand\":(\\d+)".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1).toInt).getOrElse(2)
   }
 
   private def bmodCol: Column =
@@ -72,9 +90,10 @@ object LshIndex {
 
   /** Row-local band keys of a (doc_id, text) frame: MinHash
     * signatures → banded bucket keys → partition tag. No shuffle. */
-  private[graft] def bandsOf(docs: DataFrame): DataFrame =
+  private[graft] def bandsOf(docs: DataFrame, rowsPerBand: Int = 2): DataFrame =
     TextDedup.bandKeys(
-      TextDedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+      TextDedup.minhashSignatures(docs, "doc_id", "text"), "doc_id",
+      rowsPerBand = rowsPerBand)
       .withColumn("bmod", bmodCol)
 
   /** Row-local hashed distinct shingle sets (the
@@ -87,19 +106,123 @@ object LshIndex {
       dmodOf(col("doc_id")).as("dmod"))
 
   /** Sign the corpus once and persist both artifacts (hash-partition
-    * dirs so future probes prune). Returns (bandsVersion,
-    * shinglesVersion). */
-  def build(docs: DataFrame, root: String): (Long, Long) = (
-    Snapshots.commitPartitioned(bandsOf(docs), bandsRoot(root), Seq("bmod")),
-    Snapshots.commitPartitioned(shinglesOf(docs), shinglesRoot(root), Seq("dmod")))
+    * dirs so future probes prune), the banding `_params`, and the
+    * `stats` DRIFT BASELINE — the build-time band-collision rate
+    * ([[absorbDrift]] compares a future batch against it): the
+    * fraction of corpus docs sharing at least one (band, bucket) with
+    * another corpus doc. Computed FROM the committed artifact (no
+    * second signing pass); null buckets (docs too short to shingle)
+    * are excluded — they never join in a probe either. Returns
+    * (bandsVersion, shinglesVersion). */
+  def build(docs: DataFrame, root: String, rowsPerBand: Int = 2): (Long, Long) = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_params"),
+      s"""{"k":8,"rowsPerBand":$rowsPerBand}""")
+    val bv = Snapshots.commitPartitioned(bandsOf(docs, rowsPerBand),
+      bandsRoot(root), Seq("bmod"))
+    val sv = Snapshots.commitPartitioned(shinglesOf(docs),
+      shinglesRoot(root), Seq("dmod"))
+    val spark = docs.sparkSession
+    val bands = Snapshots.read(spark, bandsRoot(root))
+    val bucketSizes = bands.filter(col("bucket").isNotNull)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+    val collided = bands.filter(col("bucket").isNotNull)
+      .join(bucketSizes.filter(col("n") > 1).hint("shuffle_hash"),
+        Seq("band", "bucket"))
+      .agg(count_distinct(col("doc_id")).as("n_coll"))
+    val total = bands.agg(count_distinct(col("doc_id")).as("n_docs"))
+    Snapshots.commit(
+      total.crossJoin(collided)
+        .select(col("n_docs"),
+          round(col("n_coll").cast("double") / col("n_docs"), 6)
+            .as("coll_frac")),
+      statsRoot(root))
+    (bv, sv)
+  }
 
-  /** Idempotent build: a no-op when both artifacts already exist —
+  /** Idempotent build: a no-op when every artifact already exists —
     * the nightly-job contract (a retried run never re-signs). */
-  def buildIfAbsent(docs: DataFrame, root: String): Unit =
+  def buildIfAbsent(docs: DataFrame, root: String, rowsPerBand: Int = 2): Unit =
     if (Snapshots.latestVersion(bandsRoot(root)).isEmpty ||
-        Snapshots.latestVersion(shinglesRoot(root)).isEmpty) {
-      build(docs, root); ()
+        Snapshots.latestVersion(shinglesRoot(root)).isEmpty ||
+        Snapshots.latestVersion(statsRoot(root)).isEmpty) {
+      build(docs, root, rowsPerBand); ()
     }
+
+  /** RETRAIN-AND-SWAP for the text index — the operational response
+    * to a [[graft.queries.TrainingD]] #194 banding sweep (or an
+    * [[absorbDrift]] signal): (idempotently) re-sign the corpus under
+    * NEW banding parameters at a fresh content-fingerprint root, then
+    * atomically repoint the family's `_current` pointer
+    * ([[graft.sources.IndexPointer]] — the #213 treatment applied to
+    * text). In-flight readers that resolved the old root finish
+    * against its immutable artifacts with ITS stored `_params`; new
+    * probes resolve the new root and sign their batches with the new
+    * band structure ([[rowsPerBandOf]]); nobody ever pairs old bands
+    * with new parameters. Returns `newRoot`. */
+  def retrainSwap(docs: DataFrame, newRoot: String, family: String,
+      rowsPerBand: Int = 2): String = {
+    buildIfAbsent(docs, newRoot, rowsPerBand)
+    graft.sources.IndexPointer.swapTo(family, newRoot)
+    newRoot
+  }
+
+  /** DRIFT REPORT for the text index — the #207 counterpart on the
+    * LSH side, the signal that append-only maintenance
+    * ([[absorbBatch]]) has stopped being sound: the batch is signed
+    * row-locally and probed (probe-ONLY — nothing is absorbed, so the
+    * report is replay-stable) against the stored band artifact's
+    * pruned partitions; its band-collision rate — the fraction of
+    * batch docs sharing at least one (band, bucket) with a stored doc
+    * — is compared to the build-time baseline from the `stats`
+    * artifact. One row: (n_batch, coll_frac_batch, coll_frac_build,
+    * drift). A strongly positive drift says the feed's duplication
+    * against the corpus has surged (crawl loop, mirror flood — expect
+    * absorb cost ∝ candidates to surge with it); a strongly negative
+    * one says new data no longer resembles the indexed corpus. */
+  def absorbDrift(spark: SparkSession, root: String,
+      batch: DataFrame): DataFrame = {
+    val bb = bandsOf(batch, rowsPerBandOf(root)).localCheckpoint()
+    val mods = bb.select(col("bmod")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val stored = Snapshots.read(spark, bandsRoot(root))
+      .filter(col("bmod").isin(mods: _*))
+    val collided = bb.filter(col("bucket").isNotNull).as("n")
+      .join(stored.as("i").hint("shuffle_hash"),
+        col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket") &&
+          col("n.doc_id") =!= col("i.doc_id"))
+      .agg(count_distinct(col("n.doc_id")).as("n_coll"))
+    val baseline = Snapshots.read(spark, statsRoot(root))
+      .select(col("coll_frac").as("coll_frac_build"))
+    bb.agg(count_distinct(col("doc_id")).as("n_batch"))
+      .crossJoin(collided)
+      .crossJoin(broadcast(baseline))
+      .select(col("n_batch"),
+        round(col("n_coll").cast("double") / col("n_batch"), 6)
+          .as("coll_frac_batch"),
+        col("coll_frac_build"))
+      .withColumn("drift",
+        round(col("coll_frac_batch") - col("coll_frac_build"), 6))
+  }
+
+  /** TARGETED DELETE through the stored text index — the
+    * right-to-be-forgotten propagation: tombstone `docIds` out of BOTH
+    * artifacts ([[Snapshots.commitDelete]]), so the next probe's
+    * candidate generation and Jaccard verification CANNOT see the
+    * deleted documents (a deleted doc stops matching new arrivals
+    * immediately), while pre-delete versions stay time-travelable
+    * until compaction + vacuum physically drop the bytes. Cost is
+    * O(keys) — neither corpus-sized artifact is rewritten here; the
+    * nightly compact folds the tombstones away. Idempotent per
+    * `batchId` (the absorb watermark is shared, so order deletes and
+    * absorbs on one monotone clock). */
+  def delete(spark: SparkSession, root: String, docIds: DataFrame,
+      batchId: Option[Long] = None): Unit = {
+    Snapshots.commitDelete(docIds, bandsRoot(root), "doc_id", batchId)
+    Snapshots.commitDelete(docIds, shinglesRoot(root), "doc_id", batchId)
+    ()
+  }
 
   /** Candidate phase of [[absorbBatch]], exposed for plan-shape
     * specs: the stored band scan is pruned to the `bmod=` partitions
@@ -156,7 +279,9 @@ object LshIndex {
   def absorbBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long): DataFrame = {
     // batch-sized; localCheckpoint so probe + append share one signing
-    val bb = bandsOf(batch).localCheckpoint()
+    // (banded with the ROOT's stored parameters — a probe banded
+    // differently would silently find nothing)
+    val bb = bandsOf(batch, rowsPerBandOf(root)).localCheckpoint()
     // checkpoint is the phase boundary: the candidates' dmod set must
     // be COLLECTED (bounded ≤ Dmods) before the verification plan can
     // prune on it

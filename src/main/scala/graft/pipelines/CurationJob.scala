@@ -276,6 +276,25 @@ object CurationJob {
     disposition
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN — targeted delete through the whole
+    * ingest deployment: tombstone `docIds` out of the curated corpus
+    * snapshot AND the stored LSH index's band/shingle artifacts
+    * ([[Snapshots.commitDelete]] / [[graft.dedup.LshIndex.delete]]),
+    * so readers of the corpus no longer see the documents and the
+    * NEXT [[absorbDaily]] batch's probe cannot match them. Pre-delete
+    * versions stay time-travelable (the audit trail) until
+    * [[nightly]]'s compact + vacuum physically drop the bytes — run
+    * it after a forget to complete the erasure. O(keys) at delete
+    * time; idempotent per `batchId` on the same monotone clock as the
+    * daily absorbs. A deployment with stored embeddings composes
+    * [[graft.similarity.VectorIndex.delete]] with the same ids. */
+  def forget(spark: org.apache.spark.sql.SparkSession, curatedRoot: String,
+      lshRoot: String, docIds: DataFrame,
+      batchId: Option[Long] = None): Unit = {
+    Snapshots.commitDelete(docIds, curatedRoot, "doc_id", batchId)
+    graft.dedup.LshIndex.delete(spark, lshRoot, docIds, batchId)
+  }
+
   /** What [[nightly]] touched — see [[Snapshots.Maintenance]]. */
   type Maintenance = Snapshots.Maintenance
 

@@ -497,6 +497,106 @@ object Indexing {
     VectorIndex.adcTopKStored(s, root, queries, k = 3)
   }
 
+  /** #216 TARGETED DELETE THROUGH THE STORED INDEX
+    * (`q_corpus_delete`) — the right-to-be-forgotten path every
+    * production corpus eventually needs, gated end-to-end: build the
+    * LSH index on the corpus, absorb day-1's planted batch, then
+    * DELETE a slice of the day-1 copies (every doc_id % 30 == 0
+    * plant) AND a slice of the ORIGINAL corpus (every
+    * doc_id % 40 == 0 — exercising tombstones over both the delta
+    * dirs and the full base snapshot), via
+    * [[graft.dedup.LshIndex.delete]] — O(keys) tombstone commits on
+    * both artifacts, no corpus rewrite. Day-2's probe then CANNOT
+    * match any deleted document: its verified match set equals the
+    * oracle computed over "corpus minus deletions" as if the deleted
+    * docs had never been indexed, while pre-delete versions stay
+    * time-travelable (SnapshotsSpec/LshIndexSpec pin time travel,
+    * re-add-after-delete, physical forget via compact + vacuum, and
+    * replay idempotence on the shared monotone clock: absorb 0,
+    * delete 1, absorb 2). Own root suffix keeps sibling gates
+    * order-independent. */
+  def corpusDelete(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def planted(shift: Long, suffix: String) = corpus
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + shift).as("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"))
+    val root = LshIndex.defaultRoot(corpus) + "-del"
+    LshIndex.buildIfAbsent(corpus, root)
+    LshIndex.absorbBatch(s, root, planted(1000000L, " near dup probe"),
+      batchId = 0L)
+    val deleteIds = corpus
+      .filter(pmod(col("doc_id"), lit(30)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"))
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select(col("doc_id")))
+    LshIndex.delete(s, root, deleteIds, batchId = Some(1L))
+    LshIndex.absorbBatch(s, root, planted(2000000L, " near dup probe again"),
+      batchId = 2L)
+  }
+
+  /** #217 TEXT-INDEX RETRAIN-AND-SWAP (`q_lsh_retrain_swap`) — #213's
+    * family-pointer treatment applied to the stored LSH index, making
+    * #194's banding-parameter sweep ACTIONABLE: the sweep says a
+    * different (bands, rows) trades recall for precision, and until
+    * now nothing could act on it. Day 0 installs the corpus index
+    * under the original banding (rows-per-band 2); the tuning
+    * decision then re-signs the corpus under rows-per-band 4 at a NEW
+    * content-fingerprint root ([[graft.dedup.LshIndex.retrainSwap]] —
+    * a retried job re-signs nothing) and atomically repoints the
+    * family. Probes resolve the pointer once and sign their batch
+    * with the ROOT'S stored `_params` ([[graft.dedup.LshIndex
+    * .rowsPerBandOf]]), so a mid-swap probe runs old-bands-old-params
+    * or new-bands-new-params, never a mix (LshIndexSpec pins it). The
+    * gate: the post-swap probe's verified matches answer the
+    * incremental oracle REPLAYED UNDER THE NEW BANDING — 2 bands of 4
+    * signature rows, a strictly tighter candidate rule whose result
+    * provably differs from the 4×2 index's. */
+  def lshRetrainSwap(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexPointer
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def planted(shift: Long, suffix: String) = corpus
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + shift).as("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"))
+    val root1 = LshIndex.defaultRoot(corpus, rowsPerBand = 2) + "-swap"
+    val root2 = LshIndex.defaultRoot(corpus, rowsPerBand = 4) + "-swap"
+    val family = root2 + "-family"
+    // day 0: the original banding serves the family
+    LshIndex.buildIfAbsent(corpus, root1, rowsPerBand = 2)
+    if (IndexPointer.current(family).isEmpty)
+      IndexPointer.swapTo(family, root1)
+    // the sweep's verdict: re-band to 2 bands × 4 rows, atomic repoint
+    LshIndex.retrainSwap(corpus, root2, family, rowsPerBand = 4)
+    val resolved = IndexPointer.current(family).get
+    LshIndex.absorbBatch(s, resolved,
+      planted(1000000L, " near dup probe"), batchId = 0L)
+  }
+
+  /** #218 TEXT-INDEX DRIFT REPORT (`q_lsh_drift`) — #207's retrain
+    * signal re-expressed for the LSH side, closing the last
+    * asymmetric diagnostic cell: the build stores the corpus's
+    * band-collision baseline in a `stats` artifact (fraction of docs
+    * sharing a (band, bucket) with another doc), and
+    * [[graft.dedup.LshIndex.absorbDrift]] probes a batch — signed
+    * row-locally, probe-ONLY so the report is replay-stable — against
+    * the pruned stored bands and reports its collision rate against
+    * that baseline. The planted batch here is pure near-dups, so
+    * coll_frac_batch ≈ 1 and the drift is strongly positive — the
+    * "mirror flood" shape whose absorb cost is about to surge. One
+    * row: (n_batch, coll_frac_batch, coll_frac_build, drift); the
+    * oracle replays the signing, both collision fractions, and the
+    * subtraction. */
+  def lshDrift(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup probe")).as("text"))
+    val root = LshIndex.defaultRoot(corpus) + "-drift"
+    LshIndex.buildIfAbsent(corpus, root)
+    LshIndex.absorbDrift(s, root, batch)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
@@ -511,7 +611,10 @@ object Indexing {
     "q_dedup_lsh_compacted"   -> dedupLshCompacted _,
     "q_index_retrain_swap"    -> indexRetrainSwap _,
     "q_bitext_mine_indexed"   -> bitextMineIndexed _,
-    "q_ann_pq_compacted"      -> annPqCompacted _
+    "q_ann_pq_compacted"      -> annPqCompacted _,
+    "q_corpus_delete"         -> corpusDelete _,
+    "q_lsh_retrain_swap"      -> lshRetrainSwap _,
+    "q_lsh_drift"             -> lshDrift _
   )
 
   private val cosSql =
@@ -567,12 +670,28 @@ object Indexing {
          |FROM pairs
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin
 
+  /** Band CTE body for `src`'s 8 signature columns under a given
+    * rows-per-band (the SQL twin of TextDedup.bandKeys' banding):
+    * 8/r bands, bucket = the band's sigs joined with `|`. */
+  private def bandUnionSql(src: String, rowsPerBand: Int): String = {
+    val nb = 8 / rowsPerBand
+    (0 until nb).map { b =>
+      val expr = (0 until rowsPerBand)
+        .map(i => s"sig_${b * rowsPerBand + i}").mkString(" || '|' || ")
+      if (b == 0) s"SELECT doc_id, 0 AS band, $expr AS bucket FROM $src"
+      else s"  UNION ALL SELECT doc_id, $b, $expr FROM $src"
+    }.mkString("\n")
+  }
+
   /** DuckDB replay of the stored-LSH incremental dedup (#206/#211):
     * sign corpus + batch, band-join candidates (batch vs index, plus
     * within-batch), verify exact string-shingle Jaccard >= 0.2. The
     * corpus/batch CTE bodies are parameters so the chained variant
-    * replays a two-day ingest with the SAME machinery. */
-  private def lshIncrementalOracle(corpusSql: String, batchSql: String): String =
+    * replays a two-day ingest with the SAME machinery; `rowsPerBand`
+    * parametrizes the banding so the retrain-swap gate replays the
+    * RE-BANDED index (#194's sweep made actionable). */
+  private def lshIncrementalOracle(corpusSql: String, batchSql: String,
+      rowsPerBand: Int = 2): String =
     s"WITH corpus AS ($corpusSql),\nbatch AS ($batchSql),\n" +
       ("""tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
          |scp AS (SELECT doc_id,
@@ -594,17 +713,12 @@ object Indexing {
         " FROM scp),\nsign AS (SELECT doc_id, " +
         (0 until 8).map(h =>
           s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
-        """ FROM snw),
+        s""" FROM snw),
           |bandc AS (
-          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sigc
-          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sigc
-          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sigc
-          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sigc),
+          |  ${bandUnionSql("sigc", rowsPerBand)}),
           |bandn AS (
-          |  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS bucket FROM sign
-          |  UNION ALL SELECT doc_id, 1, sig_2 || '|' || sig_3 FROM sign
-          |  UNION ALL SELECT doc_id, 2, sig_4 || '|' || sig_5 FROM sign
-          |  UNION ALL SELECT doc_id, 3, sig_6 || '|' || sig_7 FROM sign),
+          |  ${bandUnionSql("sign", rowsPerBand)}),""".stripMargin +
+        """
           |cand AS (SELECT DISTINCT new_id, match_id FROM (
           |  SELECT n.doc_id AS new_id, i.doc_id AS match_id
           |  FROM bandn n JOIN bandc i
@@ -626,6 +740,57 @@ object Indexing {
           |WHERE ROUND(len(list_intersect(sa.shs, sb.shs)) /
           |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
           |  >= 0.2""".stripMargin)
+
+  /** DuckDB replay of the LSH drift report (#218): sign corpus and
+    * batch (default 4×2 banding), build-side collision fraction =
+    * corpus docs sharing a (band, bucket) with ANOTHER corpus doc
+    * over all corpus docs; batch-side = batch docs sharing one with
+    * any corpus doc over all batch docs; drift = their difference.
+    * Null buckets (docs too short to shingle) never join — exactly
+    * the engine's semantics. */
+  private def lshDriftOracle(corpusSql: String, batchSql: String): String =
+    s"WITH corpus AS ($corpusSql),\nbatch AS ($batchSql),\n" +
+      ("""tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         |scp AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM tc),
+         |tn AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+         |snw AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM tn),
+         |sigc AS (SELECT doc_id, """.stripMargin +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        " FROM scp),\nsign AS (SELECT doc_id, " +
+        (0 until 8).map(h =>
+          s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS sig_$h").mkString(", ") +
+        s""" FROM snw),
+           |bandc AS (
+           |  ${bandUnionSql("sigc", 2)}),
+           |bandn AS (
+           |  ${bandUnionSql("sign", 2)}),""".stripMargin +
+        """
+          |collc AS (SELECT COUNT(DISTINCT a.doc_id) AS n_coll
+          |  FROM bandc a JOIN bandc b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+          |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM corpus),
+          |colln AS (SELECT COUNT(DISTINCT n.doc_id) AS n_coll
+          |  FROM bandn n JOIN bandc i
+          |    ON n.band = i.band AND n.bucket = i.bucket AND n.doc_id <> i.doc_id),
+          |nb AS (SELECT COUNT(DISTINCT doc_id) AS n_batch FROM batch),
+          |fr AS (SELECT nb.n_batch,
+          |    ROUND(CAST(colln.n_coll AS DOUBLE) / nb.n_batch, 6) AS coll_frac_batch,
+          |    ROUND(CAST(collc.n_coll AS DOUBLE) / nd.n_docs, 6) AS coll_frac_build
+          |  FROM nb, colln, collc, nd)
+          |SELECT n_batch, coll_frac_batch, coll_frac_build,
+          |  ROUND(coll_frac_batch - coll_frac_build, 6) AS drift
+          |FROM fr""".stripMargin)
 
   /** DuckDB replay of train-on-ALL + stored-IVF search (#168's gate;
     * also the post-swap answer #213 must reproduce, since a retrain on
@@ -793,11 +958,33 @@ object Indexing {
       "SELECT doc_id, text FROM documents",
       """SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text
         |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+    // the post-swap probe answers the SAME incremental oracle, but
+    // replayed under the NEW banding (2 bands × 4 rows)
+    "q_lsh_retrain_swap" -> lshIncrementalOracle(
+      "SELECT doc_id, text FROM documents",
+      """SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      rowsPerBand = 4),
+    "q_lsh_drift" -> lshDriftOracle(
+      "SELECT doc_id, text FROM documents",
+      """SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     "q_dedup_lsh_chained" -> lshIncrementalOracle(
       """SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text || ' near dup probe'
         |  FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      """SELECT doc_id + 2000000 AS doc_id,
+        |    text || ' near dup probe again' AS text
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+    // deletion must make the docs vanish from every probe: the day-2
+    // oracle corpus is exactly "indexed minus deleted", as if the
+    // deleted docs had never existed
+    "q_corpus_delete" -> lshIncrementalOracle(
+      """SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' near dup probe'
+        |  FROM documents WHERE doc_id % 10 = 0 AND doc_id % 30 <> 0""".stripMargin,
       """SELECT doc_id + 2000000 AS doc_id,
         |    text || ' near dup probe again' AS text
         |  FROM documents WHERE doc_id % 10 = 0""".stripMargin),

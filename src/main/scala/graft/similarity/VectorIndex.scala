@@ -58,35 +58,19 @@ object VectorIndex {
 
   // ------------------------------------------------------ index pointer
 
-  /** The retrain-and-swap layer: an index FAMILY is a directory whose
-    * `_current` file names the ACTIVE index root. Queries resolve the
-    * pointer ONCE and read every artifact (centroids, assignments,
-    * stats) under that single root — the atomic unit is the whole
-    * root, so a reader can never pair new centroids with old
-    * assignments (the mixed-index hazard of swapping artifacts
-    * independently). The swap is one `ATOMIC_MOVE` over one small
-    * file (the [[Snapshots]] pointer discipline one level up);
-    * superseded roots stay on disk, fully time-travelable, until
-    * their retention lapses. */
-  def currentRoot(family: String): Option[String] = {
-    val p = java.nio.file.Paths.get(s"$family/_current")
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-    else None
-  }
+  /** The retrain-and-swap layer ([[graft.sources.IndexPointer]] — the
+    * machinery is shared with the text index): an index FAMILY is a
+    * directory whose `_current` file names the ACTIVE index root.
+    * Queries resolve the pointer ONCE and read every artifact
+    * (centroids, assignments, stats) under that single root, so a
+    * reader can never pair new centroids with old assignments. */
+  def currentRoot(family: String): Option[String] =
+    graft.sources.IndexPointer.current(family)
 
   /** Atomically repoint `family`'s current index to `root`. Readers
     * see the old root or the new root, never anything between. */
-  def swapTo(family: String, root: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(family))
-    val tmp = java.nio.file.Paths.get(s"$family/_current.tmp")
-    java.nio.file.Files.write(tmp,
-      root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$family/_current"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  def swapTo(family: String, root: String): Unit =
+    graft.sources.IndexPointer.swapTo(family, root)
 
   /** RETRAIN-AND-SWAP — the operational response to [[assignDrift]]'s
     * signal: (idempotently) build a FRESH index for `vectors` under
@@ -100,6 +84,26 @@ object VectorIndex {
     buildIfAbsent(vectors, newRoot, seedK, iters)
     swapTo(family, newRoot)
     newRoot
+  }
+
+  /** TARGETED DELETE through the stored vector index — tombstone
+    * `vecIds` out of the IVF assignments and (when the PQ family was
+    * built) the PQ codes ([[Snapshots.commitDelete]]): a deleted
+    * vector stops appearing in [[ivfTopKStored]] probes and
+    * [[adcTopKStored]] rankings immediately, pre-delete versions stay
+    * time-travelable, and [[nightly]]'s compact + vacuum physically
+    * drop the bytes. O(keys) at delete time — the corpus-sized
+    * artifacts are never rewritten here. Idempotent per `batchId`
+    * (shared watermark with [[assignBatch]]/[[encodeBatchPq]] — order
+    * deletes and absorbs on one monotone clock). Centroids/codebook
+    * are statistics, not memberships: they keep serving until the
+    * next retrain ([[retrainSwap]]). */
+  def delete(spark: SparkSession, root: String, vecIds: DataFrame,
+      batchId: Option[Long] = None): Unit = {
+    val roots = Seq(assignmentsRoot(root), pqCodesRoot(root))
+      .filter(Snapshots.latestVersion(_).nonEmpty)
+    require(roots.nonEmpty, s"no built index family under $root")
+    roots.foreach(Snapshots.commitDelete(vecIds, _, "vec_id", batchId))
   }
 
   /** NIGHTLY MAINTENANCE for the vector families — the operational

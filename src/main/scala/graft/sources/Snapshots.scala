@@ -124,6 +124,50 @@ object Snapshots {
         .contains("\"delta\":true")
   }
 
+  /** The key column of a TOMBSTONE (targeted-delete) version, if this
+    * version is one — see [[commitDelete]]. */
+  def tombstoneKeyOf(root: String, v: Long): Option[String] = {
+    val m = manifest(root, v)
+    if (!Files.exists(m)) None
+    else "\"tombstoneKey\":\"([^\"]+)\"".r
+      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+      .map(_.group(1))
+  }
+
+  /** TARGETED DELETE (the right-to-be-forgotten path): commit a
+    * TOMBSTONE version whose data dir holds only the KEYS to delete —
+    * readers of this and every later chained version no longer see
+    * rows carrying those keys, while versions BEFORE the tombstone
+    * stay time-travelable (the audit/pre-delete view) until vacuumed.
+    * The physical forget is [[compact]]: it materializes the
+    * tombstone-applied view as one full snapshot, after which
+    * [[vacuum]] drops the dirs still holding the deleted bytes.
+    *
+    * Semantics are VERSION-ORDERED, like every other commit: a
+    * tombstone at version T removes its keys from data committed at
+    * versions < T; an append AFTER T may legitimately re-introduce a
+    * key and survives (readers fold the chain oldest-first). Cost is
+    * O(keys) at commit time — the 100 TB corpus is never rewritten by
+    * the delete itself; readers pay one broadcast anti-join per
+    * tombstone still in the chain, which nightly compaction folds
+    * away. Idempotent per `batchId` (same watermark contract as
+    * [[commitAppend]]). Returns the committed (or already-current)
+    * version. */
+  def commitDelete(keys: DataFrame, root: String, keyCol: String,
+      batchId: Option[Long] = None): Long = {
+    require(latestVersion(root).nonEmpty,
+      s"commitDelete needs an existing snapshot under $root")
+    batchId match {
+      case Some(b) =>
+        val latest = latestVersion(root)
+        if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= b))) latest.get
+        else commitInternal(keys.select(keys(keyCol)), root, batchId,
+          delta = true, tombstoneKey = Some(keyCol))
+      case None => commitInternal(keys.select(keys(keyCol)), root, None,
+        delta = true, tombstoneKey = Some(keyCol))
+    }
+  }
+
   /** The version chain a read of `v` resolves: `v` and its ancestors
     * back to (and including) the most recent FULL snapshot —
     * newest-first. O(chain length) metadata reads, no data touched. */
@@ -240,7 +284,7 @@ object Snapshots {
 
   private def commitInternal(df: DataFrame, root: String, batchId: Option[Long],
       partitionCols: Seq[String] = Seq.empty, delta: Boolean = false,
-      monotone: Boolean = true): Long = {
+      monotone: Boolean = true, tombstoneKey: Option[String] = None): Long = {
     val next = latestVersion(root).getOrElse(-1L) + 1
     // 1. data (distributed; overwrite clears any orphan from a crash)
     val w = df.write.mode(SaveMode.Overwrite)
@@ -253,6 +297,11 @@ object Snapshots {
     Files.createDirectories(manifest(root, next).getParent)
     val batchField = batchId.map(b => s""","batchId":$b""").getOrElse("")
     val deltaField = if (delta) ""","delta":true""" else ""
+    // a tombstone rides the delta-chain machinery (chain resolution,
+    // watermark carry, vacuum protection) but flips the reader's fold
+    // from union to anti-join
+    val tombField = tombstoneKey
+      .map(k => s""","tombstoneKey":"$k"""").getOrElse("")
     // keyed marker: lets watermark readers distinguish an unordered
     // content-fingerprint batchId from a monotone one
     val keyedField = if (!monotone && batchId.nonEmpty) ""","keyed":true""" else ""
@@ -263,7 +312,7 @@ object Snapshots {
       .reduceOption(_ max _)
     val maxField = newMax.map(b => s""","maxBatchId":$b""").getOrElse("")
     Files.write(manifest(root, next),
-      s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField$deltaField$keyedField$maxField}"""
+      s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField$deltaField$tombField$keyedField$maxField}"""
         .getBytes(StandardCharsets.UTF_8))
     // 3. commit point: atomic pointer swap
     val tmp = Paths.get(s"$root/_latest.tmp")
@@ -280,16 +329,29 @@ object Snapshots {
         throw new IllegalStateException(s"no committed version under $root")))
 
   /** Time travel: read an explicit version. A delta version resolves
-    * its parent chain and reads the UNION of the chain's immutable
-    * dirs — each dir scanned with its own basePath so hive partition
-    * columns (and their pruning) survive; partition/predicate
-    * pushdown applies per branch of the union. */
+    * its parent chain and reads the chain's immutable dirs folded
+    * OLDEST-FIRST: data versions union in, TOMBSTONE versions
+    * anti-join their keys out of everything accumulated so far — so
+    * deletes apply only to data committed before them and a later
+    * re-add survives. Each dir is scanned with its own basePath so
+    * hive partition columns (and their pruning) survive;
+    * partition/predicate pushdown applies per branch of the union
+    * (the anti-join key frame is deletion-sized, broadcast). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     require(Files.exists(manifest(root, v)), s"version $v was never committed (or vacuumed)")
-    chainVersions(root, v)
-      .map(cv => spark.read.option("basePath", dataDir(root, cv))
-        .parquet(dataDir(root, cv)))
-      .reduce(_ unionByName _)
+    chainVersions(root, v).reverse
+      .foldLeft(Option.empty[DataFrame]) { (acc, cv) =>
+        val df = spark.read.option("basePath", dataDir(root, cv))
+          .parquet(dataDir(root, cv))
+        tombstoneKeyOf(root, cv) match {
+          case Some(k) =>
+            acc.map(_.join(broadcast(df.select(df(k))), Seq(k), "left_anti"))
+          case None => Some(acc.map(_.unionByName(df)).getOrElse(df))
+        }
+      }
+      .getOrElse(throw new IllegalStateException(
+        s"version $v under $root resolves to no data (tombstone-only chain)"))
   }
 
   /** Roll back: point `_latest` at an older committed version without

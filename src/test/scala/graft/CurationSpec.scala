@@ -466,4 +466,64 @@ class CurationSpec extends AnyFunSuite {
       "day-3 near-dup lost its match after nightly maintenance")
     d1.unpersist()
   }
+
+  test("forget: a deleted doc leaves the corpus, stops matching ingest, and erases physically") {
+    import spark.implicits._
+    import graft.dedup.LshIndex
+    import graft.pipelines.CurationJob
+    import graft.sources.Snapshots
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val curatedRoot =
+      java.nio.file.Files.createTempDirectory("graft-forget-cur").toString
+    val lshRoot = java.nio.file.Files.createTempDirectory("graft-forget-lsh").toString
+    Snapshots.commit(corpus, curatedRoot)
+    LshIndex.build(corpus, lshRoot)
+    def freshDoc(i: Int): String =
+      (0 until 12).map(j => s"fg${i}w$j").mkString(" ")
+    // day 1 lands a fresh doc F
+    val day1 = Seq((1000000L, freshDoc(1))).toDF("doc_id", "text")
+    CurationJob.absorbDaily(day1, curatedRoot, lshRoot, batchId = 0L)
+    assert(Snapshots.read(spark, curatedRoot)
+      .filter(col("doc_id") === 1000000L).count() == 1)
+    // a near-dup of F is dropped while F is indexed
+    val probe = Seq((2000000L, freshDoc(1) + " again and again"))
+      .toDF("doc_id", "text")
+    val pre = CurationJob.absorbDaily(probe, curatedRoot, lshRoot, batchId = 1L)
+    assert(pre.filter(col("doc_id") === 2000000L && col("kept") === 0)
+      .count() == 1, "probe did not match F pre-delete")
+    // FORGET F: gone from the corpus, and a new near-dup of F sails
+    // through — F no longer matches anything
+    CurationJob.forget(spark, curatedRoot, lshRoot,
+      Seq(1000000L).toDF("doc_id"), batchId = Some(2L))
+    assert(Snapshots.read(spark, curatedRoot)
+      .filter(col("doc_id") === 1000000L).count() == 0,
+      "forgotten doc still readable in the curated corpus")
+    val probe2 = Seq((3000000L, freshDoc(1) + " yet another run"))
+      .toDF("doc_id", "text")
+    val post = CurationJob.absorbDaily(probe2, curatedRoot, lshRoot, batchId = 3L)
+    assert(post.filter(col("doc_id") === 3000000L && col("n_matches") === 0 &&
+      col("kept") === 1).count() == 1,
+      "forgotten doc still matches new arrivals")
+    // audit view: pre-delete curated version still shows F
+    assert(Snapshots.readVersion(spark, curatedRoot, 1L)
+      .filter(col("doc_id") === 1000000L).count() == 1,
+      "pre-delete time travel lost the audit view")
+    // replayed forget no-ops on the shared monotone clock... it is
+    // BELOW the watermark now (absorb 3 advanced it)
+    val cv = Snapshots.versions(curatedRoot)
+    CurationJob.forget(spark, curatedRoot, lshRoot,
+      Seq(1000000L).toDF("doc_id"), batchId = Some(2L))
+    assert(Snapshots.versions(curatedRoot) == cv, "replayed forget re-committed")
+    // physical erasure: nightly compaction + vacuum drop the bytes
+    CurationJob.nightly(spark, curatedRoot, lshRoot, keep = 0)
+    Seq(curatedRoot, LshIndex.bandsRoot(lshRoot),
+        LshIndex.shinglesRoot(lshRoot)).foreach { r =>
+      val latest = Snapshots.latestVersion(r).get
+      assert(spark.read.option("basePath", s"$r/data/v=$latest")
+        .parquet(s"$r/data/v=$latest")
+        .filter(col("doc_id") === 1000000L).count() == 0,
+        s"forgotten bytes survived nightly under $r")
+    }
+  }
 }

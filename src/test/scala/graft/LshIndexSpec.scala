@@ -133,4 +133,128 @@ class LshIndexSpec extends AnyFunSuite {
     Snapshots.vacuum(LshIndex.bandsRoot(root), keep = 1)
     assert(Snapshots.read(spark, LshIndex.bandsRoot(root)).count() > 0)
   }
+
+  test("retrain-and-swap: re-banded index served atomically, params ride the root, old root intact") {
+    import graft.sources.IndexPointer
+    val base = freshRoot()
+    val (root1, root2) = (s"$base/r2", s"$base/r4")
+    val family = s"$base/family"
+    LshIndex.build(corpus, root1, rowsPerBand = 2)
+    IndexPointer.swapTo(family, root1)
+    assert(LshIndex.rowsPerBandOf(root1) == 2)
+    val batch = plantedBatch(1000000L).localCheckpoint()
+    // pre-swap probe: resolved via the family pointer, original banding
+    val pre = LshIndex.absorbDrift(spark,
+      IndexPointer.current(family).get, batch)
+    assert(pre.head().getAs[Long]("n_batch") > 0)
+    // the swap: re-sign under 2 bands x 4 rows, atomic repoint
+    LshIndex.retrainSwap(corpus, root2, family, rowsPerBand = 4)
+    assert(IndexPointer.current(family).contains(root2), "pointer did not flip")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$family/_current.tmp")))
+    assert(LshIndex.rowsPerBandOf(root2) == 4, "_params not stored")
+    // a probe against the resolved root signs with the ROOT's params:
+    // matches equal a from-scratch rows=4 index's, and the tighter
+    // banding provably differs from the 4x2 result
+    val got = LshIndex.absorbBatch(spark,
+      IndexPointer.current(family).get, batch, batchId = 0L)
+    val ref4 = s"$base/ref4"
+    LshIndex.build(corpus, ref4, rowsPerBand = 4)
+    val want = LshIndex.absorbBatch(spark, ref4, batch, batchId = 0L)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "post-swap probe diverged from a direct rows=4 index")
+    val ref2 = s"$base/ref2"
+    LshIndex.build(corpus, ref2, rowsPerBand = 2)
+    val m2 = LshIndex.absorbBatch(spark, ref2, batch, batchId = 0L)
+    assert(got.count() < m2.count(),
+      "rows=4 banding did not tighten the candidate rule — swap untestable")
+    // old root stays fully readable with ITS params until retention
+    assert(LshIndex.rowsPerBandOf(root1) == 2)
+    assert(Snapshots.read(spark, LshIndex.bandsRoot(root1)).count() > 0)
+    // retried swap re-signs nothing
+    val bv = Snapshots.versions(LshIndex.bandsRoot(root2))
+    LshIndex.retrainSwap(corpus, root2, family, rowsPerBand = 4)
+    assert(Snapshots.versions(LshIndex.bandsRoot(root2)) == bv,
+      "retried retrainSwap re-signed the corpus")
+  }
+
+  test("absorbDrift: near-dup flood reports strong positive drift; fresh docs do not") {
+    val root = freshRoot()
+    LshIndex.build(corpus, root)
+    // baseline stored at build
+    val stats = Snapshots.read(spark, LshIndex.statsRoot(root)).head()
+    val buildFrac = stats.getAs[Double]("coll_frac")
+    assert(stats.getAs[Long]("n_docs") == corpus.count())
+    assert(buildFrac >= 0.0 && buildFrac <= 1.0)
+    // a pure near-dup batch collides nearly everywhere
+    val flood = plantedBatch(1000000L)
+    val r1 = LshIndex.absorbDrift(spark, root, flood).head()
+    assert(r1.getAs[Double]("coll_frac_batch") > 0.9,
+      s"near-dup flood under-collided: $r1")
+    assert(r1.getAs[Double]("drift") > 0.0, s"flood drift not positive: $r1")
+    assert(r1.getAs[Double]("coll_frac_build") == buildFrac)
+    // fresh unique docs collide with nothing
+    import spark.implicits._
+    val fresh = (0 until 20).map(i =>
+      (9000000L + i, (0 until 12).map(j => s"dr${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r2 = LshIndex.absorbDrift(spark, root, fresh).head()
+    assert(r2.getAs[Double]("coll_frac_batch") == 0.0, s"fresh batch collided: $r2")
+    assert(r2.getAs[Double]("drift") < 0.0 || buildFrac == 0.0)
+    // probe-only: the report committed nothing, and re-running it is stable
+    assert(Snapshots.versions(LshIndex.bandsRoot(root)).size == 1,
+      "absorbDrift mutated the index")
+    val r1b = LshIndex.absorbDrift(spark, root, flood).head()
+    assert(r1b == r1, "drift report not replay-stable")
+  }
+
+  test("targeted delete: a deleted doc never matches again; forget completes physically") {
+    val root = freshRoot()
+    LshIndex.build(corpus, root)
+    val b1 = plantedBatch(1000000L).localCheckpoint()
+    LshIndex.absorbBatch(spark, root, b1, batchId = 0L)
+    // pre-delete reference: a future batch matches both the corpus
+    // originals and the day-1 copies
+    val b2 = plantedBatch(2000000L)
+      .select(col("doc_id"), concat(col("text"), lit(" again")).as("text"))
+      .localCheckpoint()
+    // delete every day-1 copy of doc_id % 30 == 0 plus the ORIGINAL
+    // doc_id % 40 == 0 docs (tombstones over delta dirs AND the base)
+    val delIds = corpus.filter(pmod(col("doc_id"), lit(30)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"))
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select(col("doc_id")))
+      .localCheckpoint()
+    LshIndex.delete(spark, root, delIds, batchId = Some(1L))
+    val m = LshIndex.absorbBatch(spark, root, b2, batchId = 2L)
+      .localCheckpoint()
+    assert(m.count() > 0)
+    // no deleted id can appear as a match
+    assert(m.join(delIds.withColumnRenamed("doc_id", "match_id"),
+      Seq("match_id")).count() == 0, "deleted doc still matches probes")
+    // non-deleted originals and day-1 copies still match
+    assert(m.filter(col("match_id") < 1000000L).count() > 0 &&
+      m.filter(col("match_id").between(1000000L, 1999999L)).count() > 0)
+    // replayed delete no-ops (watermark is now past it)
+    val bv = Snapshots.versions(LshIndex.bandsRoot(root))
+    LshIndex.delete(spark, root, delIds, batchId = Some(1L))
+    assert(Snapshots.versions(LshIndex.bandsRoot(root)) == bv,
+      "replayed delete re-committed")
+    // time travel: the pre-delete band artifact still shows the docs
+    val preDelete = Snapshots.readVersion(spark, LshIndex.bandsRoot(root), 1L)
+    assert(preDelete.join(delIds, Seq("doc_id")).count() > 0,
+      "audit view lost the pre-delete rows")
+    // physical forget: compact + vacuum leave no parquet holding the ids
+    Snapshots.compact(spark, LshIndex.bandsRoot(root), Seq("bmod"))
+    Snapshots.compact(spark, LshIndex.shinglesRoot(root), Seq("dmod"))
+    Snapshots.vacuum(LshIndex.bandsRoot(root), keep = 0)
+    Snapshots.vacuum(LshIndex.shinglesRoot(root), keep = 0)
+    Seq(LshIndex.bandsRoot(root), LshIndex.shinglesRoot(root)).foreach { r =>
+      val all = spark.read.option("basePath",
+          s"$r/data/v=${Snapshots.latestVersion(r).get}")
+        .parquet(s"$r/data/v=${Snapshots.latestVersion(r).get}")
+      assert(all.join(delIds, Seq("doc_id")).count() == 0,
+        s"deleted bytes survived forget under $r")
+    }
+  }
 }

@@ -279,6 +279,47 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root).count() == 6)
   }
 
+  test("commitDelete: tombstone hides keys, re-add survives, time travel intact, compact forgets physically") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root)          // v0
+    Snapshots.commitAppend(
+      Seq((4L, "d")).toDF("id", "v"), root, Seq.empty, Some(0L))           // v1
+    // delete one key from the BASE snapshot and one from the DELTA
+    val vDel = Snapshots.commitDelete(
+      Seq(2L, 4L).toDF("id"), root, "id", Some(1L))                        // v2
+    assert(Snapshots.isDelta(root, vDel) &&
+      Snapshots.tombstoneKeyOf(root, vDel).contains("id"))
+    assert(Snapshots.read(spark, root)
+      .select(col("id")).as[Long].collect().toSet == Set(1L, 3L),
+      "deleted keys still visible")
+    // time travel: the pre-delete version is the audit view
+    assert(Snapshots.readVersion(spark, root, 1L).count() == 4)
+    // version-ordered fold: an append AFTER the tombstone re-adds
+    Snapshots.commitAppend(
+      Seq((2L, "b2")).toDF("id", "v"), root, Seq.empty, Some(2L))          // v3
+    val after = Snapshots.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "a", 3L -> "c", 2L -> "b2"),
+      s"re-add after delete broken: $after")
+    // replayed delete no-ops on the shared monotone watermark
+    val vs = Snapshots.versions(root)
+    assert(Snapshots.commitDelete(Seq(2L).toDF("id"), root, "id", Some(1L))
+      == vs.max)
+    assert(Snapshots.versions(root) == vs, "replayed delete re-committed")
+    // PHYSICAL forget: compact materializes the tombstone-applied view,
+    // vacuum drops the dirs still holding the deleted bytes
+    val vc = Snapshots.compact(spark, root)
+    Snapshots.vacuum(root, keep = 0)
+    assert(Snapshots.versions(root) == Seq(vc))
+    assert(spark.read.parquet(s"$root/data/v=$vc")
+      .filter(col("id") === 4L).count() == 0, "deleted bytes survived compact")
+    // the watermark carried through: a replayed pre-compact append no-ops
+    assert(Snapshots.commitAppend(Seq((9L, "x")).toDF("id", "v"), root,
+      Seq.empty, Some(2L)) == vc, "replayed append re-applied after forget")
+  }
+
   test("compact carries the chain's max batchId: replayed appends still no-op") {
     import spark.implicits._
     val root = tmpRoot()

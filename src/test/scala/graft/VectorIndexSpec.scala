@@ -281,6 +281,42 @@ class VectorIndexSpec extends AnyFunSuite {
       "retried retrainSwap re-trained")
   }
 
+  test("targeted delete: a deleted vector vanishes from IVF and ADC search") {
+    import spark.implicits._
+    val root = freshRoot()
+    VectorIndex.build(vecs, root, seedK = 8, iters = 2)
+    VectorIndex.buildPq(vecs, root)
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v"))
+    // delete the current top-1 IVF neighbor of query 0 — the strongest
+    // possible candidate must vanish, not just some weak one
+    val victim = VectorIndex.ivfTopKStored(spark, root,
+        queries.withColumnRenamed("v", "qv"), k = 1, nprobe = 2)
+      .filter(col("q_id") === 0L).select(col("n_id")).as[Long].head()
+    VectorIndex.delete(spark, root, Seq(victim).toDF("vec_id"),
+      batchId = Some(0L))
+    val ivf = VectorIndex.ivfTopKStored(spark, root,
+      queries.withColumnRenamed("v", "qv"), k = 3, nprobe = 2)
+    val adc = VectorIndex.adcTopKStored(spark, root, queries, k = 3)
+    assert(ivf.filter(col("n_id") === victim).count() == 0,
+      "deleted vector still ranked by IVF search")
+    assert(adc.filter(col("n_id") === victim).count() == 0,
+      "deleted vector still ranked by ADC search")
+    assert(ivf.count() == 3 * queries.count(), "IVF search lost coverage")
+    // replayed delete no-ops; nightly compaction completes the forget
+    val av = Snapshots.versions(VectorIndex.assignmentsRoot(root))
+    VectorIndex.delete(spark, root, Seq(victim).toDF("vec_id"),
+      batchId = Some(0L))
+    assert(Snapshots.versions(VectorIndex.assignmentsRoot(root)) == av)
+    VectorIndex.nightly(spark, root, keep = 0)
+    val aroot = VectorIndex.assignmentsRoot(root)
+    val latest = Snapshots.latestVersion(aroot).get
+    assert(spark.read.option("basePath", s"$aroot/data/v=$latest")
+      .parquet(s"$aroot/data/v=$latest")
+      .filter(col("vec_id") === victim).count() == 0,
+      "deleted bytes survived nightly forget")
+  }
+
   test("nightly: every vector chain compacts invisibly, watermark survives, re-run free") {
     val root = freshRoot()
     val isBatch = pmod(col("vec_id"), lit(10)) === 7

@@ -97,7 +97,7 @@ object CurationC {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val planted = base
       .filter(pmod(col("doc_id"), lit(10)) === 0 && size(col("toks")) >= 45)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + Plants.Shift1).as("doc_id"),
         concat(array(lit("<p0>"), lit("<p1>"), lit("<p2>")),
           slice(col("toks"), 6, 40)).as("toks"))
     val docs = base.unionByName(planted)
@@ -159,7 +159,7 @@ object CurationC {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val planted = base
       .filter(pmod(col("doc_id"), lit(10)) === 0 && size(col("toks")) >= 45)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + Plants.Shift1).as("doc_id"),
         concat(array(lit("<p0>"), lit("<p1>"), lit("<p2>")),
           slice(col("toks"), 6, 40)).as("toks"))
     val docs = base.unionByName(planted)
@@ -172,6 +172,20 @@ object CurationC {
       .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
     val stats = sp.groupBy(col("h")).agg(count(lit(1)).as("df"),
       min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    // Join-back stays SHUFFLE_HASH deliberately: `stats` is derived
+    // FROM sp's groupBy(h), so sp is already exchanged on h and the
+    // join REUSES that exchange — the second pass over the span
+    // stream costs a shuffle-file re-read, not a re-shuffle — while
+    // Catalyst pushes the stats-side `df > 1` below the join, so the
+    // build map holds only duplicated hashes. The "prune unique-span
+    // docs via a broadcast dup-hash prefilter" alternative was
+    // MEASURED at sf0.1: 3.1s vs 2.0s — it forfeits the exchange
+    // reuse and pays a corpus-growing broadcast (dup-hash volume
+    // scales with the corpus), so it loses at every scale where it
+    // would matter. (A #91b anchor semi-join prefilter is not
+    // semantics-preserving: an isolated duplicated 16-token span
+    // shorter than the W+WIN-1 winnowing guarantee need not share an
+    // anchor, and removal must catch it.)
     val rm = sp.join(stats.hint("shuffle_hash"), "h")
       .filter(col("df") > 1 && !(col("doc_id") === col("keeper.doc_id") &&
         col("pos") === col("keeper.pos")))
@@ -397,7 +411,7 @@ object CurationC {
     * the prefix index's COMPLETENESS is what the gate checks. */
   def dedupPrefixFilter(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+    val variants = base.select((col("doc_id") + Plants.Shift1).as("doc_id"),
       concat(col("text"), lit(" near dup probe")).as("text"))
     graft.dedup.TextDedup.prefixFilterPairs(
       base.unionByName(variants), "doc_id", "text", 0.6)

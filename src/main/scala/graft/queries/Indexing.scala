@@ -195,7 +195,7 @@ object Indexing {
   def dedupLshIncremental(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + Plants.Shift1).as("doc_id"),
         concat(col("text"), lit(" near dup probe")).as("text"))
     val root = LshIndex.defaultRoot(corpus)
     LshIndex.buildIfAbsent(corpus, root)
@@ -345,9 +345,9 @@ object Indexing {
         concat(col("text"), lit(suffix)).as("text"))
     val root = LshIndex.defaultRoot(corpus) + "-chain"
     LshIndex.buildIfAbsent(corpus, root)
-    LshIndex.absorbBatch(s, root, planted(1000000L, " near dup probe"),
+    LshIndex.absorbBatch(s, root, planted(Plants.Shift1, " near dup probe"),
       batchId = 0L)
-    LshIndex.absorbBatch(s, root, planted(2000000L, " near dup probe again"),
+    LshIndex.absorbBatch(s, root, planted(Plants.Shift2, " near dup probe again"),
       batchId = 1L)
   }
 
@@ -460,11 +460,11 @@ object Indexing {
         concat(col("text"), lit(suffix)).as("text"))
     val root = LshIndex.defaultRoot(corpus) + "-compacted"
     LshIndex.buildIfAbsent(corpus, root)
-    LshIndex.absorbBatch(s, root, planted(1000000L, " near dup probe"),
+    LshIndex.absorbBatch(s, root, planted(Plants.Shift1, " near dup probe"),
       batchId = 0L)
     graft.sources.Snapshots.compact(s, LshIndex.bandsRoot(root), Seq("bmod"))
     graft.sources.Snapshots.compact(s, LshIndex.shinglesRoot(root), Seq("dmod"))
-    LshIndex.absorbBatch(s, root, planted(2000000L, " near dup probe again"),
+    LshIndex.absorbBatch(s, root, planted(Plants.Shift2, " near dup probe again"),
       batchId = 1L)
   }
 
@@ -523,15 +523,15 @@ object Indexing {
         concat(col("text"), lit(suffix)).as("text"))
     val root = LshIndex.defaultRoot(corpus) + "-del"
     LshIndex.buildIfAbsent(corpus, root)
-    LshIndex.absorbBatch(s, root, planted(1000000L, " near dup probe"),
+    LshIndex.absorbBatch(s, root, planted(Plants.Shift1, " near dup probe"),
       batchId = 0L)
     val deleteIds = corpus
       .filter(pmod(col("doc_id"), lit(30)) === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"))
+      .select((col("doc_id") + Plants.Shift1).as("doc_id"))
       .unionByName(corpus.filter(pmod(col("doc_id"), lit(40)) === 0)
         .select(col("doc_id")))
     LshIndex.delete(s, root, deleteIds, batchId = Some(1L))
-    LshIndex.absorbBatch(s, root, planted(2000000L, " near dup probe again"),
+    LshIndex.absorbBatch(s, root, planted(Plants.Shift2, " near dup probe again"),
       batchId = 2L)
   }
 
@@ -570,7 +570,7 @@ object Indexing {
     LshIndex.retrainSwap(corpus, root2, family, rowsPerBand = 4)
     val resolved = IndexPointer.current(family).get
     LshIndex.absorbBatch(s, resolved,
-      planted(1000000L, " near dup probe"), batchId = 0L)
+      planted(Plants.Shift1, " near dup probe"), batchId = 0L)
   }
 
   /** #218 TEXT-INDEX DRIFT REPORT (`q_lsh_drift`) — #207's retrain
@@ -590,11 +590,72 @@ object Indexing {
   def lshDrift(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + Plants.Shift1).as("doc_id"),
         concat(col("text"), lit(" near dup probe")).as("text"))
     val root = LshIndex.defaultRoot(corpus) + "-drift"
     LshIndex.buildIfAbsent(corpus, root)
     LshIndex.absorbDrift(s, root, batch)
+  }
+
+  /** One synthetic ingest day for the week gate (#219): near-dups of
+    * the corpus slice doc_id % 10 == d (shift (d+1)e6), FRESH docs —
+    * reversed-token variants of the % 20 == d slice (shift 10e6+d·1e6;
+    * reversed trigram shingles don't collide with the originals') —
+    * and, from day 1 on, CROSS-DAY dups: yesterday's fresh text with a
+    * suffix (shift 20e6+d·1e6), which can only be caught THROUGH the
+    * index's absorbed day-(d-1) rows. */
+  private def weekBatch(corpus: DataFrame, d: Int): DataFrame = {
+    val dups = corpus.filter(pmod(col("doc_id"), lit(10)) === d)
+      .select((col("doc_id") + (d + 1) * 1000000L).as("doc_id"),
+        concat(col("text"), lit(" week probe")).as("text"))
+    val rev = array_join(reverse(split(col("text"), " ")), " ")
+    val fresh = corpus.filter(pmod(col("doc_id"), lit(20)) === d)
+      .select((col("doc_id") + (10000000L + d * 1000000L)).as("doc_id"),
+        rev.as("text"))
+    val out = dups.unionByName(fresh)
+    if (d == 0) out
+    else out.unionByName(
+      corpus.filter(pmod(col("doc_id"), lit(20)) === (d - 1))
+        .select((col("doc_id") + (20000000L + d * 1000000L)).as("doc_id"),
+          concat(rev, lit(" again")).as("text")))
+  }
+
+  /** #219 WEEK-SCALE OPERATIONAL GATE (`q_curation_week`) — the #211
+    * two-day chain generalized to the real operational cadence, gating
+    * the COMPOSITION the pipeline objects already implement: 7 chained
+    * [[graft.pipelines.CurationJob.absorbDaily]] days (quality gate →
+    * stored-LSH near-dup check → curated delta append, batchId = day)
+    * with [[graft.pipelines.CurationJob.nightly]] BETWEEN every day
+    * (compaction + keep-3 vacuum on all three chains — so the gate
+    * also proves a week of maintenance never perturbs ingest), then
+    * the final curated corpus is answered against a DIRECT
+    * all-at-once oracle that replays the whole week: per day, the
+    * quality-passed batch probes corpus ∪ every EARLIER day's
+    * quality-passed docs (absorbed survivors AND dropped dups both
+    * enter the index — absorbBatch signs all candidates), survivors
+    * append. Cross-day plants ([[weekBatch]]) make day d's matches
+    * depend on day d-1's absorbed rows, so a watermark or compaction
+    * bug anywhere in the chain shifts the final corpus. Output:
+    * (doc_id, content_hash) of the end-of-week curated snapshot.
+    * Re-running replays every day as a no-op and returns the same
+    * corpus. */
+  def curationWeek(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.CurationJob
+    import graft.sources.Snapshots
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val base = LshIndex.defaultRoot(corpus) + "-week"
+    val (curatedRoot, lshRoot) = (s"$base/curated", s"$base/lsh")
+    if (Snapshots.latestVersion(curatedRoot).isEmpty)
+      Snapshots.commit(corpus, curatedRoot)
+    LshIndex.buildIfAbsent(corpus, lshRoot)
+    for (d <- 0 until 7) {
+      CurationJob.absorbDaily(weekBatch(corpus, d), curatedRoot, lshRoot,
+        batchId = d.toLong)
+      CurationJob.nightly(s, curatedRoot, lshRoot, keep = 3)
+    }
+    Snapshots.read(s, curatedRoot)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -614,7 +675,8 @@ object Indexing {
     "q_ann_pq_compacted"      -> annPqCompacted _,
     "q_corpus_delete"         -> corpusDelete _,
     "q_lsh_retrain_swap"      -> lshRetrainSwap _,
-    "q_lsh_drift"             -> lshDrift _
+    "q_lsh_drift"             -> lshDrift _,
+    "q_curation_week"         -> curationWeek _
   )
 
   private val cosSql =
@@ -740,6 +802,99 @@ object Indexing {
           |WHERE ROUND(len(list_intersect(sa.shs, sb.shs)) /
           |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
           |  >= 0.2""".stripMargin)
+
+  /** DuckDB replay of the 7-day ingest week (#219), all at once: for
+    * each day, the quality-passed batch band-joins against corpus ∪
+    * every EARLIER day's quality-passed docs (plus within-day pairs),
+    * verified matches at Jaccard ≥ 0.2 drop the doc, survivors append
+    * to the curated corpus. Each doc set is signed ONCE and reused as
+    * band CTEs (no per-day re-signing), mirroring the engine's stored
+    * index. */
+  private lazy val curationWeekOracleSql: String = {
+    val days = 0 until 7
+    def daySql(d: Int): String = {
+      val rev = "array_to_string(list_reverse(string_split(text, ' ')), ' ')"
+      val cross =
+        if (d == 0) ""
+        else s"""
+           |  UNION ALL SELECT doc_id + ${20000000L + d * 1000000L}, $rev || ' again'
+           |  FROM documents WHERE doc_id % 20 = ${d - 1}"""
+      s"""day$d AS (
+         |  SELECT doc_id + ${(d + 1) * 1000000L} AS doc_id,
+         |    text || ' week probe' AS text
+         |  FROM documents WHERE doc_id % 10 = $d
+         |  UNION ALL SELECT doc_id + ${10000000L + d * 1000000L}, $rev
+         |  FROM documents WHERE doc_id % 20 = $d$cross)""".stripMargin
+    }
+    // the quality gate of TextAnalysis.qualityPass, verbatim
+    def qpSql(d: Int): String =
+      s"""qp$d AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, string_split(text, ' ') AS toks FROM day$d)
+         |  WHERE len(toks) >= 10
+         |    AND CAST(list_sum(list_transform(toks, tk -> CAST(len(tk) AS BIGINT)))
+         |      AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+         |    AND CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / len(toks) <= 0.1
+         |    AND (CASE WHEN len(toks) >= 2
+         |      THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1)
+         |      ELSE 0.0 END) <= 0.5)""".stripMargin
+    def shSql(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |      ELSE CAST([] AS VARCHAR[]) END AS shs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src))""".stripMargin
+    val sigCols = (0 until 8).map(h =>
+      "list_min(list_transform(" +
+        "CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        s"ELSE CAST([] AS VARCHAR[]) END, x -> md5('$h:' || x))) AS sig_$h")
+      .mkString(",\n    ")
+    def sigSql(name: String, src: String): String =
+      s"""$name AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src))""".stripMargin
+    def candSql(d: Int): String = {
+      val idx = ("SELECT * FROM bandc" +:
+        (0 until d).map(e => s"SELECT * FROM bq$e")).mkString(" UNION ALL ")
+      s"""cand$d AS (SELECT DISTINCT new_id, match_id FROM (
+         |  SELECT n.doc_id AS new_id, i.doc_id AS match_id
+         |  FROM bq$d n JOIN ($idx) i
+         |    ON n.band = i.band AND n.bucket = i.bucket AND n.doc_id <> i.doc_id
+         |  UNION ALL
+         |  SELECT b.doc_id, a.doc_id
+         |  FROM bq$d a JOIN bq$d b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)),
+         |matched$d AS (SELECT DISTINCT c.new_id FROM cand$d c
+         |  JOIN shall sa ON sa.doc_id = c.new_id
+         |  JOIN shall sb ON sb.doc_id = c.match_id
+         |  WHERE ROUND(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+         |    (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
+         |    >= 0.2),
+         |kept$d AS (SELECT q.doc_id, q.text FROM qp$d q
+         |  LEFT JOIN matched$d m ON q.doc_id = m.new_id
+         |  WHERE m.new_id IS NULL)""".stripMargin
+    }
+    val shAll = ("SELECT * FROM shc" +:
+      days.map(d => s"SELECT * FROM shq$d")).mkString(" UNION ALL ")
+    val keptAll = ("SELECT doc_id, text FROM corpus" +:
+      days.map(d => s"SELECT doc_id, text FROM kept$d")).mkString(" UNION ALL ")
+    (Seq("corpus AS (SELECT doc_id, text FROM documents)") ++
+      days.map(daySql) ++ days.map(qpSql) ++
+      Seq(shSql("shc", "corpus")) ++ days.map(d => shSql(s"shq$d", s"qp$d")) ++
+      Seq(s"shall AS ($shAll)") ++
+      Seq(sigSql("sigc", "corpus")) ++ days.map(d => sigSql(s"sigq$d", s"qp$d")) ++
+      Seq(s"bandc AS (\n  ${bandUnionSql("sigc", 2)})") ++
+      days.map(d => s"bq$d AS (\n  ${bandUnionSql(s"sigq$d", 2)})") ++
+      days.map(candSql))
+      .mkString("WITH ", ",\n", "\n") +
+      s"SELECT doc_id, md5(text) AS content_hash FROM ($keptAll)"
+  }
 
   /** DuckDB replay of the LSH drift report (#218): sign corpus and
     * batch (default 4×2 banding), build-side collision fraction =
@@ -965,6 +1120,7 @@ object Indexing {
       """SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text
         |  FROM documents WHERE doc_id % 10 = 0""".stripMargin,
       rowsPerBand = 4),
+    "q_curation_week" -> curationWeekOracleSql,
     "q_lsh_drift" -> lshDriftOracle(
       "SELECT doc_id, text FROM documents",
       """SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text

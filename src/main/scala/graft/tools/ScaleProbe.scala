@@ -107,7 +107,16 @@ object ScaleProbe {
       // curve isolates the probe path
       "q_substring_dedup_offsets", "q_substring_dedup_removal",
       "q_dedup_lsh_compacted", "q_index_retrain_swap",
-      "q_bitext_mine_indexed")
+      "q_bitext_mine_indexed",
+      // r9 additions: PQ-codes compaction gate (build ∝ corpus in
+      // pass 1, probe path isolated by min-of-2), targeted delete
+      // (O(keys) tombstones + one probe day), text retrain-swap
+      // (re-sign ∝ corpus once, then probe), drift report (probe-only
+      // — must track batch, not corpus), and the 7-day chained week
+      // (7 × (batch absorb + compaction) — the full operational
+      // cadence; its curve tracks total absorbed volume)
+      "q_ann_pq_compacted", "q_corpus_delete", "q_lsh_retrain_swap",
+      "q_lsh_drift", "q_curation_week")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

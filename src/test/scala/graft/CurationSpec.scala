@@ -467,6 +467,28 @@ class CurationSpec extends AnyFunSuite {
     d1.unpersist()
   }
 
+  test("curation week: corpus monotone, fresh kept, corpus-dups dropped, replay-stable") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val r1 = SparkEntry.queries("q_curation_week")(spark, sf).cache()
+    // every original corpus doc survives the week untouched
+    assert(r1.filter(col("doc_id") < 1000000L).count() == corpus.count())
+    // fresh (reversed-token) docs were kept...
+    assert(r1.filter(col("doc_id").between(10000000L, 19999999L)).count() > 0,
+      "no fresh doc survived the week")
+    // ...while near-dup plants of corpus docs were overwhelmingly
+    // dropped (each matches its original through the stored index)
+    val dupsKept = r1.filter(col("doc_id").between(1000000L, 7999999L)).count()
+    val dupsPlanted = (0 until 7).map(d =>
+      corpus.filter(pmod(col("doc_id"), lit(10)) === d).count()).sum
+    assert(dupsKept < dupsPlanted / 2,
+      s"corpus dups not dropped: $dupsKept of $dupsPlanted kept")
+    // a full re-run replays all 7 days as no-ops: same corpus
+    val r2 = SparkEntry.queries("q_curation_week")(spark, sf)
+    assert(r1.exceptAll(r2).count() == 0 && r2.exceptAll(r1).count() == 0,
+      "week replay changed the curated corpus")
+    r1.unpersist()
+  }
+
   test("forget: a deleted doc leaves the corpus, stops matching ingest, and erases physically") {
     import spark.implicits._
     import graft.dedup.LshIndex

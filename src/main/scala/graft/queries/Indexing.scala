@@ -658,6 +658,34 @@ object Indexing {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** #220 TARGETED DELETE THROUGH THE VECTOR INDEX (`q_ann_delete`) —
+    * #216's right-to-be-forgotten gate for the embedding side: build
+    * the IVF index on the full corpus, tombstone every
+    * vec_id % 10 == 3 vector out of the stored assignments
+    * ([[graft.similarity.VectorIndex.delete]] — O(keys), the
+    * corpus-sized artifact is never rewritten), and the stored-index
+    * search must answer AS IF the deleted vectors had never been
+    * indexed: the oracle assigns all vectors against the same trained
+    * centroids and simply excludes the deleted ids from the candidate
+    * side (centroids are statistics, not memberships — they keep
+    * serving until the next retrain, exactly the engine's contract).
+    * Deleted ids can never be returned at any rank; survivors that
+    * were previously shadowed by a deleted better neighbor surface.
+    * Own root suffix keeps #168's sibling gates order-independent;
+    * idempotent — the tombstone replays as a no-op per batchId. */
+  def annDelete(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    val vecs = raw.select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+    val root = VectorIndex.defaultRoot(raw, seedK = 8, iters = 2) + "-del"
+    VectorIndex.buildIfAbsent(vecs, root, seedK = 8, iters = 2)
+    VectorIndex.delete(s, root,
+      vecs.filter(pmod(col("vec_id"), lit(10)) === 3).select(col("vec_id")),
+      batchId = Some(0L))
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    VectorIndex.ivfTopKStored(s, root, queries, k = 3, nprobe = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
@@ -676,7 +704,8 @@ object Indexing {
     "q_corpus_delete"         -> corpusDelete _,
     "q_lsh_retrain_swap"      -> lshRetrainSwap _,
     "q_lsh_drift"             -> lshDrift _,
-    "q_curation_week"         -> curationWeek _
+    "q_curation_week"         -> curationWeek _,
+    "q_ann_delete"            -> annDelete _
   )
 
   private val cosSql =
@@ -1023,7 +1052,36 @@ object Indexing {
          |FROM fwd f JOIN xm x ON f.q_id = x.q_id JOIN ym y ON f.n_id = y.n_id
          |ORDER BY margin_score DESC, en_id, de_id LIMIT 20""".stripMargin
 
+  /** DuckDB replay of #220: train-on-all Lloyd (deletion does not
+    * retrain — centroids are statistics, not memberships), assign all,
+    * then EXCLUDE the deleted ids from the candidate side only. */
+  private lazy val annDeleteSql: String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |${lloydChain(2)},
+         |sf AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    ${cosSql("e.v", "c.cv")} AS ccos
+         |  FROM e, c2 c),
+         |asg AS (SELECT vec_id, v, cid AS bucket FROM sf
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+         |probes AS (SELECT vec_id AS q_id, cid AS bucket FROM sf WHERE vec_id < 5
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) <= 2),
+         |pairs AS (
+         |  SELECT p.q_id, c.vec_id AS n_id,
+         |    ${cosSql("qe.v", "c.v")} AS cos
+         |  FROM probes p
+         |  JOIN e qe ON qe.vec_id = p.q_id
+         |  JOIN asg c ON c.bucket = p.bucket AND c.vec_id <> p.q_id
+         |    AND c.vec_id % 10 <> 3)
+         |SELECT q_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank,
+         |  n_id, cos
+         |FROM pairs
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ann_delete" -> annDeleteSql,
     "q_ann_ivf_stored" -> annIvfStoredSql,
     "q_bitext_mine_indexed" -> bitextIndexedSql,
     // the post-swap index IS a train-on-all build — same oracle

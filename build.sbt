@@ -11,11 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// No "[success] Total time: ..." epilogue: Bench/Verify print one JSON
-// line as the LAST stdout line and the driver parses exactly that —
-// sbt's success banner after it broke the parse four rounds running.
+// No "[success] Total time: ..." epilogue and no "[info] " line
+// prefixes on forked-run output: Bench/Verify print one JSON line as
+// the LAST stdout line and the driver parses exactly that — sbt's
+// success banner after it (and its logger prefix on it) broke the
+// parse four rounds running.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -686,6 +686,61 @@ object Indexing {
     VectorIndex.ivfTopKStored(s, root, queries, k = 3, nprobe = 2)
   }
 
+  /** #221 INCREMENTAL SEMANTIC DEDUP over the stored IVF index
+    * (`q_semdedup_incremental`) — the embedding-side member of the
+    * incremental-dedup family (#206 is the text twin; #76's SemDeDup
+    * is the inline batch form): the base corpus (vec_id % 10 ≠ 7)
+    * trains and stores the index; the arriving batch — the natural
+    * % 10 == 7 slice plus PLANTED verbatim copies of % 10 == 2
+    * vectors under shifted ids, whose cosine with their originals is
+    * exactly 1.0 — is assigned row-locally, probes ONLY its own
+    * buckets of the stored assignments for matches with cos ≥ 0.95
+    * (plus within-batch pairs, smaller id kept), and is delta-absorbed
+    * ([[graft.similarity.VectorIndex.semProbeBatch]]). The oracle
+    * replays base-trained Lloyd, both assignment sides, and the
+    * bucket-local threshold join. Own `-sem` root keeps the
+    * assignment-absorbing siblings order-independent; idempotent and
+    * replay-stable per batchId. */
+  def semdedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    def vecs(df: DataFrame) = df.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val baseRaw = raw.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val root = VectorIndex.defaultRoot(baseRaw, seedK = 8, iters = 2) + "-sem"
+    VectorIndex.buildIfAbsent(vecs(baseRaw), root, seedK = 8, iters = 2)
+    val batch = vecs(raw.filter(pmod(col("vec_id"), lit(10)) === 7))
+      .unionByName(vecs(raw.filter(pmod(col("vec_id"), lit(10)) === 2))
+        .select((col("vec_id") + Plants.Shift1).as("vec_id"), col("v")))
+    VectorIndex.semProbeBatch(s, root, batch, tau = 0.95, batchId = 0L)
+  }
+
+  /** #222 INCREMENTAL GRID-SPAN DEDUP over a STORED span index
+    * (`q_substring_dedup_incremental`) — the last index family to
+    * gain an incremental member (LSH text #206, IVF #203, PQ #208,
+    * and now exact substrings): the corpus's 16-token grid span
+    * hashes are persisted once in `smod=` hash-partition dirs
+    * ([[graft.dedup.SpanIndex]]); the daily batch — verbatim copies
+    * of the % 10 == 0 docs (every full span duplicated against the
+    * corpus) plus reversed-token fresh docs of the % 20 == 5 slice —
+    * enumerates only its own spans row-locally, probes the pruned
+    * stored artifact semi-restricted to the batch's hash set, and
+    * reports #73's per-doc statistics over corpus ∪ batch before
+    * being delta-absorbed. The oracle replays grid spans of corpus +
+    * batch and the df > 1 rule restricted to batch docs. Idempotent
+    * and replay-stable per batchId. */
+  def substringDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SpanIndex
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = SpanIndex.defaultRoot(corpus)
+    SpanIndex.buildIfAbsent(corpus, root)
+    val rev = array_join(reverse(split(col("text"), " ")), " ")
+    val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + Plants.Shift1).as("doc_id"), col("text"))
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(20)) === 5)
+        .select((col("doc_id") + Plants.Shift2).as("doc_id"), rev.as("text")))
+    SpanIndex.absorbBatch(s, root, batch, batchId = 0L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
@@ -705,7 +760,9 @@ object Indexing {
     "q_lsh_retrain_swap"      -> lshRetrainSwap _,
     "q_lsh_drift"             -> lshDrift _,
     "q_curation_week"         -> curationWeek _,
-    "q_ann_delete"            -> annDelete _
+    "q_ann_delete"            -> annDelete _,
+    "q_semdedup_incremental"  -> semdedupIncremental _,
+    "q_substring_dedup_incremental" -> substringDedupIncremental _
   )
 
   private val cosSql =
@@ -1080,7 +1137,70 @@ object Indexing {
          |FROM pairs
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3""".stripMargin
 
+  /** DuckDB replay of #221: base-trained Lloyd, both sides assigned
+    * with the 6dp/lowest-cid rule, bucket-local cos ≥ 0.95 join of
+    * batch vs base plus within-batch (smaller id kept). */
+  private lazy val semdedupIncrementalSql: String =
+      s"""WITH ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT * FROM ea WHERE vec_id % 10 <> 7),
+         |batch AS (SELECT vec_id, v FROM ea WHERE vec_id % 10 = 7
+         |  UNION ALL SELECT vec_id + 1000000, v FROM ea WHERE vec_id % 10 = 2),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |${lloydChain(2)},
+         |sb AS (SELECT e.vec_id, e.v, c.cid,
+         |    ${cosSql("e.v", "c.cv")} AS ccos
+         |  FROM e, c2 c),
+         |asgb AS (SELECT vec_id, v, cid AS bucket FROM sb
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+         |sn AS (SELECT b.vec_id, b.v, c.cid,
+         |    ${cosSql("b.v", "c.cv")} AS ccos
+         |  FROM batch b, c2 c),
+         |asgn AS (SELECT vec_id, v, cid AS bucket FROM sn
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+         |vsc AS (SELECT n.vec_id AS new_id, b.vec_id AS match_id,
+         |    ${cosSql("n.v", "b.v")} AS cos
+         |  FROM asgn n JOIN asgb b ON n.bucket = b.bucket
+         |  WHERE n.vec_id <> b.vec_id),
+         |wib AS (SELECT b.vec_id AS new_id, a.vec_id AS match_id,
+         |    ${cosSql("a.v", "b.v")} AS cos
+         |  FROM asgn a JOIN asgn b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT new_id, match_id, cos FROM vsc WHERE cos >= 0.95
+         |UNION ALL SELECT new_id, match_id, cos FROM wib WHERE cos >= 0.95""".stripMargin
+
+  /** DuckDB replay of #222: grid spans of corpus + batch, df over the
+    * union (batch's own stored copies excluded by construction — the
+    * corpus CTE is the pre-absorb corpus), #73's per-doc stats
+    * restricted to batch docs. */
+  private lazy val substringIncrementalSql: String =
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 20 = 5),
+        |tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |xc AS (SELECT doc_id,
+        |    md5(array_to_string(toks[(i*16 + 1):((i+1)*16)], ' ')) AS h
+        |  FROM (SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i FROM tc)),
+        |tn AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+        |xn AS (SELECT doc_id,
+        |    md5(array_to_string(toks[(i*16 + 1):((i+1)*16)], ' ')) AS h
+        |  FROM (SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i FROM tn)),
+        |d AS (SELECT h, COUNT(*) AS df FROM
+        |  (SELECT h FROM xc UNION ALL SELECT h FROM xn) GROUP BY 1)
+        |SELECT xn.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  ROUND(CAST(SUM(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_frac
+        |FROM xn JOIN d USING (h) GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_semdedup_incremental" -> semdedupIncrementalSql,
+    "q_substring_dedup_incremental" -> substringIncrementalSql,
     "q_ann_delete" -> annDeleteSql,
     "q_ann_ivf_stored" -> annIvfStoredSql,
     "q_bitext_mine_indexed" -> bitextIndexedSql,

@@ -206,6 +206,49 @@ object VectorIndex {
       assignmentsRoot(root), Seq("bucket"), Some(batchId))
   }
 
+  /** SEMANTIC NEAR-DUP PROBE + ABSORB over the stored index — the
+    * embedding-side member of the incremental-dedup family
+    * ([[graft.dedup.LshIndex.absorbBatch]] is the text twin; #76's
+    * SemDeDup is the inline batch form): each batch vector is
+    * assigned row-locally against the PERSISTED centroids, probes
+    * ONLY its own bucket of the stored assignments (PartitionFilters
+    * prune the rest — the probe set is bounded by the centroid count,
+    * so collecting it is always safe) for stored vectors with cosine
+    * ≥ `tau`, pairs within the batch the same way (smaller id is the
+    * kept match — the dedupKeepOne convention), and the batch is
+    * delta-absorbed so tomorrow's batch sees today's. Returns
+    * (new_id, match_id, cos ≥ tau). Replay-stable (stored copies of
+    * the batch's own ids are excluded from the corpus side) and
+    * idempotent per `batchId`. Cluster-bucket-local throughout —
+    * never all-pairs: the SemDeDup cost model at ingest. */
+  def semProbeBatch(spark: SparkSession, root: String, batch: DataFrame,
+      tau: Double, batchId: Long): DataFrame = {
+    val cents = Snapshots.read(spark, centroidsRoot(root))
+    val assigned = assignRowLocal(batch, cents).drop("ccos").localCheckpoint()
+    val buckets = assigned.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val batchIds = batch.select(col("vec_id"))
+    val stored = Snapshots.read(spark, assignmentsRoot(root))
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(batchIds), Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("match_id"), col("v").as("mv"), col("bucket"))
+    val vsCorpus = assigned.as("n")
+      .join(stored.hint("shuffle_hash"), Seq("bucket"))
+      .select(col("vec_id").as("new_id"), col("match_id"),
+        round(Embeddings.cosine(col("v"), col("mv")), 6).as("cos"))
+      .filter(col("cos") >= tau && col("new_id") =!= col("match_id"))
+    val within = assigned.as("a")
+      .join(assigned.as("b").hint("shuffle_hash"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("new_id"), col("a.vec_id").as("match_id"),
+        round(Embeddings.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+    val out = vsCorpus.unionByName(within)
+    Snapshots.commitAppend(assigned, assignmentsRoot(root),
+      Seq("bucket"), Some(batchId))
+    out
+  }
+
   /** Drift statistic for retrain scheduling: the batch's mean
     * assignment cosine vs the build-time baseline from the `stats`
     * artifact. A falling mean says new data sits farther from the

@@ -116,7 +116,11 @@ object ScaleProbe {
       // (7 × (batch absorb + compaction) — the full operational
       // cadence; its curve tracks total absorbed volume)
       "q_ann_pq_compacted", "q_corpus_delete", "q_lsh_retrain_swap",
-      "q_lsh_drift", "q_curation_week", "q_ann_delete")
+      "q_lsh_drift", "q_curation_week", "q_ann_delete",
+      // the two remaining incremental members: semantic probe ∝
+      // batch + bucket candidates; span probe ∝ batch + matching
+      // stored spans (both build ∝ corpus in pass 1)
+      "q_semdedup_incremental", "q_substring_dedup_incremental")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

@@ -467,6 +467,55 @@ class CurationSpec extends AnyFunSuite {
     d1.unpersist()
   }
 
+  test("nightly with matches + vector roots: one entry point maintains every chain") {
+    import spark.implicits._
+    import graft.dedup.LshIndex
+    import graft.pipelines.CurationJob
+    import graft.similarity.{Embeddings, VectorIndex}
+    import graft.sources.{Snapshots, Tables}
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("graft-nightly-all").toString
+    val (curatedRoot, lshRoot, matchesRoot, vecRoot) =
+      (s"$base/cur", s"$base/lsh", s"$base/matches", s"$base/vec")
+    Snapshots.commit(corpus, curatedRoot)
+    LshIndex.build(corpus, lshRoot)
+    // grow a matches chain the way the streaming absorb loop does
+    val b1 = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup probe")).as("text"))
+    CurationJob.absorbDaily(b1, curatedRoot, lshRoot, batchId = 0L)
+    val m1 = LshIndex.absorbBatch(spark, lshRoot, b1.select(col("doc_id"),
+      concat(col("text"), lit(" x")).as("text")), batchId = 1L)
+    Snapshots.commitBatch(m1, matchesRoot, 0L)
+    Snapshots.commitAppend(m1, matchesRoot, batchId = Some(1L))
+    // and both vector chains
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+    val isB = pmod(col("vec_id"), lit(10)) === 7
+    VectorIndex.build(vecs.filter(!isB), vecRoot)
+    VectorIndex.buildPq(vecs.filter(!isB), vecRoot)
+    VectorIndex.assignBatch(spark, vecRoot, vecs.filter(isB), batchId = 0L)
+    VectorIndex.encodeBatchPq(spark, vecRoot, vecs.filter(isB), batchId = 0L)
+    val m = CurationJob.nightly(spark, curatedRoot, lshRoot, keep = 7,
+      matchesRoot = Some(matchesRoot), vectorRoot = Some(vecRoot))
+    // every grown chain compacted in the ONE call
+    Seq(curatedRoot, LshIndex.bandsRoot(lshRoot), LshIndex.shinglesRoot(lshRoot),
+        matchesRoot, VectorIndex.assignmentsRoot(vecRoot),
+        VectorIndex.pqCodesRoot(vecRoot)).foreach { r =>
+      assert(m.compacted(r).nonEmpty, s"$r was not compacted")
+      assert(!Snapshots.isDelta(r, Snapshots.latestVersion(r).get))
+    }
+    // full-commit-only vector roots are vacuum-covered but not compacted
+    assert(m.compacted(VectorIndex.centroidsRoot(vecRoot)).isEmpty &&
+      m.compacted.contains(VectorIndex.centroidsRoot(vecRoot)))
+    // replay watermarks survived everywhere
+    val mv = Snapshots.versions(matchesRoot)
+    Snapshots.commitAppend(m1, matchesRoot, batchId = Some(1L))
+    assert(Snapshots.versions(matchesRoot) == mv,
+      "matches chain lost its watermark in the combined nightly")
+  }
+
   test("curation week: corpus monotone, fresh kept, corpus-dups dropped, replay-stable") {
     val corpus = graft.sources.Tables.documents(spark, sf)
     val r1 = SparkEntry.queries("q_curation_week")(spark, sf).cache()

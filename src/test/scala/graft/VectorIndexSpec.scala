@@ -281,6 +281,39 @@ class VectorIndexSpec extends AnyFunSuite {
       "retried retrainSwap re-trained")
   }
 
+  test("semProbeBatch: planted copies match at cos 1.0, day-2 matches day-1, replay-stable") {
+    val root = freshRoot()
+    val base = vecs.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    VectorIndex.build(base, root, seedK = 8, iters = 2)
+    // day 1: verbatim copies of % 10 == 2 base vectors under new ids
+    val day1 = base.filter(pmod(col("vec_id"), lit(10)) === 2)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+      .localCheckpoint()
+    val r1 = VectorIndex.semProbeBatch(spark, root, day1, tau = 0.95,
+      batchId = 0L).localCheckpoint()
+    // every copy matches its original exactly
+    val exact = r1.filter(col("match_id") === col("new_id") - 1000000L &&
+      col("cos") === 1.0)
+    assert(exact.count() == day1.count(),
+      "a planted copy missed its original at cos 1.0")
+    // replay: no re-append, same matches (stored copies of the batch
+    // are excluded from the corpus side)
+    val av = Snapshots.versions(VectorIndex.assignmentsRoot(root))
+    val r1b = VectorIndex.semProbeBatch(spark, root, day1, tau = 0.95,
+      batchId = 0L)
+    assert(Snapshots.versions(VectorIndex.assignmentsRoot(root)) == av,
+      "replayed batch re-appended")
+    assert(r1.exceptAll(r1b).count() == 0 && r1b.exceptAll(r1).count() == 0,
+      "replay changed the match set")
+    // day 2: copies of DAY-1 ids — caught only through the absorbed index
+    val day2 = day1.select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+    val r2 = VectorIndex.semProbeBatch(spark, root, day2, tau = 0.95,
+      batchId = 1L)
+    assert(r2.filter(col("match_id").between(1000000L, 1999999L) &&
+      col("cos") === 1.0).count() >= day1.count(),
+      "day-2 copies did not match day-1 through the absorbed index")
+  }
+
   test("targeted delete: a deleted vector vanishes from IVF and ADC search") {
     import spark.implicits._
     val root = freshRoot()

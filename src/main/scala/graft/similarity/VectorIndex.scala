@@ -220,7 +220,16 @@ object VectorIndex {
     * (new_id, match_id, cos ≥ tau). Replay-stable (stored copies of
     * the batch's own ids are excluded from the corpus side) and
     * idempotent per `batchId`. Cluster-bucket-local throughout —
-    * never all-pairs: the SemDeDup cost model at ingest. */
+    * never all-pairs: the SemDeDup cost model at ingest.
+    *
+    * COST CAVEAT (inherent to SemDeDup, same as the inline #76): the
+    * probe is quadratic PER BUCKET (batch-bucket × stored-bucket), so
+    * it is bounded only by clustering granularity — the centroid
+    * count must GROW with the corpus (k ∝ √N keeps per-bucket
+    * occupancy flat; the published SemDeDup recipe). ScaleProbe's
+    * fixed-k replication measures exactly the violated form: 6.5x at
+    * 16x corpus under a constant k = 8. The operational pairing is
+    * [[retrainSwap]] with a larger seedK as the corpus grows. */
   def semProbeBatch(spark: SparkSession, root: String, batch: DataFrame,
       tau: Double, batchId: Long): DataFrame = {
     val cents = Snapshots.read(spark, centroidsRoot(root))

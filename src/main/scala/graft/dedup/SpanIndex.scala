@@ -70,6 +70,19 @@ object SpanIndex {
   def buildIfAbsent(docs: DataFrame, root: String): Unit =
     if (Snapshots.latestVersion(spansRoot(root)).isEmpty) { build(docs, root); () }
 
+  /** TARGETED DELETE through the span artifact — the
+    * right-to-be-forgotten propagation ([[graft.dedup.LshIndex.delete]]
+    * for spans): tombstone `docIds`' span rows out of the stored
+    * artifact, so a deleted document's spans stop inflating any
+    * future batch's duplicated-span counts; compact + vacuum complete
+    * the physical erasure. O(keys); idempotent per `batchId` on the
+    * absorb watermark. */
+  def delete(spark: SparkSession, root: String, docIds: DataFrame,
+      batchId: Option[Long] = None): Unit = {
+    Snapshots.commitDelete(docIds, spansRoot(root), "doc_id", batchId)
+    ()
+  }
+
   /** Absorb a NEW document batch: per-doc grid-span dup statistics of
     * the batch against corpus ∪ batch (#73's semantics — a span is
     * duplicated iff its hash occurs anywhere else, including twice

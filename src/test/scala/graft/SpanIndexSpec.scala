@@ -73,5 +73,19 @@ class SpanIndexSpec extends AnyFunSuite {
     val r2 = SpanIndex.absorbBatch(spark, root, day2, batchId = 1L).head()
     assert(r2.getAs[Long]("n_dup_spans") == r2.getAs[Long]("n_spans"),
       "day-2 copy did not match day-1 through the stored chain")
+    // targeted delete: forget BOTH stored copies of doc(1)'s spans —
+    // a day-3 re-send then matches nothing
+    SpanIndex.delete(spark, root,
+      Seq(1000000L, 1100000L).toDF("doc_id"), batchId = Some(2L))
+    val day3 = Seq((1200000L, doc(1))).toDF("doc_id", "text")
+    val r3 = SpanIndex.absorbBatch(spark, root, day3, batchId = 3L).head()
+    assert(r3.getAs[Long]("n_dup_spans") == 0L,
+      "deleted spans still matched a new arrival")
+    // replayed delete no-ops (watermark passed it)
+    val vs = Snapshots.versions(SpanIndex.spansRoot(root))
+    SpanIndex.delete(spark, root, Seq(1000000L).toDF("doc_id"),
+      batchId = Some(2L))
+    assert(Snapshots.versions(SpanIndex.spansRoot(root)) == vs,
+      "replayed span delete re-committed")
   }
 }

@@ -180,14 +180,20 @@ object Bench {
     // inflated segment names exactly which queries a load spike hit
     val series = best.series
       .map { case (i, v, p) => s"[$i,${ms(v)},${ms(p)}]" }.mkString("[", ",", "]")
+    val scalars =
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","attempts":${attempts.size},"clean":${best.clean},"calib_par_ratio":${ms(best.parRatio)},"calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"calib_par_first_sec":${ms(best.parFirst)},"calib_par_last_sec":${ms(best.parLast)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","attempts":${attempts.size},"clean":${best.clean},"calib_par_ratio":${ms(best.parRatio)},"calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"calib_par_first_sec":${ms(best.parFirst)},"calib_par_last_sec":${ms(best.parLast)},"calib_series":$series,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"slowest":$slow,"queries":$qs}"""
+      s"""{$scalars,"calib_series":$series,"slowest":$slow,"queries":$qs}"""
     // durable copy the driver can read whole even if stdout is capped
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LATEST.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    // LAST line on stdout, after all Spark shutdown chatter
-    println(json)
+    // LAST line on stdout, after all Spark shutdown chatter — SHORT by
+    // design (~1 KB: totals + calibration + slowest-10, NO per-query
+    // map or calib series): five driver rounds recorded parsed:null
+    // because the tail capture was smaller than the ~8 KB full line;
+    // the full artifact lives in BENCH_LATEST.json above
+    println(s"""{$scalars,"slowest":$slow,"full":"BENCH_LATEST.json"}""")
   }
 }

@@ -75,13 +75,19 @@ object LshIndex {
     * root signs its batch with the MATCHING band structure (a probe
     * banded differently would silently find nothing). Roots from
     * before the file existed default to the original
-    * rows-per-band = 2. */
+    * rows-per-band = 2; a file that EXISTS but does not parse fails
+    * LOUDLY — it is exactly the torn/corrupt state this file guards
+    * against, and a silent =2 default would sign every probe with the
+    * wrong banding and silently find nothing. */
   def rowsPerBandOf(root: String): Int = {
     val p = java.nio.file.Paths.get(s"$root/_params")
     if (!java.nio.file.Files.exists(p)) 2
     else "\"rowsPerBand\":(\\d+)".r
       .findFirstMatchIn(java.nio.file.Files.readString(p))
-      .map(_.group(1).toInt).getOrElse(2)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"corrupt _params under $root: cannot recover rowsPerBand — " +
+          "refusing to probe with guessed banding"))
   }
 
   private def bmodCol: Column =
@@ -116,14 +122,30 @@ object LshIndex {
     * (bandsVersion, shinglesVersion). */
   def build(docs: DataFrame, root: String, rowsPerBand: Int = 2): (Long, Long) = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/_params"),
-      s"""{"k":8,"rowsPerBand":$rowsPerBand}""")
+    // tmp + ATOMIC_MOVE like every other pointer file: a reader can see
+    // the old file or the new one, never a torn write (rowsPerBandOf
+    // fails loudly on corruption, so a non-atomic write would turn a
+    // crash mid-write into a permanently unreadable root)
+    val tmp = java.nio.file.Paths.get(s"$root/_params.tmp")
+    java.nio.file.Files.writeString(tmp, s"""{"k":8,"rowsPerBand":$rowsPerBand}""")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$root/_params"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val bv = Snapshots.commitPartitioned(bandsOf(docs, rowsPerBand),
       bandsRoot(root), Seq("bmod"))
     val sv = Snapshots.commitPartitioned(shinglesOf(docs),
       shinglesRoot(root), Seq("dmod"))
-    val spark = docs.sparkSession
+    commitStats(docs.sparkSession, root)
+    (bv, sv)
+  }
+
+  /** Compute and commit the `stats` drift baseline FROM the committed
+    * band artifact (no signing pass — shared by [[build]] and the
+    * stats-only backfill in [[buildIfAbsent]]): the fraction of
+    * indexed docs sharing at least one (band, bucket) with another
+    * indexed doc. Null buckets (docs too short to shingle) are
+    * excluded — they never join in a probe either. */
+  private def commitStats(spark: SparkSession, root: String): Long = {
     val bands = Snapshots.read(spark, bandsRoot(root))
     val bucketSizes = bands.filter(col("bucket").isNotNull)
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
@@ -138,16 +160,22 @@ object LshIndex {
           round(col("n_coll").cast("double") / col("n_docs"), 6)
             .as("coll_frac")),
       statsRoot(root))
-    (bv, sv)
   }
 
   /** Idempotent build: a no-op when every artifact already exists —
-    * the nightly-job contract (a retried run never re-signs). */
+    * the nightly-job contract (a retried run never re-signs). When the
+    * band/shingle artifacts exist and ONLY the stats baseline is
+    * missing (a pre-v2 root reused via an explicit path), backfill
+    * JUST the baseline from the committed band artifact — a full
+    * rebuild here would commit fresh full band/shingle snapshots
+    * containing only the corpus signing, silently dropping any
+    * absorbed delta batches from the latest read view. */
   def buildIfAbsent(docs: DataFrame, root: String, rowsPerBand: Int = 2): Unit =
     if (Snapshots.latestVersion(bandsRoot(root)).isEmpty ||
-        Snapshots.latestVersion(shinglesRoot(root)).isEmpty ||
-        Snapshots.latestVersion(statsRoot(root)).isEmpty) {
+        Snapshots.latestVersion(shinglesRoot(root)).isEmpty) {
       build(docs, root, rowsPerBand); ()
+    } else if (Snapshots.latestVersion(statsRoot(root)).isEmpty) {
+      commitStats(docs.sparkSession, root); ()
     }
 
   /** RETRAIN-AND-SWAP for the text index — the operational response
@@ -186,6 +214,17 @@ object LshIndex {
     val bb = bandsOf(batch, rowsPerBandOf(root)).localCheckpoint()
     val mods = bb.select(col("bmod")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // EMPTY batch: no drift evidence — return an explicit zero row
+    // (n_batch = 0, fractions 0.0, drift 0.0) instead of the 0/0
+    // null-valued row the aggregate path would emit; a monitor
+    // alerting on |drift| must treat "nothing arrived" as no signal
+    if (mods.isEmpty) {
+      val baseline = Snapshots.read(spark, statsRoot(root))
+        .select(col("coll_frac").as("coll_frac_build"))
+      return baseline.select(lit(0L).as("n_batch"),
+        lit(0.0).as("coll_frac_batch"), col("coll_frac_build"),
+        lit(0.0).as("drift"))
+    }
     val stored = Snapshots.read(spark, bandsRoot(root))
       .filter(col("bmod").isin(mods: _*))
     val collided = bb.filter(col("bucket").isNotNull).as("n")

@@ -195,8 +195,14 @@ object Snapshots {
       // carry the chain's max batchId into the compacted manifest:
       // commitAppend's replay check reads the LATEST version's
       // batchId, so a compact that dropped it would let a re-delivered
-      // old batch append AGAIN on top of data that already contains it
-      val maxBatch = monotoneChainMax(root, chainVersions(root, latest))
+      // old batch append AGAIN on top of data that already contains it.
+      // Source of truth is the CARRIED maxBatchId field (keyed commits
+      // already excluded at write time, and — unlike the legacy chain
+      // scan — no plausibility bound applies, so timestamp-derived
+      // monotone ids like epoch millis survive compaction); the chain
+      // scan inside maxBatchIdOf serves only manifests from before the
+      // field existed
+      val maxBatch = maxBatchIdOf(root, latest)
       commitInternal(read(spark, root), root, maxBatch, partitionCols)
     }
   }
@@ -242,20 +248,24 @@ object Snapshots {
         .contains("\"keyed\":true")
   }
 
-  /** Monotone batch ids are small counters (micro-batch ids, day
-    * indexes); [[commitKeyed]] fingerprints are ~uniform 64-bit
-    * values. Keyed manifests written BEFORE the `"keyed":true` marker
-    * existed carry no marker, so every legacy-chain watermark fallback
-    * additionally treats an implausibly large |batchId| as keyed — a
-    * real monotone id can never approach 2^40, while a random 64-bit
-    * fingerprint exceeds it with probability 1 - 2^-23. Without this,
-    * a pre-marker keyed first-root commit still poisons the watermark
-    * the marker was introduced to protect. */
+  /** LEGACY-FALLBACK-ONLY plausibility bound — applied solely inside
+    * [[monotoneChainMax]], which itself only runs for manifests from
+    * before the carried `maxBatchId` field existed (see
+    * [[maxBatchIdOf]]): monotone batch ids are typically small counters
+    * (micro-batch ids, day indexes); [[commitKeyed]] fingerprints are
+    * ~uniform 64-bit values, and keyed manifests written BEFORE the
+    * `"keyed":true` marker existed carry no marker, so the fallback
+    * treats an implausibly large |batchId| as keyed — a random 64-bit
+    * fingerprint exceeds 2^40 with probability 1 - 2^-23. A LIVE chain
+    * (every post-field manifest) is never subject to this bound: the
+    * carried field excludes keyed commits at write time, so
+    * timestamp-derived monotone ids (epoch millis ≈ 1.8e12 > 2^40) keep
+    * their replay protection through compaction. */
   private val MaxPlausibleMonotoneId = 1L << 40
 
-  /** Max MONOTONE batch id across `vs` — keyed versions excluded by
-    * marker, legacy keyed versions excluded by the plausibility
-    * bound. */
+  /** Max MONOTONE batch id across `vs` — the pre-`maxBatchId`-field
+    * fallback only: keyed versions excluded by marker, legacy keyed
+    * versions excluded by the plausibility bound. */
   private def monotoneChainMax(root: String, vs: Seq[Long]): Option[Long] =
     vs.filterNot(isKeyed(root, _))
       .flatMap(batchIdOf(root, _))
@@ -286,8 +296,21 @@ object Snapshots {
       partitionCols: Seq[String] = Seq.empty, delta: Boolean = false,
       monotone: Boolean = true, tombstoneKey: Option[String] = None): Long = {
     val next = latestVersion(root).getOrElse(-1L) + 1
-    // 1. data (distributed; overwrite clears any orphan from a crash)
-    val w = df.write.mode(SaveMode.Overwrite)
+    // 1. data (distributed; overwrite clears any orphan from a crash).
+    // Hive-partitioned commits CLUSTER BY the partition key first:
+    // without it every shuffle task writes a sliver into every
+    // `key=` dir — fanout × shuffle-partitions small files whose
+    // per-file open cost grows with the partition count and quietly
+    // re-linearizes pruned probe reads (measured: the k ∝ N SemDeDup
+    // probe's residual growth was file handles, not data). One
+    // shuffle at write time → one file per dir per owning task; task
+    // balance is the partition key's own balance (for the index
+    // artifacts that is the flat-occupancy contract).
+    val clustered =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val w = clustered.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dataDir(root, next))
     // 2. manifest (metadata — written before the pointer so a reader

@@ -257,4 +257,67 @@ class LshIndexSpec extends AnyFunSuite {
         s"deleted bytes survived forget under $r")
     }
   }
+
+  test("corrupt _params fails loudly; a missing file still means the legacy default") {
+    val root = freshRoot()
+    LshIndex.build(corpus, root, rowsPerBand = 4)
+    val p = java.nio.file.Paths.get(s"$root/_params")
+    val orig = java.nio.file.Files.readString(p)
+    assert(LshIndex.rowsPerBandOf(root) == 4)
+    // a torn/corrupt params file must refuse, never guess: a probe
+    // signed with the wrong banding silently finds nothing
+    java.nio.file.Files.writeString(p, """{"k":8,"rowsPerB""")
+    intercept[IllegalStateException] { LshIndex.rowsPerBandOf(root) }
+    java.nio.file.Files.writeString(p, orig)
+    assert(LshIndex.rowsPerBandOf(root) == 4)
+    // genuinely-legacy root (file never written) keeps the =2 default
+    java.nio.file.Files.delete(p)
+    assert(LshIndex.rowsPerBandOf(root) == 2)
+  }
+
+  test("buildIfAbsent backfills ONLY a missing stats baseline — absorbed batches survive") {
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    LshIndex.build(corpus, root)
+    LshIndex.absorbBatch(spark, root, plantedBatch(8000000L), batchId = 0L)
+      .count()
+    // simulate a pre-v2 root reused via an explicit path: bands and
+    // shingles exist (WITH an absorbed delta), stats never built
+    val sroot = java.nio.file.Paths.get(LshIndex.statsRoot(root))
+    java.nio.file.Files.walk(sroot).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    assert(Snapshots.latestVersion(LshIndex.statsRoot(root)).isEmpty)
+    val bandsBefore = Snapshots.versions(LshIndex.bandsRoot(root))
+    val shinglesBefore = Snapshots.versions(LshIndex.shinglesRoot(root))
+    LshIndex.buildIfAbsent(corpus, root)
+    // the backfill committed stats from the COMMITTED band artifact —
+    // a full rebuild here would commit fresh corpus-only snapshots and
+    // silently drop the absorbed batch from the latest read view
+    assert(Snapshots.versions(LshIndex.bandsRoot(root)) == bandsBefore &&
+      Snapshots.versions(LshIndex.shinglesRoot(root)) == shinglesBefore,
+      "stats backfill re-signed the corpus")
+    assert(Snapshots.latestVersion(LshIndex.statsRoot(root)).nonEmpty,
+      "stats baseline not backfilled")
+    assert(Snapshots.read(spark, LshIndex.bandsRoot(root))
+      .filter(col("doc_id") >= 8000000L).count() > 0,
+      "absorbed batch vanished from the read view")
+  }
+
+  test("absorbDrift on an empty batch: explicit zero row, never 0/0 nulls") {
+    val root = freshRoot()
+    LshIndex.build(corpus, root)
+    val out = LshIndex.absorbDrift(spark, root, corpus.filter(lit(false)))
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(r.fieldIndex("n_batch")) == 0L)
+    assert(!r.isNullAt(r.fieldIndex("coll_frac_batch")) &&
+      r.getDouble(r.fieldIndex("coll_frac_batch")) == 0.0,
+      "empty batch emitted a null collision fraction")
+    assert(!r.isNullAt(r.fieldIndex("drift")) &&
+      r.getDouble(r.fieldIndex("drift")) == 0.0,
+      "empty batch emitted a null drift — no data is no signal")
+    assert(!r.isNullAt(r.fieldIndex("coll_frac_build")),
+      "baseline missing from the zero row")
+  }
 }

@@ -336,4 +336,24 @@ class SnapshotsSpec extends AnyFunSuite {
       Seq.empty, Some(1L)) == v3, "replayed batch re-appended after compact")
     assert(Snapshots.read(spark, root).count() == 7)
   }
+
+  test("epoch-millis batch ids keep replay protection through compact") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    // a timestamp-derived monotone clock: epoch millis ≈ 1.77e12 is
+    // far beyond the legacy 2^40 plausibility bound — compact must
+    // carry it via the manifest's maxBatchId FIELD (which excludes
+    // keyed commits at write time), not the bounded legacy chain scan
+    val epochMs = 1771234567890L
+    Snapshots.commitAppend(Seq(2L).toDF("id"), root, Seq.empty, Some(epochMs))
+    val vc = Snapshots.compact(spark, root)
+    assert(Snapshots.maxBatchIdOf(root, vc).contains(epochMs),
+      s"compact dropped the epoch-millis watermark: ${Snapshots.maxBatchIdOf(root, vc)}")
+    // the re-delivered batch still no-ops — pre-fix it double-appended
+    assert(Snapshots.commitAppend(Seq(2L).toDF("id"), root,
+      Seq.empty, Some(epochMs)) == vc,
+      "re-delivered epoch-millis batch re-appended after compact")
+    assert(Snapshots.read(spark, root).count() == 2)
+  }
 }

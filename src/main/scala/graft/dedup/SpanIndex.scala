@@ -83,6 +83,21 @@ object SpanIndex {
     ()
   }
 
+  /** NIGHTLY MAINTENANCE for the span chain — the operational close of
+    * [[absorbBatch]]'s daily loop ([[graft.similarity.VectorIndex.nightly]]
+    * for spans): every absorbed batch leaves one more `smod=` delta dir,
+    * so after a week every probe resolves a 7-dir chain read; this
+    * compacts the chain back to ONE full snapshot when the latest is a
+    * delta (re-running is free) and vacuums history beyond `keep`. The
+    * replay watermark survives ([[Snapshots.compact]] carries the
+    * chain's maxBatchId — a re-delivered pre-compaction batch still
+    * no-ops; `q_span_compacted` gates it end-to-end, SpanIndexSpec pins
+    * the watermark). A curation deployment reaches this through
+    * [[graft.pipelines.CurationJob.nightly]]'s `spanRoot`. */
+  def nightly(spark: SparkSession, root: String,
+      keep: Int = 7): Snapshots.Maintenance =
+    Snapshots.maintain(spark, Seq(spansRoot(root) -> Seq("smod")), keep)
+
   /** Absorb a NEW document batch: per-doc grid-span dup statistics of
     * the batch against corpus ∪ batch (#73's semantics — a span is
     * duplicated iff its hash occurs anywhere else, including twice

@@ -70,10 +70,15 @@ object CurationJob {
   /** What a [[release]] run produced: per-artifact committed Snapshots
     * versions (the pinnable provenance of a data release), the stage
     * names this invocation actually computed (empty on a clean
-    * retry), and the content-fingerprint run key. */
+    * retry), and the content-fingerprint run key. `bloomPath` always
+    * names a bloom file that EXISTS: on a superseded stale replay
+    * (this runId's bloom was pruned by a newer release — `superseded`
+    * is true) it names the CURRENT release's artifact, so a consumer
+    * wiring it into the incremental prefilter never dereferences a
+    * pruned file. */
   final case class Release(
       versions: Map[String, Long], recomputed: Seq[String], runId: Long,
-      bloomPath: String)
+      bloomPath: String, superseded: Boolean = false)
 
   /** The FULL data-release pipeline as an idempotent multi-stage job —
     * the r5 verdict's Next #3: the curation chain extended with
@@ -227,7 +232,13 @@ object CurationJob {
       Files.move(latestTmp, Paths.get(s"$outRoot/corpus.bloom.latest"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
-    Release(versions.toMap, recomputed.result(), runId, bloomPath)
+    // on the superseded path this run's own bloom was pruned by the
+    // newer release and never rebuilt — hand the caller the marker's
+    // EXISTING artifact instead of a path to a file that is not there
+    val servedBloom =
+      if (superseded) s"$outRoot/${marker().get}" else bloomPath
+    Release(versions.toMap, recomputed.result(), runId, servedBloom,
+      superseded = superseded)
   }
 
   /** The DAILY INGEST job — the operational close of the incremental
@@ -286,13 +297,21 @@ object CurationJob {
     * [[nightly]]'s compact + vacuum physically drop the bytes — run
     * it after a forget to complete the erasure. O(keys) at delete
     * time; idempotent per `batchId` on the same monotone clock as the
-    * daily absorbs. A deployment with stored embeddings composes
-    * [[graft.similarity.VectorIndex.delete]] with the same ids. */
+    * daily absorbs. A deployment that also keeps the stored grid-span
+    * index passes `spanRoot` and the documents' span rows are
+    * tombstoned in the same call ([[graft.dedup.SpanIndex.delete]]) —
+    * without it a forgotten doc's spans would keep inflating future
+    * batches' duplicated-span counts. One with stored embeddings
+    * composes [[graft.similarity.VectorIndex.delete]] with the same
+    * ids. */
   def forget(spark: org.apache.spark.sql.SparkSession, curatedRoot: String,
       lshRoot: String, docIds: DataFrame,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      spanRoot: Option[String] = None): Unit = {
     Snapshots.commitDelete(docIds, curatedRoot, "doc_id", batchId)
     graft.dedup.LshIndex.delete(spark, lshRoot, docIds, batchId)
+    spanRoot.foreach(r =>
+      graft.dedup.SpanIndex.delete(spark, r, docIds, batchId))
   }
 
   /** What [[nightly]] touched — see [[Snapshots.Maintenance]]. */
@@ -321,12 +340,17 @@ object CurationJob {
     * passes its index root via `vectorRoot` and the vector families'
     * chains (IVF assignments, PQ codes) are maintained in the same
     * pass ([[graft.similarity.VectorIndex.nightly]] standalone covers
-    * the index-only deployment). */
+    * the index-only deployment); one that keeps the stored grid-span
+    * index ([[graft.dedup.SpanIndex]]) passes `spanRoot` and its
+    * `smod=` chain is compacted + vacuumed here too — without it a
+    * week of span absorbs becomes a 7-dir chain read with no
+    * maintenance entry point. */
   def nightly(spark: org.apache.spark.sql.SparkSession,
       curatedRoot: String, lshRoot: String, keep: Int = 7,
       matchesRoot: Option[String] = None,
-      vectorRoot: Option[String] = None): Maintenance = {
-    import graft.dedup.LshIndex
+      vectorRoot: Option[String] = None,
+      spanRoot: Option[String] = None): Maintenance = {
+    import graft.dedup.{LshIndex, SpanIndex}
     import graft.similarity.VectorIndex
     Snapshots.maintain(spark,
       Seq(
@@ -339,7 +363,8 @@ object CurationJob {
           VectorIndex.pqCodesRoot(r) -> Seq.empty[String],
           VectorIndex.centroidsRoot(r) -> Seq.empty[String],
           VectorIndex.statsRoot(r) -> Seq.empty[String],
-          VectorIndex.pqCodebookRoot(r) -> Seq.empty[String])),
+          VectorIndex.pqCodebookRoot(r) -> Seq.empty[String])) ++
+        spanRoot.map(r => SpanIndex.spansRoot(r) -> Seq("smod")).toSeq,
       keep)
   }
 }

@@ -604,7 +604,7 @@ object Indexing {
     * and, from day 1 on, CROSS-DAY dups: yesterday's fresh text with a
     * suffix (shift 20e6+d·1e6), which can only be caught THROUGH the
     * index's absorbed day-(d-1) rows. */
-  private def weekBatch(corpus: DataFrame, d: Int): DataFrame = {
+  private[graft] def weekBatch(corpus: DataFrame, d: Int): DataFrame = {
     val dups = corpus.filter(pmod(col("doc_id"), lit(10)) === d)
       .select((col("doc_id") + (d + 1) * 1000000L).as("doc_id"),
         concat(col("text"), lit(" week probe")).as("text"))
@@ -741,6 +741,141 @@ object Indexing {
     SpanIndex.absorbBatch(s, root, batch, batchId = 0L)
   }
 
+  /** #223 SPAN-CHAIN COMPACTION (`q_span_compacted`) — #212/#215's
+    * maintenance treatment applied to the STORED grid-span index,
+    * bringing the youngest index family into the ops matrix: day 1
+    * absorbs a batch of REVERSED-token plants of the % 10 == 0 slice
+    * (fresh vs the corpus — their grid spans share nothing with the
+    * originals'), [[graft.dedup.SpanIndex.nightly]] then compacts the
+    * `smod=` chain back to ONE full snapshot (carrying the replay
+    * watermark — [[graft.sources.Snapshots.compact]]'s maxBatchId,
+    * SpanIndexSpec pins a re-delivered day-1 batch no-oping
+    * afterwards), and day 2's probe — verbatim copies of DAY-1 docs
+    * (every span duplicated, reachable ONLY through the compacted
+    * day-1 rows) plus verbatim copies of the % 20 == 5 corpus slice
+    * (duplicated against the base snapshot) — must answer the 2-day
+    * oracle UNCHANGED: compaction invisible to every reader. Own
+    * `-compact` root suffix keeps #222 order-independent. */
+  def spanCompacted(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SpanIndex
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = SpanIndex.defaultRoot(corpus) + "-compact"
+    SpanIndex.buildIfAbsent(corpus, root)
+    val rev = array_join(reverse(split(col("text"), " ")), " ")
+    val b1 = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + Plants.Shift1).as("doc_id"), rev.as("text"))
+    SpanIndex.absorbBatch(s, root, b1, batchId = 0L)
+    SpanIndex.nightly(s, root)
+    val b2 = b1.select((col("doc_id") + Plants.Shift1).as("doc_id"), col("text"))
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(20)) === 5)
+        .select((col("doc_id") + Plants.Shift3).as("doc_id"), col("text")))
+    SpanIndex.absorbBatch(s, root, b2, batchId = 1L)
+  }
+
+  /** #224 SCALED-K SEMANTIC DEDUP (`q_semdedup_scaled`) — the
+    * measured closure of #221's one weakness: SemDeDup's probe is
+    * bucket-local quadratic, so under a GROWING corpus the centroid
+    * count must grow ∝ N to keep per-bucket occupancy — and with it
+    * the probe cost — flat ([[graft.similarity.VectorIndex
+    * .semProbeBatch]]'s cost model). The gate runs the operational
+    * recipe end-to-end at 4x: the corpus is replicated 4x under
+    * shifted ids (identical vectors — the replica marker convention
+    * for embeddings), the index is retrained at seedK 8 → 32 via
+    * [[graft.similarity.VectorIndex.retrainSwap]] (content-fingerprint
+    * root, atomic family repoint — a retried job re-trains nothing),
+    * and the incremental batch (the replicated % 10 == 7 slice plus
+    * planted verbatim copies of the % 10 == 2 replicas) probes the
+    * scaled index. The oracle replays the 32-seed Lloyd chain over the
+    * replicated base and the bucket-local cos ≥ 0.95 join — proving
+    * the scaled-k index answers exactly, while ScaleProbe's
+    * `semdedup_scaled` row measures the flat cost curve the recipe
+    * buys. */
+  def semdedupScaled(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(s, dir)
+    val rep = (0 until 4).map(r => raw.select(
+        (col("vec_id") + r * 10000000L).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    def vecs(df: DataFrame) = df.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val baseRaw = rep.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val root = VectorIndex.defaultRoot(baseRaw, seedK = 32, iters = 2) + "-scaled"
+    val family = root + "-family"
+    VectorIndex.retrainSwap(vecs(baseRaw), root, family, seedK = 32, iters = 2)
+    val resolved = VectorIndex.currentRoot(family).get
+    val batch = vecs(rep.filter(pmod(col("vec_id"), lit(10)) === 7))
+      .unionByName(vecs(rep.filter(pmod(col("vec_id"), lit(10)) === 2))
+        .select((col("vec_id") + Plants.Shift1).as("vec_id"), col("v")))
+    VectorIndex.semProbeBatch(s, resolved, batch, tau = 0.95, batchId = 0L)
+  }
+
+  /** #225 WEEK-SCALE VECTOR-SIDE OPERATIONAL GATE
+    * (`q_embedding_week`) — #219's 7-day composition applied to the
+    * EMBEDDING ingest deployment, the side where the r8
+    * watermark-poisoning bug class lived: the base corpus
+    * (vec_id % 20 < 13) trains and stores the IVF index AND the PQ
+    * codebook; then 7 chained days each (1) semantically probe+absorb
+    * their batch ([[graft.similarity.VectorIndex.semProbeBatch]],
+    * batchId = day) — the day's verified pairs landed EXACTLY-ONCE
+    * into a matches snapshot on the same monotone clock (the
+    * [[graft.streaming.DocsStream.absorbNearDups]] landing pattern, so
+    * a replayed day cannot re-derive pairs against future days'
+    * absorbed rows) — (2) encode the batch into the stored PQ codes
+    * ([[graft.similarity.VectorIndex.encodeBatchPq]]), and (3) run
+    * FULL nightly maintenance ([[graft.similarity.VectorIndex
+    * .nightly]] + matches-chain compaction) BETWEEN every day. Day
+    * d's batch is its natural % 20 == 13+d slice plus planted verbatim
+    * copies of day d-1's slice — matchable ONLY through day d-1's
+    * absorbed-and-since-compacted rows. Output: the week's landed
+    * pair ledger ∪ the end-of-week stored IVF search ∪ the
+    * end-of-week ADC search over the absorbed codes, all answered by
+    * ONE all-at-once oracle (assign/encode everything against the
+    * base-trained artifacts, day-ordered pair rule). Re-running
+    * replays every day as a no-op and returns the same frame. */
+  def embeddingWeek(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val raw = Tables.embeddings(s, dir)
+    def vecs(df: DataFrame) = df.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val all = vecs(raw).localCheckpoint()
+    val baseRaw = raw.filter(pmod(col("vec_id"), lit(20)) < 13)
+    val base = all.filter(pmod(col("vec_id"), lit(20)) < 13)
+    val root = VectorIndex.defaultRoot(baseRaw, seedK = 8, iters = 2) + "-week"
+    val mroot = s"$root/sem_matches"
+    VectorIndex.buildIfAbsent(base, root, seedK = 8, iters = 2)
+    VectorIndex.buildPqIfAbsent(base, root)
+    def natural(d: Int) = all.filter(pmod(col("vec_id"), lit(20)) === 13 + d)
+    for (d <- 0 until 7) {
+      val batch = if (d == 0) natural(0)
+        else natural(d).unionByName(natural(d - 1)
+          .select((col("vec_id") + Plants.Shift1).as("vec_id"), col("v")))
+      val p = VectorIndex.semProbeBatch(s, root, batch, tau = 0.95,
+          batchId = d.toLong)
+        .select(lit(d.toLong).as("d"), col("new_id").as("a"),
+          col("match_id").as("b"), col("cos").as("score"))
+      // exactly-once landing on the day clock: a replayed day's probe
+      // (which would now see LATER days' absorbed rows) never rewrites
+      // the ledger — the committed week is the week as it happened
+      if (Snapshots.latestVersion(mroot).isEmpty)
+        Snapshots.commitBatch(p, mroot, d.toLong)
+      else Snapshots.commitAppend(p, mroot, batchId = Some(d.toLong))
+      VectorIndex.encodeBatchPq(s, root, batch, batchId = d.toLong)
+      VectorIndex.nightly(s, root)
+      Snapshots.maintain(s, Seq(mroot -> Seq.empty))
+    }
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v"))
+    val pairs = Snapshots.read(s, mroot)
+      .select(lit("pair").as("fam"), col("d"), col("a"), col("b"), col("score"))
+    val ivf = VectorIndex.ivfTopKStored(s, root,
+        queries.withColumnRenamed("v", "qv"), k = 3, nprobe = 2)
+      .select(lit("ivf").as("fam"), col("rank").as("d"), col("q_id").as("a"),
+        col("n_id").as("b"), col("cos").as("score"))
+    val adc = VectorIndex.adcTopKStored(s, root, queries, k = 3)
+      .select(lit("adc").as("fam"), col("rank").as("d"), col("q_id").as("a"),
+        col("n_id").as("b"), col("adist").as("score"))
+    pairs.unionByName(ivf).unionByName(adc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_stored"      -> annIvfStored _,
     "q_ivf_recall_trained"  -> ivfRecallTrained _,
@@ -762,7 +897,10 @@ object Indexing {
     "q_curation_week"         -> curationWeek _,
     "q_ann_delete"            -> annDelete _,
     "q_semdedup_incremental"  -> semdedupIncremental _,
-    "q_substring_dedup_incremental" -> substringDedupIncremental _
+    "q_substring_dedup_incremental" -> substringDedupIncremental _,
+    "q_span_compacted"        -> spanCompacted _,
+    "q_semdedup_scaled"       -> semdedupScaled _,
+    "q_embedding_week"        -> embeddingWeek _
   )
 
   private val cosSql =
@@ -1168,18 +1306,134 @@ object Indexing {
          |SELECT new_id, match_id, cos FROM vsc WHERE cos >= 0.95
          |UNION ALL SELECT new_id, match_id, cos FROM wib WHERE cos >= 0.95""".stripMargin
 
-  /** DuckDB replay of #222: grid spans of corpus + batch, df over the
-    * union (batch's own stored copies excluded by construction — the
-    * corpus CTE is the pre-absorb corpus), #73's per-doc stats
-    * restricted to batch docs. */
-  private lazy val substringIncrementalSql: String =
-      """WITH corpus AS (SELECT doc_id, text FROM documents),
-        |batch AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000000,
-        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
-        |  FROM documents WHERE doc_id % 20 = 5),
+  /** DuckDB replay of #224: the corpus replicated 4x under shifted
+    * ids, the 32-seed Lloyd chain over the replicated base (k ∝ N —
+    * the SemDeDup recipe at corpus growth), both sides assigned with
+    * the 6dp/lowest-cid rule, bucket-local cos ≥ 0.95 join of batch vs
+    * base plus within-batch (smaller id kept). */
+  private lazy val semdedupScaledSql: String =
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ea AS (SELECT vec_id + r * 10000000 AS vec_id, v
+         |  FROM e0, (SELECT unnest(range(0, 4)) AS r)),
+         |e AS (SELECT * FROM ea WHERE vec_id % 10 <> 7),
+         |batch AS (SELECT vec_id, v FROM ea WHERE vec_id % 10 = 7
+         |  UNION ALL SELECT vec_id + 1000000, v FROM ea WHERE vec_id % 10 = 2),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 32),
+         |${lloydChain(2)},
+         |sb AS (SELECT e.vec_id, e.v, c.cid,
+         |    ${cosSql("e.v", "c.cv")} AS ccos
+         |  FROM e, c2 c),
+         |asgb AS (SELECT vec_id, v, cid AS bucket FROM sb
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+         |sn AS (SELECT b.vec_id, b.v, c.cid,
+         |    ${cosSql("b.v", "c.cv")} AS ccos
+         |  FROM batch b, c2 c),
+         |asgn AS (SELECT vec_id, v, cid AS bucket FROM sn
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+         |vsc AS (SELECT n.vec_id AS new_id, b.vec_id AS match_id,
+         |    ${cosSql("n.v", "b.v")} AS cos
+         |  FROM asgn n JOIN asgb b ON n.bucket = b.bucket
+         |  WHERE n.vec_id <> b.vec_id),
+         |wib AS (SELECT b.vec_id AS new_id, a.vec_id AS match_id,
+         |    ${cosSql("a.v", "b.v")} AS cos
+         |  FROM asgn a JOIN asgn b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT new_id, match_id, cos FROM vsc WHERE cos >= 0.95
+         |UNION ALL SELECT new_id, match_id, cos FROM wib WHERE cos >= 0.95""".stripMargin
+
+  /** DuckDB replay of #225, all at once: tag every vector with its
+    * ingest day (base = -1, natural slice % 20 == 13+d = day d, the
+    * planted copy of day d-1's slice = day d under a +1e6 id), assign
+    * everything against the base-trained Lloyd centroids, and replay
+    * the three output families — the day-ordered pair ledger (a day's
+    * vector pairs with base or any EARLIER day, or a same-day
+    * smaller id, never a later day: exactly what the engine's
+    * exactly-once landing pins), the end-of-week stored-IVF top-3,
+    * and the end-of-week ADC top-3 over codes encoded against the
+    * base-trained PQ codebook. */
+  private lazy val embeddingWeekSql: String =
+      s"""WITH ea AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |e AS (SELECT * FROM ea WHERE vec_id % 20 < 13),
+         |tagged AS (
+         |  SELECT vec_id, v, CAST(-1 AS BIGINT) AS day FROM e
+         |  UNION ALL
+         |  SELECT vec_id, v, CAST(vec_id % 20 - 13 AS BIGINT) FROM ea
+         |  WHERE vec_id % 20 >= 13
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, v, CAST(vec_id % 20 - 12 AS BIGINT) FROM ea
+         |  WHERE vec_id % 20 BETWEEN 13 AND 18),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |${lloydChain(2)},
+         |sall AS (SELECT t.vec_id, t.v, t.day, c.cid,
+         |    ${cosSql("t.v", "c.cv")} AS ccos
+         |  FROM tagged t, c2 c),
+         |asg AS (SELECT vec_id, v, day, cid AS bucket FROM sall
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) = 1),
+         |prs AS (SELECT n.day AS d, n.vec_id AS a, m.vec_id AS b,
+         |    ${cosSql("n.v", "m.v")} AS score
+         |  FROM asg n JOIN asg m ON n.bucket = m.bucket
+         |  WHERE n.day >= 0
+         |    AND (m.day < n.day OR (m.day = n.day AND m.vec_id < n.vec_id))),
+         |probes AS (SELECT vec_id AS q_id, cid AS bucket FROM sall
+         |  WHERE day = -1 AND vec_id < 5
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) <= 2),
+         |ipairs AS (SELECT p.q_id, c.vec_id AS n_id,
+         |    ${cosSql("qe.v", "c.v")} AS cos
+         |  FROM probes p
+         |  JOIN e qe ON qe.vec_id = p.q_id
+         |  JOIN asg c ON c.bucket = p.bucket AND c.vec_id <> p.q_id),
+         |ivf AS (SELECT q_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank,
+         |    n_id, cos
+         |  FROM ipairs
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3),
+         |sub AS (SELECT vec_id, day, m, v[(m*8 + 1):(m*8 + 8)] AS sv
+         |  FROM tagged, (SELECT unnest(range(0, 8)) AS m)),
+         |bsub AS (SELECT * FROM sub WHERE day = -1),
+         |seeds AS (SELECT m, CAST(vec_id AS INT) AS c, sv AS cv
+         |  FROM bsub WHERE vec_id < 16),
+         |pqa0 AS (SELECT vec_id, m, c, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id, m
+         |    ORDER BY ${subDistSql("sv", "cv")}, c) AS rn
+         |  FROM bsub JOIN seeds USING (m)),
+         |pqasg AS (SELECT vec_id, m, c FROM pqa0 WHERE rn = 1),
+         |cbl AS (SELECT m, c, j, AVG(sv[j]) AS mv
+         |  FROM bsub JOIN pqasg USING (vec_id, m),
+         |    (SELECT unnest(range(1, 9)) AS j)
+         |  GROUP BY 1, 2, 3),
+         |cb AS (SELECT m, c, list(mv ORDER BY j) AS cv FROM cbl GROUP BY 1, 2),
+         |enc0 AS (SELECT vec_id, m, c, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id, m
+         |    ORDER BY ${subDistSql("sv", "cv")}, c) AS rn
+         |  FROM sub JOIN cb USING (m)),
+         |codes AS (SELECT vec_id, m, c FROM enc0 WHERE rn = 1),
+         |dtab AS (SELECT s.vec_id AS q_id, s.m, cb.c,
+         |    ${subDistSql("s.sv", "cb.cv")} AS dd
+         |  FROM bsub s JOIN cb USING (m) WHERE s.vec_id < 5),
+         |ad AS (SELECT dtab.q_id, codes.vec_id AS n_id, ROUND(SUM(dtab.dd), 6) AS adist
+         |  FROM codes JOIN dtab ON codes.m = dtab.m AND codes.c = dtab.c
+         |  WHERE codes.vec_id <> dtab.q_id
+         |  GROUP BY 1, 2),
+         |adctop AS (SELECT q_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rank,
+         |    n_id, adist
+         |  FROM ad
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) <= 3)
+         |SELECT 'pair' AS fam, d, a, b, score FROM prs WHERE score >= 0.95
+         |UNION ALL SELECT 'ivf', rank, q_id, n_id, cos FROM ivf
+         |UNION ALL SELECT 'adc', rank, q_id, n_id, adist FROM adctop""".stripMargin
+
+  /** DuckDB replay of the stored-span incremental probe (#222, and
+    * #212's treatment in `q_span_compacted` which composes a 2-day
+    * chain): grid spans of corpus + batch, df over the union (batch's
+    * own stored copies excluded by construction — the corpus CTE is
+    * the pre-absorb indexed state), #73's per-doc stats restricted to
+    * batch docs. The corpus/batch CTE bodies are parameters so the
+    * compacted variant replays a two-day ingest with the SAME
+    * machinery (the [[lshIncrementalOracle]] convention). */
+  private def spanIncrementalOracle(corpusSql: String, batchSql: String): String =
+      s"""WITH corpus AS ($corpusSql),
+        |batch AS ($batchSql),
         |tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
         |xc AS (SELECT doc_id,
         |    md5(array_to_string(toks[(i*16 + 1):((i+1)*16)], ' ')) AS h
@@ -1200,7 +1454,29 @@ object Indexing {
 
   val oracles: Map[String, String] = Map(
     "q_semdedup_incremental" -> semdedupIncrementalSql,
-    "q_substring_dedup_incremental" -> substringIncrementalSql,
+    "q_semdedup_scaled" -> semdedupScaledSql,
+    "q_embedding_week" -> embeddingWeekSql,
+    "q_substring_dedup_incremental" -> spanIncrementalOracle(
+      "SELECT doc_id, text FROM documents",
+      """SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 20 = 5""".stripMargin),
+    // day-2 probe over the COMPACTED span chain: the indexed state is
+    // corpus ∪ day-1 (the reversed plants), the batch is day-2 —
+    // compaction must be invisible to the probe
+    "q_span_compacted" -> spanIncrementalOracle(
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+      """SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 20 = 5""".stripMargin),
     "q_ann_delete" -> annDeleteSql,
     "q_ann_ivf_stored" -> annIvfStoredSql,
     "q_bitext_mine_indexed" -> bitextIndexedSql,

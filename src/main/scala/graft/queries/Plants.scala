@@ -20,4 +20,7 @@ private[queries] object Plants {
   val Shift1 = 1000000L
   /** Second planted generation (day-2 copies). */
   val Shift2 = 2000000L
+  /** Third planted generation (a second day-2 component whose ids
+    * must not collide with copies-of-day-1 plants at [[Shift2]]). */
+  val Shift3 = 3000000L
 }

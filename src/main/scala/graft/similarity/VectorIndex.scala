@@ -150,19 +150,18 @@ object VectorIndex {
     * payload pattern: at 100 TB the metadata cannot be a separate
     * corpus-sized join at query time). */
   def assignRowLocal(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val cl: Array[(Int, Seq[Double])] = cents.select(col("cid"), col("cv"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    // argmax by (ccos, -cid) via array_max over per-centroid structs —
-    // struct ordering compares ccos first, then the negated cid, so
-    // ties break to the LOWEST cid
-    val scored = array(cl.map { case (cid, cv) =>
-      struct(
-        round(Embeddings.cosine(col("v"), typedLit(cv)), 6).as("ccos"),
-        lit(-cid).as("ncid"))
-    }: _*)
-    vectors.withColumn("__best", array_max(scored))
-      .withColumn("bucket", negate(col("__best.ncid")))
+    val cl: Array[(Int, Array[Double])] = cents.select(col("cid"), col("cv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // ONE native expression looping the centroid matrix
+    // ([[graft.plans.NearestCentroid]] — round-to-6dp before the
+    // argmax, ties to the lowest cid, bit-equal to the previous
+    // array_max-over-struct-branches plan). The matrix rides as a
+    // referenced object, so the PLAN stays one node at any k — the
+    // branch-per-centroid form made Catalyst analysis and codegen
+    // scale with k and inverted the SemDeDup k ∝ N recipe's measured
+    // curve at k = 128.
+    vectors.withColumn("__best", graft.plans.NearestCentroid(col("v"), cl))
+      .withColumn("bucket", col("__best.bucket"))
       .withColumn("ccos", col("__best.ccos"))
       .drop("__best")
   }
@@ -222,20 +221,34 @@ object VectorIndex {
     * idempotent per `batchId`. Cluster-bucket-local throughout —
     * never all-pairs: the SemDeDup cost model at ingest.
     *
-    * COST CAVEAT (inherent to SemDeDup, same as the inline #76): the
+    * COST MODEL (inherent to SemDeDup, same as the inline #76): the
     * probe is quadratic PER BUCKET (batch-bucket × stored-bucket), so
     * it is bounded only by clustering granularity — the centroid
-    * count must GROW with the corpus (k ∝ √N keeps per-bucket
-    * occupancy flat; the published SemDeDup recipe). ScaleProbe's
-    * fixed-k replication measures exactly the violated form: 6.5x at
-    * 16x corpus under a constant k = 8. The operational pairing is
-    * [[retrainSwap]] with a larger seedK as the corpus grows. */
+    * count must GROW WITH THE CORPUS, k ∝ N, which keeps per-bucket
+    * occupancy (N/k) FLAT and the probe cost ∝ batch × occupancy =
+    * O(batch). (SemDeDup itself — Abbas et al. 2023 — runs a large
+    * fixed k for a fixed corpus; the operational recipe for a GROWING
+    * corpus is [[retrainSwap]] at corpus-proportional seedK as part
+    * of the nightly/weekly retrain.) This is a MEASURED property, not
+    * a comment: ScaleProbe's `semdedup_scaled` probe retrains at
+    * seedK ∝ N per scale and shows the probe cost staying ~flat at
+    * 16x corpus, where the violated fixed-k form measures 6.5x;
+    * VectorIndexSpec pins occupancy flatness under k ∝ N replication,
+    * and `q_semdedup_scaled` oracle-gates the scaled-k probe
+    * end-to-end (retrainSwap at 4x corpus → k 8 → 32). */
   def semProbeBatch(spark: SparkSession, root: String, batch: DataFrame,
       tau: Double, batchId: Long): DataFrame = {
     val cents = Snapshots.read(spark, centroidsRoot(root))
     val assigned = assignRowLocal(batch, cents).drop("ccos").localCheckpoint()
     val buckets = assigned.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // EMPTY batch: nothing to probe or absorb — return an empty pair
+    // frame with the contract schema and commit NO delta (an empty
+    // append would only grow the chain; the monotone watermark is
+    // unaffected because later batches carry higher ids)
+    if (buckets.isEmpty)
+      return assigned.select(col("vec_id").as("new_id"),
+        col("vec_id").as("match_id"), lit(0.0).as("cos"))
     val batchIds = batch.select(col("vec_id"))
     val stored = Snapshots.read(spark, assignmentsRoot(root))
       .filter(col("bucket").isin(buckets: _*))

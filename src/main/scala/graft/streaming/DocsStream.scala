@@ -140,6 +140,59 @@ object DocsStream {
       .select(col("new_id"), col("match_id"), col("jaccard"))
   }
 
+  /** Streaming EXACT-SUBSTRING PROBE against the STORED span index
+    * ([[graft.dedup.SpanIndex]]) — the fourth stored family's
+    * streaming front door, completing the set ([[assignVectors]] IVF,
+    * [[probeNearDups]] LSH, the bloom prefilter in
+    * `q_dedup_incremental`'s shape): each arriving document's 16-token
+    * grid spans are enumerated ROW-LOCALLY (hash triples only — span
+    * text never leaves its row) and flagged against the persisted span
+    * artifact with ONE stream-static left join (stateless,
+    * streaming-legal, append-mode-safe — no aggregation, no watermark
+    * state). Within-doc multiplicity is computed row-locally over the
+    * doc's own span array BEFORE the explode, so a span repeated
+    * inside one document flags without any cross-row state.
+    *
+    * Emits one row per arriving span: (doc_id, idx, h, dup) with
+    * dup = 1 iff the span hash occurs in the indexed corpus OR ≥ 2
+    * times within the document — #73's "duplicated span" rule against
+    * corpus ∪ self. A consumer derives the per-doc batch statistics
+    * with `sum(dup) GROUP BY doc_id` downstream (or lands micro-batches
+    * through [[graft.dedup.SpanIndex.absorbBatch]] in foreachBatch for
+    * the exact batch semantics + absorb — the [[absorbNearDups]]
+    * pattern). Cross-arrival duplicates WITHIN the stream are out of
+    * scope by design, same as [[probeNearDups]]: they surface once a
+    * foreachBatch sink absorbs each micro-batch.
+    *
+    * The static artifact re-read per micro-batch is the standard
+    * stream-static contract; the distinct-hash build is deletion-aware
+    * (it reads through tombstones), so a forgotten document stops
+    * flagging new arrivals immediately.
+    *
+    * @param docs streaming (doc_id, text) frame */
+  def probeSpans(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      root: String): DataFrame = {
+    import graft.dedup.SpanIndex
+    val toks = split(col("text"), " ")
+    val nSpans = ceil(size(toks).cast("double") / SpanIndex.W).cast("int")
+    val spans = transform(sequence(lit(0), nSpans - 1),
+      i => md5(array_join(slice(toks, i * SpanIndex.W + 1, lit(SpanIndex.W)), " ")))
+    val storedH = graft.sources.Snapshots
+      .read(spark, SpanIndex.spansRoot(root))
+      .select(col("h")).distinct()
+      .withColumn("__stored", lit(1))
+    docs
+      .withColumn("__spans", spans)
+      .select(col("doc_id"), col("__spans"),
+        posexplode(col("__spans")).as(Seq("idx", "h")))
+      .withColumn("__within",
+        (size(filter(col("__spans"), x => x === col("h"))) > 1).cast("int"))
+      .drop("__spans")
+      .join(storedH, Seq("h"), "left")
+      .select(col("doc_id"), col("idx"), col("h"),
+        greatest(col("__within"), coalesce(col("__stored"), lit(0))).as("dup"))
+  }
+
   /** Streaming TEXT-INDEX ABSORB LOOP — the foreachBatch sink that
     * closes the stream → stored-LSH-index cycle (the text twin of the
     * vector side's assignBatch sink, ending [[probeNearDups]]'s

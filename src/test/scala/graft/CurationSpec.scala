@@ -272,6 +272,17 @@ class CurationSpec extends AnyFunSuite {
       s"stale replay disturbed the winner's bloom: ${bloomsAfter.mkString(",")}")
     assert(latestBloom() == s"corpus.${r3.runId}.bloom",
       "stale replay rolled the latest marker backwards")
+    // the superseded Release must hand back a bloom that EXISTS (the
+    // winner's), flagged as superseded — never a path to the pruned
+    // corpus.<r1.runId>.bloom a prefilter consumer would fail to load
+    assert(r1replay.superseded, "stale replay not flagged as superseded")
+    assert(r1replay.bloomPath == s"$out/corpus.${r3.runId}.bloom",
+      s"superseded Release served the wrong bloom: ${r1replay.bloomPath}")
+    assert(new java.io.File(r1replay.bloomPath).exists(),
+      "superseded Release served a nonexistent bloom")
+    graft.dedup.BloomIndex.load(r1replay.bloomPath)
+    // the winning releases are never flagged
+    assert(!r1.superseded && !r3.superseded)
   }
 
   test("CurationJob: empty-after-quality input completes with empty artifacts") {
@@ -596,5 +607,40 @@ class CurationSpec extends AnyFunSuite {
         .filter(col("doc_id") === 1000000L).count() == 0,
         s"forgotten bytes survived nightly under $r")
     }
+  }
+
+  test("nightly + forget reach the span index: chain compacts, forgotten spans stop matching") {
+    import spark.implicits._
+    import graft.dedup.{LshIndex, SpanIndex}
+    import graft.sources.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("graft-spanops").toString
+    val (curatedRoot, lshRoot, spanRoot) =
+      (s"$base/curated", s"$base/lsh", s"$base/span")
+    def doc(i: Int): String = (0 until 40).map(j => s"w${i}x$j").mkString(" ")
+    val corpus = Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(3)))
+      .toDF("doc_id", "text")
+    Snapshots.commit(corpus, curatedRoot)
+    LshIndex.build(corpus, lshRoot)
+    SpanIndex.build(corpus, spanRoot)
+    SpanIndex.absorbBatch(spark, spanRoot,
+      Seq((100L, doc(4))).toDF("doc_id", "text"), batchId = 0L).count()
+    // nightly with a span root compacts the smod chain in the same pass
+    graft.pipelines.CurationJob.nightly(spark, curatedRoot, lshRoot,
+      keep = 3, spanRoot = Some(spanRoot))
+    val sroot = SpanIndex.spansRoot(spanRoot)
+    assert(!Snapshots.isDelta(sroot, Snapshots.latestVersion(sroot).get),
+      "nightly left the span chain un-compacted")
+    // forget doc 2 through curated + LSH + spans in ONE call
+    graft.pipelines.CurationJob.forget(spark, curatedRoot, lshRoot,
+      Seq(2L).toDF("doc_id"), batchId = Some(1L), spanRoot = Some(spanRoot))
+    // a re-send of the forgotten text matches nothing in the span index
+    val r = SpanIndex.absorbBatch(spark, spanRoot,
+      Seq((200L, doc(2))).toDF("doc_id", "text"), batchId = 2L).head()
+    assert(r.getAs[Long]("n_dup_spans") == 0L,
+      "forgotten doc's spans still matched a new arrival")
+    // and the curated corpus no longer serves it
+    assert(Snapshots.read(spark, curatedRoot)
+      .filter(col("doc_id") === 2L).count() == 0,
+      "forgotten doc still readable from the curated corpus")
   }
 }

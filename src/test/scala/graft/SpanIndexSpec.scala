@@ -88,4 +88,52 @@ class SpanIndexSpec extends AnyFunSuite {
     assert(Snapshots.versions(SpanIndex.spansRoot(root)) == vs,
       "replayed span delete re-committed")
   }
+
+  test("nightly compaction: invisible to day-2 probes, watermark survives") {
+    import spark.implicits._
+    val root = freshRoot()
+    SpanIndex.build(corpus, root)
+    def doc(i: Int): String = (0 until 40).map(j => s"cp${i}tok$j").mkString(" ")
+    val b1 = Seq((1000000L, doc(1)), (1000001L, doc(2))).toDF("doc_id", "text")
+    SpanIndex.absorbBatch(spark, root, b1, batchId = 0L).count()
+    val m = SpanIndex.nightly(spark, root, keep = 3)
+    val sroot = SpanIndex.spansRoot(root)
+    assert(m.compacted(sroot).nonEmpty, "delta chain did not compact")
+    assert(!Snapshots.isDelta(sroot, Snapshots.latestVersion(sroot).get))
+    // the maxBatchId watermark survived compaction: a re-delivered
+    // day-1 batch no-ops instead of double-appending its spans
+    val vs = Snapshots.versions(sroot)
+    SpanIndex.absorbBatch(spark, root, b1, batchId = 0L).count()
+    assert(Snapshots.versions(sroot) == vs,
+      "re-delivered pre-compaction batch re-appended")
+    // day-2 copy of a day-1 doc matches THROUGH the compacted rows
+    val r2 = SpanIndex.absorbBatch(spark, root,
+      Seq((1100000L, doc(1))).toDF("doc_id", "text"), batchId = 1L).head()
+    assert(r2.getAs[Long]("n_dup_spans") == r2.getAs[Long]("n_spans"),
+      "compaction hid day-1's spans from the day-2 probe")
+  }
+
+  test("absorb report is stable across post-commit re-evaluations (version pinned at read time)") {
+    import spark.implicits._
+    val root = freshRoot()
+    SpanIndex.build(corpus, root)
+    def doc(i: Int): String = (0 until 40).map(j => s"st${i}tok$j").mkString(" ")
+    val batch = Seq((1000000L, doc(1)), (1000001L, doc(2)))
+      .toDF("doc_id", "text")
+    val r = SpanIndex.absorbBatch(spark, root, batch, batchId = 0L)
+    // every evaluation of the returned frame happens AFTER the
+    // commitAppend inside absorbBatch: the plan must keep answering
+    // from the pre-append artifact version it resolved at
+    // Snapshots.read time (plus the own-rows replay guard) — a
+    // refactor that made version resolution lazy AND dropped the
+    // guard would count the batch's own stored copies and report
+    // every fresh span as duplicated
+    val e1 = r.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val e2 = r.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(e1 == e2, "absorb report changed between post-commit evaluations")
+    assert(r.filter(col("n_dup_spans") > 0).count() == 0,
+      "post-commit evaluation counted the batch's own appended spans")
+  }
 }

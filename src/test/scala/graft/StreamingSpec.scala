@@ -847,4 +847,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
       "streaming probe diverged from the batch stored-index probe")
   }
+
+  test("streaming span probe: stateless flags equal the batch report (corpus ∪ self)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.SpanIndex
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-spanstream").toString
+    SpanIndex.build(corpus, root)
+    // verbatim copies (every span dups vs the index), one doc that
+    // repeats its own span (within-doc rule), one fresh synthetic doc;
+    // cross-arrival dup pairs deliberately absent — they are the
+    // foreachBatch absorb loop's job, out of the probe's scope
+    val copies = corpus.filter(pmod(col("doc_id"), lit(10)) === 0).limit(20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    def tok(i: Int) = s"zq${i}w"
+    val block = (0 until 16).map(tok).mkString(" ")
+    val rows = copies ++ Seq(
+      (2000000L, s"$block $block"),                       // self-repeating
+      (2000001L, (100 until 140).map(tok).mkString(" "))) // fresh
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows)
+    val q = graft.streaming.DocsStream
+      .probeSpans(spark, mem.toDF().toDF("doc_id", "text"), root)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("spanprobe").start()
+    q.processAllAvailable()
+    // stateless by construction: one stream-static join, no state store
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty,
+      "span probe created streaming state — it must be stateless")
+    q.stop()
+    val got = spark.table("spanprobe")
+    // sharp cases first: the self-repeating doc flags BOTH spans
+    // (within-doc rule, no index hit), the fresh doc flags none
+    assert(got.filter(col("doc_id") === 2000000L && col("dup") === 1)
+      .count() == 2, "within-doc repeated span not flagged")
+    assert(got.filter(col("doc_id") === 2000001L && col("dup") === 1)
+      .count() == 0, "fresh doc spans flagged against nothing")
+    // per-doc stats derived from the flags == absorbBatch's report on
+    // the same batch against the same pre-absorb index
+    val gotStats = got.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("dup")).as("n_dup_spans"))
+    val want = SpanIndex.absorbBatch(spark, root,
+      rows.toDF("doc_id", "text"), batchId = 0L)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"))
+    assert(gotStats.exceptAll(want).count() == 0 &&
+      want.exceptAll(gotStats).count() == 0,
+      "streaming span flags diverged from the batch report")
+  }
 }

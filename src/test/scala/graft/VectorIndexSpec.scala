@@ -393,4 +393,49 @@ class VectorIndexSpec extends AnyFunSuite {
     val m2 = VectorIndex.nightly(spark, root)
     assert(m2.compacted.values.forall(_.isEmpty), "nightly re-run recompacted")
   }
+
+  test("SemDeDup k ∝ N: per-bucket occupancy stays flat under 16x corpus replication") {
+    // the scaling recipe semProbeBatch's cost model rests on: probe
+    // cost ∝ batch × per-bucket occupancy, so occupancy must NOT grow
+    // with the corpus when k grows ∝ N (the retrainSwap pairing;
+    // ScaleProbe's semdedup_scaled row measures the time curve, this
+    // pins the structural invariant behind it)
+    def rep(n: Int) = (0 until n).map(r =>
+      vecs.select((col("vec_id") + r * 10000000L).as("vec_id"), col("v")))
+      .reduce(_ unionByName _)
+    def meanOcc(n: Int): Double = {
+      val root = freshRoot()
+      VectorIndex.build(rep(n), root, seedK = 8 * n, iters = 2)
+      Snapshots.read(spark, VectorIndex.assignmentsRoot(root))
+        .groupBy(col("bucket")).count()
+        .agg(avg(col("count"))).head().getDouble(0)
+    }
+    val (o1, o16) = (meanOcc(1), meanOcc(16))
+    assert(o16 <= o1 * 2.0,
+      f"per-bucket occupancy grew under k ∝ N: $o1%.1f -> $o16%.1f at 16x")
+  }
+
+  test("q_embedding_week: a re-run replays every day as a no-op and returns the same frame") {
+    // the pair ledger is landed exactly-once on the day clock — a
+    // replayed day must NOT re-derive pairs against later days'
+    // absorbed rows (the definition of week-scale replay stability)
+    val r1 = SparkEntry.queries("q_embedding_week")(spark, sf).localCheckpoint()
+    val r2 = SparkEntry.queries("q_embedding_week")(spark, sf)
+    assert(r1.count() > 0)
+    assert(r1.exceptAll(r2).count() == 0 && r2.exceptAll(r1).count() == 0,
+      "re-running the week changed the output frame")
+  }
+
+  test("semProbeBatch on an empty batch: empty pairs with the contract schema, no delta committed") {
+    val root = freshRoot()
+    VectorIndex.build(vecs, root, seedK = 8, iters = 2)
+    val before = Snapshots.versions(VectorIndex.assignmentsRoot(root))
+    val out = VectorIndex.semProbeBatch(spark, root,
+      vecs.filter(lit(false)), tau = 0.95, batchId = 5L)
+    assert(out.columns.toSeq == Seq("new_id", "match_id", "cos"),
+      s"empty-batch schema drifted: ${out.columns.mkString(",")}")
+    assert(out.count() == 0)
+    assert(Snapshots.versions(VectorIndex.assignmentsRoot(root)) == before,
+      "empty batch committed a spurious delta version")
+  }
 }

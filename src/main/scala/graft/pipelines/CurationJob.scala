@@ -256,17 +256,27 @@ object CurationJob {
     *  3. survivors (quality-passed, no verified match) delta-appended
     *    to the curated corpus snapshot ([[Snapshots.commitAppend]]).
     *
+    * A deployment that also keeps the STORED grid-span index passes
+    * `spanRoot` and the same quality-passed candidate set is
+    * delta-absorbed into it ([[graft.dedup.SpanIndex.absorbBatch]], the
+    * same batchId clock — all candidates enter, survivors and dropped
+    * near-dups alike, mirroring the LSH side), so tomorrow's substring
+    * statistics see today's ingest without a separate job.
+    *
     * Returns the per-doc disposition frame (doc_id, quality_pass,
     * n_matches, kept) — the audit record an ingest pipeline logs.
-    * Idempotent per `batchId`: both appends replay as no-ops and the
+    * Idempotent per `batchId`: every append replays as a no-op and the
     * disposition is replay-stable. */
   def absorbDaily(batch: DataFrame, curatedRoot: String, lshRoot: String,
-      batchId: Long): DataFrame = {
+      batchId: Long, spanRoot: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     val gated = batch
       .withColumn("quality_pass", TextAnalysis.qualityPass(col("text")).cast("int"))
     val candidates = gated.filter(col("quality_pass") === 1)
       .select(col("doc_id"), col("text")).localCheckpoint()
+    spanRoot.foreach { r =>
+      graft.dedup.SpanIndex.absorbBatch(spark, r, candidates, batchId); ()
+    }
     // near-dup verdicts vs the stored index (and within the batch);
     // absorbBatch also delta-appends the batch's signatures
     val matches = graft.dedup.LshIndex

@@ -242,6 +242,45 @@ object DocsStream {
       .start()
   }
 
+  /** Streaming SPAN-INDEX ABSORB LOOP — [[absorbNearDups]]'s shape for
+    * the grid-span family, ending [[probeSpans]]' probe-only
+    * asymmetry: each micro-batch of (doc_id, text) rows is absorbed
+    * via [[graft.dedup.SpanIndex.absorbBatch]] with batchId = the
+    * MICRO-BATCH id (exactly-once span delta appends under runtime
+    * replay — tomorrow's arrivals count today's spans as duplicated),
+    * and the batch's #73 per-doc statistics are landed under
+    * `statsRoot` on the same clock (first batch = full snapshot, later
+    * ones idempotent delta appends), so a crash between the index
+    * append and the stats commit retries into a no-op on the index
+    * side and a replay-stable report on the stats side.
+    *
+    * Per-micro-batch cost is absorbBatch's O(batch + matching stored
+    * spans) with `smod=`-pruned reads — the corpus is never
+    * re-spanned. `checkpoint` is REQUIRED for the same reason as
+    * [[absorbNearDups]]: a restart without it replays micro-batch ids
+    * from 0 below the stored watermark and silently drops data. */
+  def absorbSpans(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, root: String, statsRoot: String,
+      checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.dedup.SpanIndex
+    import graft.sources.Snapshots
+    require(checkpoint.nonEmpty, "absorbSpans needs a checkpoint location")
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val stats = SpanIndex.absorbBatch(spark, root,
+          df.select(col("doc_id"), col("text")), id)
+        if (Snapshots.latestVersion(statsRoot).isEmpty)
+          Snapshots.commitBatch(stats, statsRoot, id)
+        else
+          Snapshots.commitAppend(stats, statsRoot, batchId = Some(id))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming TRENDING TERMS: watermarked tumbling-window term
     * counts over a document stream — the "what is the crawl seeing
     * right now" monitoring view next to the batch vocab/entropy

@@ -643,4 +643,34 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("doc_id") === 2L).count() == 0,
       "forgotten doc still readable from the curated corpus")
   }
+
+  test("absorbDaily with a span root: the day's candidates enter the span index on the same clock") {
+    import spark.implicits._
+    import graft.dedup.{LshIndex, SpanIndex}
+    import graft.sources.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("graft-dailyspan").toString
+    val (curatedRoot, lshRoot, spanRoot) =
+      (s"$base/curated", s"$base/lsh", s"$base/span")
+    def doc(i: Int): String = (0 until 40).map(j => s"d${i}y$j").mkString(" ")
+    val corpus = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    Snapshots.commit(corpus, curatedRoot)
+    LshIndex.build(corpus, lshRoot)
+    SpanIndex.build(corpus, spanRoot)
+    val day1 = Seq((100L, doc(3))).toDF("doc_id", "text")
+    graft.pipelines.CurationJob.absorbDaily(day1, curatedRoot, lshRoot,
+      batchId = 0L, spanRoot = Some(spanRoot)).count()
+    // a day-2 verbatim re-send is fully duplicated THROUGH day 1's
+    // absorbed spans — without the spanRoot plumb the span index
+    // would never have seen the ingest
+    val r = SpanIndex.absorbBatch(spark, spanRoot,
+      Seq((200L, doc(3))).toDF("doc_id", "text"), batchId = 1L).head()
+    assert(r.getAs[Long]("n_dup_spans") == r.getAs[Long]("n_spans"),
+      "daily ingest did not reach the span index")
+    // a replayed day 1 no-ops on the span chain too (shared clock)
+    val vs = Snapshots.versions(SpanIndex.spansRoot(spanRoot))
+    graft.pipelines.CurationJob.absorbDaily(day1, curatedRoot, lshRoot,
+      batchId = 0L, spanRoot = Some(spanRoot)).count()
+    assert(Snapshots.versions(SpanIndex.spansRoot(spanRoot)) == vs,
+      "replayed daily batch re-appended spans")
+  }
 }

@@ -897,4 +897,44 @@ class StreamingSpec extends AnyFunSuite {
       want.exceptAll(gotStats).count() == 0,
       "streaming span flags diverged from the batch report")
   }
+
+  test("stream -> span-index loop: foreachBatch absorb chains micro-batches; replay no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.SpanIndex
+    import graft.sources.Snapshots
+    def doc(i: Int): String = (0 until 40).map(j => s"sl${i}t$j").mkString(" ")
+    val corpus = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-spanloop").toString
+    val (root, statsRoot) = (s"$base/idx", s"$base/stats")
+    SpanIndex.build(corpus, root)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocsStream.absorbSpans(spark,
+      mem.toDF().toDF("doc_id", "text"), root, statsRoot, s"$base/ckpt")
+    // micro-batch 0: a copy of a corpus doc + a fresh doc
+    mem.addData(Seq((100L, doc(3)), (101L, doc(1))))
+    q.processAllAvailable()
+    // micro-batch 1: a copy of batch 0's FRESH doc — fully duplicated
+    // only through batch 0's absorbed spans
+    mem.addData(Seq((200L, doc(3))))
+    q.processAllAvailable()
+    q.stop()
+    val stats = Snapshots.read(spark, statsRoot)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(101L)._1 == stats(101L)._2,
+      "corpus copy not fully duplicated in the landed report")
+    assert(stats(100L)._2 == 0L, "fresh doc reported duplicated spans")
+    assert(stats(200L)._1 == stats(200L)._2,
+      "micro-batch 1 did not match micro-batch 0 through the absorbed index")
+    // replayed micro-batch id: index AND stats no-op
+    val (v1, v2) =
+      (Snapshots.versions(SpanIndex.spansRoot(root)), Snapshots.versions(statsRoot))
+    val rep = SpanIndex.absorbBatch(spark, root,
+      Seq((200L, doc(3))).toDF("doc_id", "text"), batchId = 1L)
+    Snapshots.commitAppend(rep, statsRoot, batchId = Some(1L))
+    assert(Snapshots.versions(SpanIndex.spansRoot(root)) == v1 &&
+      Snapshots.versions(statsRoot) == v2,
+      "replayed micro-batch re-appended")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Diagnostics, Evaluation, Extras, Fit, GraphB, Indexing, Lifecycle, LlmData, Media, Operational, Privacy, Recommend, Relational, RelationalB, ScaleOps, ScaleOpsB, Stats, StatsB, StatsC, Training, TrainingB, TrainingC, TrainingD, TrainingE, TrainingF}
+import graft.queries.{Analytics, CohortQueries, Curation, CurationB, CurationC, Diagnostics, Evaluation, Extras, Fit, GraphB, Indexing, Lakehouse, Lifecycle, LlmData, Media, Operational, Privacy, Recommend, Relational, RelationalB, ScaleOps, ScaleOpsB, Stats, StatsB, StatsC, Training, TrainingB, TrainingC, TrainingD, TrainingE, TrainingF}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -18,7 +18,8 @@ object SparkEntry {
       GraphB.queries ++ Diagnostics.queries ++ Privacy.queries ++ ScaleOpsB.queries ++
       StatsC.queries ++ Evaluation.queries ++ Fit.queries ++ Indexing.queries ++
       Training.queries ++ TrainingB.queries ++ TrainingC.queries ++
-      TrainingD.queries ++ TrainingE.queries ++ TrainingF.queries ++ Media.queries
+      TrainingD.queries ++ TrainingE.queries ++ TrainingF.queries ++ Media.queries ++
+      Lakehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       GraphB.oracles ++ Diagnostics.oracles ++ Privacy.oracles ++ ScaleOpsB.oracles ++
       StatsC.oracles ++ Evaluation.oracles ++ Fit.oracles ++ Indexing.oracles ++
       Training.oracles ++ TrainingB.oracles ++ TrainingC.oracles ++
-      TrainingD.oracles ++ TrainingE.oracles ++ TrainingF.oracles ++ Media.oracles
+      TrainingD.oracles ++ TrainingE.oracles ++ TrainingF.oracles ++ Media.oracles ++
+      Lakehouse.oracles
 }

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Snapshots, Tables}
+
+/** Snapshot-table OPERATIONS gates (SURVEY §2 #226-227): the two
+  * table-level behaviors a lakehouse deployment leans on daily —
+  * bad-batch repair by rollback, and schema evolution on a live append
+  * chain — each gated end-to-end against a DuckDB oracle. The
+  * reference's closest analogue is the `latest` snapshot copy +
+  * re-run-the-day repair story (tasks/base.py convert_latest_file,
+  * get_latest_file); here both behaviors are properties of the
+  * versioned [[Snapshots]] chain and are oracle-verified, not
+  * procedural.
+  */
+object Lakehouse {
+
+  /** Deterministic per-corpus snapshot root: content fingerprint of
+    * the docs (order-independent), so a re-run at the same SF reuses
+    * its played history and a DIFFERENT corpus can never collide. */
+  private def fpRoot(docs: DataFrame, tag: String): String = {
+    val fp = docs.agg(
+      bit_xor(xxhash64(col("doc_id"), col("text"))).as("h"),
+      count(lit(1)).as("n")).head()
+    s"/tmp/graft-lakehouse/v1/$tag-${fp.getLong(0)}-${fp.getLong(1)}"
+  }
+
+  /** #226 BAD-BATCH REPAIR (`q_ingest_rollback`) — the operational
+    * answer to "yesterday's ingest was poisoned and it's already
+    * committed": day 0 full snapshot, day 1 delta, then day 2 lands
+    * CORRUPTED (every text suffixed, tagged day -2). The repair rolls
+    * the pointer back to day 1 ([[Snapshots.rollback]] — O(1), no
+    * data movement), which also reverts the REPLAY WATERMARK (the
+    * maxBatchId carry is per-version, so the guard travels with the
+    * pointer): the corrected day 2 re-commits under the SAME batch id,
+    * a re-delivered copy of the poisoned batch (same id) then no-ops
+    * against the repaired watermark, and day 3 continues the clock.
+    * The final read must equal the never-poisoned history — any
+    * rollback, watermark-revert, or replay bug leaves poisoned rows
+    * (len + 7, day -2) or drops the correction, and the oracle
+    * catches both. History plays once per corpus (the fingerprint
+    * root); re-running the gate reads the repaired chain —
+    * SnapshotsSpec separately pins each replay/no-op transition.
+    * Scale posture: rollback + repair moves ZERO stored bytes — the
+    * poisoned version is superseded in place by the corrected commit
+    * and the 100 TB base is never rewritten. */
+  def ingestRollback(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def day(m: Int, tag: Int, poison: Boolean = false) = {
+      val txt = if (poison) concat(col("text"), lit(" POISON")) else col("text")
+      docs.filter(pmod(col("doc_id"), lit(4)) === m)
+        .select(col("doc_id"), length(txt).cast("long").as("len"),
+          lit(tag).as("day"))
+    }
+    val root = fpRoot(docs, "rollback")
+    if (Snapshots.latestVersion(root).isEmpty) {
+      Snapshots.commit(day(0, 0), root)                                   // v0
+      val v1 = Snapshots.commitAppend(day(1, 1), root, Seq.empty, Some(1L))
+      Snapshots.commitAppend(day(2, -2, poison = true), root,
+        Seq.empty, Some(2L))                                              // poisoned
+      Snapshots.rollback(root, v1)                                        // repair
+      Snapshots.commitAppend(day(2, 2), root, Seq.empty, Some(2L))        // corrected
+      Snapshots.commitAppend(day(2, -2, poison = true), root,
+        Seq.empty, Some(2L))                                              // replay: no-op
+      Snapshots.commitAppend(day(3, 3), root, Seq.empty, Some(3L))
+    }
+    Snapshots.read(s, root)
+  }
+
+  /** #227 SCHEMA EVOLUTION ON A LIVE CHAIN (`q_schema_evolution`) —
+    * the additive-column path every long-lived table eventually
+    * walks: the base snapshot has (doc_id, len); a later delta adds a
+    * `src` provenance column under the EXPLICIT `evolveSchema = true`
+    * contract ([[Snapshots.commitAppend]] — an unannounced column-set
+    * change or ANY type change fails at write time, so a typo breaks
+    * the writing job, not every future reader). Readers fold the
+    * chain with by-name union: pre-evolution rows surface `src = NULL`
+    * with zero rewrite of the stored base — the 100 TB contract is
+    * that adding a column costs O(delta), never O(corpus). The gate
+    * reads the evolved chain and the oracle replays both eras.
+    * SnapshotsSpec pins the write-time validation (reject without the
+    * flag, reject type changes) and the omitted-column direction. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = fpRoot(docs, "evolve")
+    if (Snapshots.latestVersion(root).isEmpty) {
+      Snapshots.commit(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(col("doc_id"), length(col("text")).cast("long").as("len")),
+        root)
+      Snapshots.commitAppend(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+            lit("web").as("src")),
+        root, batchId = Some(1L), evolveSchema = true)
+    }
+    Snapshots.read(s, root)
+  }
+
+  /** The shared 4-version history behind #228/#229 (played once per
+    * corpus; both gates read it): v0 base full snapshot, v1 insert
+    * delta, v2 targeted delete, v3 atomic MERGE (updates + new keys in
+    * one version). */
+  private def mergeHistory(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def slice(m: Int, of: Int = 3) = docs.filter(pmod(col("doc_id"), lit(of)) === m)
+    def asLen(df: DataFrame) =
+      df.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val root = fpRoot(docs, "merge")
+    if (Snapshots.latestVersion(root).isEmpty) {
+      Snapshots.commit(asLen(slice(0)), root)                               // v0
+      Snapshots.commitAppend(asLen(slice(1)), root, Seq.empty, Some(1L))    // v1
+      Snapshots.commitDelete(
+        slice(0, 30).select(col("doc_id")), root, "doc_id", Some(2L))       // v2
+      // one ATOMIC version: update %15==1 rows (len shifted by 1000 —
+      // observable) and insert brand-new keys in the same commit
+      Snapshots.commitMerge(
+        asLen(slice(1, 15)).select(col("doc_id"), (col("len") + 1000L).as("len"))
+          .unionByName(asLen(slice(2, 15))
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("len"))),
+        root, "doc_id", batchId = Some(3L))                                 // v3
+    }
+    root
+  }
+
+  /** #228 ATOMIC MERGE / UPSERT into the stored table
+    * (`q_snapshot_merge`) — the reference's pandas
+    * `do_updates_inserts` (tasks/revenue.py:do_updates_inserts)
+    * re-expressed as a TABLE operation: one committed version whose
+    * keys replace matching chain rows and whose new keys append,
+    * folded by readers as anti-join-then-union so the delete+insert
+    * can never tear (a crash mid-"delete then append" would lose the
+    * updated rows; the merge commit is all-or-nothing at the pointer
+    * swap). The gate reads the final table across all four version
+    * kinds — full, insert, delete, merge — and the oracle replays the
+    * history: updated rows surface with the new value exactly once,
+    * new keys surface, deleted keys stay gone. O(updates) at commit;
+    * the base is never rewritten. */
+  def snapshotMerge(s: SparkSession, dir: String): DataFrame =
+    Snapshots.read(s, mergeHistory(s, dir))
+
+  /** #229 CHANGE FEED over the version chain (`q_change_feed`) — the
+    * CDC view a downstream incremental consumer tails: every row-level
+    * change in (v0, v3], tagged (insert | delete | upsert) +
+    * `_commit_version`, read straight from the delta dirs in
+    * O(changed rows) — no table-state diff, no corpus scan (the
+    * state-diff complement is `q_table_diff`). Delete rows carry the
+    * tombstone key with other columns NULL. The oracle replays each
+    * version's change set from the same slices. */
+  def changeFeed(s: SparkSession, dir: String): DataFrame =
+    Snapshots.changesBetween(s, mergeHistory(s, dir), fromV = 0L, toV = 3L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ingest_rollback"  -> ingestRollback _,
+    "q_schema_evolution" -> schemaEvolution _,
+    "q_snapshot_merge"   -> snapshotMerge _,
+    "q_change_feed"      -> changeFeed _
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the never-poisoned history: base ∪ day1 ∪ CORRECTED day2 ∪ day3
+    "q_ingest_rollback" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len,
+        |       CAST(0 AS INTEGER) AS day
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT), 1
+        |FROM documents WHERE doc_id % 4 = 1
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT), 2
+        |FROM documents WHERE doc_id % 4 = 2
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT), 3
+        |FROM documents WHERE doc_id % 4 = 3""".stripMargin,
+    // both eras of the evolved table: old rows surface src = NULL
+    "q_schema_evolution" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len,
+        |       CAST(NULL AS VARCHAR) AS src
+        |FROM documents WHERE doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT), 'web'
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // the merged table: base minus deletes, inserts, updated rows
+    // (len + 1000) exactly once, merge-inserted new keys
+    "q_snapshot_merge" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 30 <> 0
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 1 AND doc_id % 15 <> 1
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT) + 1000
+        |FROM documents WHERE doc_id % 15 = 1
+        |UNION ALL
+        |SELECT doc_id + 1000000, CAST(LENGTH(text) AS BIGINT)
+        |FROM documents WHERE doc_id % 15 = 2""".stripMargin,
+    // the change log of (v0, v3]: v1 inserts, v2 deletes (key only),
+    // v3 upserts (updates + merge-inserted keys)
+    "q_change_feed" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len,
+        |       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM documents WHERE doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS BIGINT), 'delete', CAST(2 AS BIGINT)
+        |FROM documents WHERE doc_id % 30 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT) + 1000, 'upsert', CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 15 = 1
+        |UNION ALL
+        |SELECT doc_id + 1000000, CAST(LENGTH(text) AS BIGINT), 'upsert', CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 15 = 2""".stripMargin
+  )
+}

@@ -17,11 +17,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *   <root>/_latest                     atomic pointer file: "N"
   * }}}
   *
-  * Writer protocol (crash-safe in commit order):
-  *  1. write the snapshot's data directory (a failure here leaves an
-  *     orphan `v=N` dir that the next writer OVERWRITES — readers
-  *     never see it because the pointer still names the old version);
-  *  2. write the manifest file;
+  * Writer protocol (crash-safe in commit order, MULTI-WRITER-safe via
+  * the per-root commit lock — see the commit-lock note below):
+  *  1. STAGE the snapshot's data into a private `data/stage-*` dir
+  *     (the distributed write — lock-free, concurrent writers never
+  *     collide; a crash leaves an orphan stage dir that [[vacuum]]
+  *     sweeps once it is provably abandoned);
+  *  2. under the lock: revalidate any idempotence guard (replay
+  *     watermark / content key), claim `v = latest + 1`, rename the
+  *     stage dir into place, write the manifest file;
   *  3. atomically move a temp pointer over `_latest` (the commit
   *     point — `ATOMIC_MOVE` on one small file, the same single-
   *     object-swap object stores give you).
@@ -45,6 +49,42 @@ object Snapshots {
   private def manifest(root: String, v: Long): Path = Paths.get(s"$root/manifests/v$v.json")
   private def pointer(root: String): Path = Paths.get(s"$root/_latest")
 
+  // ------------------------------------------------------- commit lock
+  //
+  // CONCURRENT WRITERS: on a real cluster two jobs (a daily absorb and
+  // a nightly compact, or two replayed absorbs) can race one root. The
+  // version-claim protocol ("next = latest + 1, overwrite") is only
+  // safe single-writer, so every METADATA mutation (claim + manifest +
+  // pointer, rollback, vacuum) runs under a per-root commit lock:
+  // a JVM-level monitor (FileChannel refuses overlapping locks inside
+  // one process) wrapping an OS file lock on `<root>/_commitlock`
+  // (cross-process — two Spark drivers sharing a filesystem exclude
+  // each other). The DISTRIBUTED data write never holds the lock: it
+  // stages to a private `data/stage-*` dir first, and only the O(1)
+  // rename + two metadata writes serialize. On an object store the
+  // file lock degrades to JVM-only and the pointer swap's
+  // conditional-put takes over as the commit arbiter — same protocol
+  // Delta/Iceberg document for S3.
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withCommitLock[T](root: String)(body: => T): T = {
+    val mon = monitors.computeIfAbsent(root, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = java.nio.channels.FileChannel.open(Paths.get(s"$root/_commitlock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+
   /** The committed latest version, if any. */
   def latestVersion(root: String): Option[Long] = {
     val p = pointer(root)
@@ -65,7 +105,8 @@ object Snapshots {
 
   /** Write `df` as the next snapshot version; returns the committed
     * version number. Readers of prior versions are unaffected. */
-  def commit(df: DataFrame, root: String): Long = commitInternal(df, root, None)
+  def commit(df: DataFrame, root: String): Long =
+    commitInternal(df, root, None).version
 
   /** [[commit]] with hive-style partition directories on
     * `partitionCols` inside the snapshot's data dir — a reader
@@ -73,7 +114,7 @@ object Snapshots {
     * (PartitionFilters), which is what makes a stored IVF index's
     * per-query cost probe-bucket-sized instead of corpus-sized. */
   def commitPartitioned(df: DataFrame, root: String, partitionCols: Seq[String]): Long =
-    commitInternal(df, root, None, partitionCols)
+    commitInternal(df, root, None, partitionCols).version
 
   /** IDEMPOTENT commit keyed by an external batch id (a Structured
     * Streaming micro-batch id): replaying a batch id ≤ the last
@@ -85,7 +126,13 @@ object Snapshots {
   def commitBatch(df: DataFrame, root: String, batchId: Long): Long = {
     val latest = latestVersion(root)
     if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= batchId))) latest.get
-    else commitInternal(df, root, Some(batchId))
+    // the pre-check above is the cheap fast path; the guard re-runs it
+    // under the commit lock so two racing replays of one batch id can
+    // never BOTH pass (the loser discards its staged data and returns
+    // the winner's version)
+    else commitInternal(df, root, Some(batchId),
+      guard = Some(() => !latestVersion(root)
+        .exists(v => maxBatchIdOf(root, v).exists(_ >= batchId)))).version
   }
 
   /** APPEND (delta) commit: the new version's data dir holds ONLY
@@ -99,9 +146,11 @@ object Snapshots {
     * gives the same idempotent-replay contract as [[commitBatch]]. */
   def commitAppend(delta: DataFrame, root: String,
       partitionCols: Seq[String] = Seq.empty,
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None,
+      evolveSchema: Boolean = false): Long = {
     require(latestVersion(root).nonEmpty,
       s"commitAppend needs an existing full snapshot under $root")
+    validateAppendSchema(delta, root, evolveSchema)
     batchId match {
       case Some(b) =>
         val latest = latestVersion(root)
@@ -109,11 +158,53 @@ object Snapshots {
         // (carried forward through every manifest), not just the latest
         // version's own batchId: an interleaved unkeyed commit would
         // otherwise blank the guard and let a re-delivered batch
-        // double-append its rows
+        // double-append its rows. The fast-path check here avoids even
+        // staging the data; the guard repeats it under the commit lock
+        // so two concurrent deliveries of one batch id land EXACTLY
+        // once (the loser discards its stage).
         if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= b))) latest.get
-        else commitInternal(delta, root, batchId, partitionCols, delta = true)
-      case None => commitInternal(delta, root, None, partitionCols, delta = true)
+        else commitInternal(delta, root, batchId, partitionCols, delta = true,
+          guard = Some(() => !latestVersion(root)
+            .exists(v => maxBatchIdOf(root, v).exists(_ >= b)))).version
+      case None =>
+        commitInternal(delta, root, None, partitionCols, delta = true).version
     }
+  }
+
+  /** SCHEMA EVOLUTION contract for the append chain: common columns
+    * must keep their exact type (a type change is ALWAYS an error —
+    * readers cannot union it); a delta that ADDS or OMITS columns is
+    * an error unless the writer passes `evolveSchema = true`, in which
+    * case readers see nulls for the missing side
+    * ([[readVersion]] folds with `unionByName(allowMissingColumns)`).
+    * Validation runs at WRITE time so a typo'd column name fails the
+    * writing job, not every future reader. */
+  private def validateAppendSchema(delta: DataFrame, root: String,
+      evolveSchema: Boolean): Unit = {
+    import org.apache.spark.sql.types._
+    // nullability is not a type change: parquet read-back widens
+    // containsNull/nullable, so compare shapes with nullability erased
+    def norm(dt: DataType): DataType = dt match {
+      case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
+      case MapType(k, v, _) => MapType(norm(k), norm(v), valueContainsNull = true)
+      case StructType(fs) =>
+        StructType(fs.map(f => f.copy(dataType = norm(f.dataType), nullable = true)))
+      case other => other
+    }
+    val current = read(delta.sparkSession, root).schema
+    val cur = current.map(f => f.name -> norm(f.dataType)).toMap
+    val del = delta.schema.map(f => f.name -> norm(f.dataType)).toMap
+    val typeChanged = del.keySet.intersect(cur.keySet)
+      .filter(c => del(c) != cur(c))
+    require(typeChanged.isEmpty,
+      s"commitAppend under $root changes column types (never allowed): " +
+        typeChanged.map(c => s"$c: ${cur(c)} -> ${del(c)}").mkString(", "))
+    val added = del.keySet.diff(cur.keySet)
+    val omitted = cur.keySet.diff(del.keySet)
+    require(evolveSchema || (added.isEmpty && omitted.isEmpty),
+      s"commitAppend under $root changes the column set " +
+        s"(added: ${added.mkString(",")}; omitted: ${omitted.mkString(",")}) — " +
+        "pass evolveSchema = true to evolve the table schema")
   }
 
   /** Whether a version is a delta (append) commit. */
@@ -162,10 +253,90 @@ object Snapshots {
         val latest = latestVersion(root)
         if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= b))) latest.get
         else commitInternal(keys.select(keys(keyCol)), root, batchId,
-          delta = true, tombstoneKey = Some(keyCol))
+          delta = true, tombstoneKey = Some(keyCol),
+          guard = Some(() => !latestVersion(root)
+            .exists(v => maxBatchIdOf(root, v).exists(_ >= b)))).version
       case None => commitInternal(keys.select(keys(keyCol)), root, None,
-        delta = true, tombstoneKey = Some(keyCol))
+        delta = true, tombstoneKey = Some(keyCol)).version
     }
+  }
+
+  /** The key column of a MERGE (upsert) version, if this version is
+    * one — see [[commitMerge]]. */
+  def mergeKeyOf(root: String, v: Long): Option[String] = {
+    val m = manifest(root, v)
+    if (!Files.exists(m)) None
+    else "\"mergeKey\":\"([^\"]+)\"".r
+      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+      .map(_.group(1))
+  }
+
+  /** ATOMIC MERGE (upsert) commit — the stored-table form of the
+    * reference's `do_updates_inserts` (tasks/revenue.py): rows of
+    * `updates` REPLACE chain rows carrying the same `keyCol` value and
+    * NEW keys append, in ONE committed version. Readers fold a merge
+    * version as anti-join-its-keys-then-union-its-rows, so the
+    * delete+insert pair can never tear: a crash before the commit
+    * point leaves the table untouched (the two-version
+    * delete-then-append composition would lose the updated rows if it
+    * died in between). Cost is O(updates) at commit time — the stored
+    * corpus is never rewritten; readers pay one broadcast anti-join
+    * per merge still in the chain, which nightly compaction folds
+    * away. Version-ordered like every commit (a later delete can
+    * remove a merged key; a later merge re-updates it), idempotent per
+    * `batchId`, schema-checked like [[commitAppend]]. Returns the
+    * committed (or already-current) version. */
+  def commitMerge(updates: DataFrame, root: String, keyCol: String,
+      partitionCols: Seq[String] = Seq.empty,
+      batchId: Option[Long] = None,
+      evolveSchema: Boolean = false): Long = {
+    require(latestVersion(root).nonEmpty,
+      s"commitMerge needs an existing snapshot under $root")
+    require(updates.columns.contains(keyCol),
+      s"merge key $keyCol missing from the update frame")
+    validateAppendSchema(updates, root, evolveSchema)
+    batchId match {
+      case Some(b) =>
+        val latest = latestVersion(root)
+        if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= b))) latest.get
+        else commitInternal(updates, root, batchId, partitionCols,
+          delta = true, mergeKey = Some(keyCol),
+          guard = Some(() => !latestVersion(root)
+            .exists(v => maxBatchIdOf(root, v).exists(_ >= b)))).version
+      case None => commitInternal(updates, root, None, partitionCols,
+        delta = true, mergeKey = Some(keyCol)).version
+    }
+  }
+
+  /** CHANGE FEED: every row-level change committed AFTER `fromV` up to
+    * and including `toV`, tagged `_change_type`
+    * (insert | delete | upsert) and `_commit_version` — the CDC view a
+    * downstream incremental consumer tails instead of re-diffing 100 TB
+    * of table state (`q_table_diff` is the state-diff complement; this
+    * is O(changed rows) by construction because delta versions ARE the
+    * change log). Delete rows carry the tombstone key column (other
+    * columns null); the feed covers DELTA history only — a full
+    * rewrite (compaction is invisible rewriting, a fresh [[commit]] is
+    * not) has no row-level change representation, so a full snapshot
+    * inside the range is an explicit error rather than a silent gap. */
+  def changesBetween(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"empty change range ($fromV, $toV]")
+    val vs = versions(root).filter(v => v > fromV && v <= toV)
+    require(vs.nonEmpty, s"no committed versions in ($fromV, $toV] under $root")
+    vs.foreach(v => require(isDelta(root, v),
+      s"version $v is a full rewrite — the change feed covers delta history only"))
+    import org.apache.spark.sql.functions.lit
+    vs.map { v =>
+      val df = spark.read.option("basePath", dataDir(root, v))
+        .parquet(dataDir(root, v))
+      val typ =
+        if (tombstoneKeyOf(root, v).nonEmpty) "delete"
+        else if (mergeKeyOf(root, v).nonEmpty) "upsert"
+        else "insert"
+      df.withColumn("_change_type", lit(typ))
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The version chain a read of `v` resolves: `v` and its ancestors
@@ -203,7 +374,7 @@ object Snapshots {
       // scan inside maxBatchIdOf serves only manifests from before the
       // field existed
       val maxBatch = maxBatchIdOf(root, latest)
-      commitInternal(read(spark, root), root, maxBatch, partitionCols)
+      commitInternal(read(spark, root), root, maxBatch, partitionCols).version
     }
   }
 
@@ -214,16 +385,23 @@ object Snapshots {
     * multi-stage job re-runs zero Spark jobs for its completed
     * stages; else commit a new version and return (it, true). */
   def commitKeyed(df: => DataFrame, root: String, key: Long,
-      partitionCols: Seq[String] = Seq.empty): (Long, Boolean) =
-    versions(root).find(v => batchIdOf(root, v).contains(key)) match {
+      partitionCols: Seq[String] = Seq.empty): (Long, Boolean) = {
+    def existing = versions(root).find(v => batchIdOf(root, v).contains(key))
+    existing match {
       case Some(v) => (v, false)
       // monotone = false: a content-fingerprint key is an UNORDERED
       // identity, not a monotone batch id — folding it into the carried
       // maxBatchId would let one (arbitrarily large) fingerprint block
-      // every later commitBatch/commitAppend on a shared root
-      case None => (commitInternal(df, root, Some(key), partitionCols,
-        monotone = false), true)
+      // every later commitBatch/commitAppend on a shared root.
+      // The guard re-checks the key under the commit lock: two racing
+      // runs of one fingerprint commit exactly one version (the loser
+      // reports the winner's version with committed = false).
+      case None =>
+        val v = commitInternal(df, root, Some(key), partitionCols,
+          monotone = false, guard = Some(() => existing.isEmpty))
+        if (v.committed) (v.version, true) else (existing.get, false)
     }
+  }
 
   /** The batch id recorded in a version's manifest, if any. */
   def batchIdOf(root: String, v: Long): Option[Long] = {
@@ -292,57 +470,96 @@ object Snapshots {
       .orElse(monotoneChainMax(root, chainVersions(root, v)))
   }
 
+  /** Result of [[commitInternal]]: the version the caller should use,
+    * and whether THIS call wrote it (false = the under-lock guard
+    * found the work already done by a racing writer). */
+  private final case class Committed(version: Long, committed: Boolean)
+
   private def commitInternal(df: DataFrame, root: String, batchId: Option[Long],
       partitionCols: Seq[String] = Seq.empty, delta: Boolean = false,
-      monotone: Boolean = true, tombstoneKey: Option[String] = None): Long = {
-    val next = latestVersion(root).getOrElse(-1L) + 1
-    // 1. data (distributed; overwrite clears any orphan from a crash).
-    // Hive-partitioned commits CLUSTER BY the partition key first:
-    // without it every shuffle task writes a sliver into every
-    // `key=` dir — fanout × shuffle-partitions small files whose
-    // per-file open cost grows with the partition count and quietly
-    // re-linearizes pruned probe reads (measured: the k ∝ N SemDeDup
-    // probe's residual growth was file handles, not data). One
-    // shuffle at write time → one file per dir per owning task; task
-    // balance is the partition key's own balance (for the index
-    // artifacts that is the flat-occupancy contract).
+      monotone: Boolean = true, tombstoneKey: Option[String] = None,
+      mergeKey: Option[String] = None,
+      guard: Option[() => Boolean] = None): Committed = {
+    // 1. STAGE the data (distributed, lock-free — concurrent writers
+    // each write a private stage dir). Hive-partitioned commits
+    // CLUSTER BY the partition key first: without it every shuffle
+    // task writes a sliver into every `key=` dir — fanout ×
+    // shuffle-partitions small files whose per-file open cost grows
+    // with the partition count and quietly re-linearizes pruned probe
+    // reads (measured: the k ∝ N SemDeDup probe's residual growth was
+    // file handles, not data). One shuffle at write time → one file
+    // per dir per owning task; task balance is the partition key's own
+    // balance (for the index artifacts that is the flat-occupancy
+    // contract).
+    // NOT dot-prefixed: Spark's hidden-file filter would skip the
+    // staged files when counting them below (nothing ever lists
+    // `<root>/data` itself, so the name needs no hiding)
+    val stage = s"$root/data/stage-${java.util.UUID.randomUUID()}"
     val clustered =
       if (partitionCols.nonEmpty)
         df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       else df
     val w = clustered.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(dataDir(root, next))
-    // 2. manifest (metadata — written before the pointer so a reader
-    //    that sees the pointer always finds the manifest); a delta
-    //    manifest counts its OWN rows only
-    val rows = df.sparkSession.read.parquet(dataDir(root, next)).count()
-    Files.createDirectories(manifest(root, next).getParent)
-    val batchField = batchId.map(b => s""","batchId":$b""").getOrElse("")
-    val deltaField = if (delta) ""","delta":true""" else ""
-    // a tombstone rides the delta-chain machinery (chain resolution,
-    // watermark carry, vacuum protection) but flips the reader's fold
-    // from union to anti-join
-    val tombField = tombstoneKey
-      .map(k => s""","tombstoneKey":"$k"""").getOrElse("")
-    // keyed marker: lets watermark readers distinguish an unordered
-    // content-fingerprint batchId from a monotone one
-    val keyedField = if (!monotone && batchId.nonEmpty) ""","keyed":true""" else ""
-    // running max of monotone batch ids, carried through EVERY commit
-    // (keyed fingerprints excluded — see commitKeyed)
-    val prevMax = latestVersion(root).flatMap(maxBatchIdOf(root, _))
-    val newMax = (prevMax.toSeq ++ (if (monotone) batchId.toSeq else Seq.empty))
-      .reduceOption(_ max _)
-    val maxField = newMax.map(b => s""","maxBatchId":$b""").getOrElse("")
-    Files.write(manifest(root, next),
-      s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField$deltaField$tombField$keyedField$maxField}"""
-        .getBytes(StandardCharsets.UTF_8))
-    // 3. commit point: atomic pointer swap
-    val tmp = Paths.get(s"$root/_latest.tmp")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    next
+      .parquet(stage)
+    // a delta manifest counts its OWN rows only; counting the staged
+    // files avoids re-running df's plan
+    val rows = df.sparkSession.read.parquet(stage).count()
+    // 2. CLAIM + METADATA under the per-root commit lock (O(1) file
+    // ops only — the expensive distributed write is already done)
+    withCommitLock(root) {
+      // revalidate under the lock: a racing writer may have committed
+      // this batch id / key while we staged — the loser discards its
+      // stage and reports the current latest
+      if (guard.exists(g => !g())) {
+        deleteRecursively(Paths.get(stage))
+        Committed(latestVersion(root).getOrElse(
+          throw new IllegalStateException(
+            s"commit guard failed on empty root $root")), committed = false)
+      } else {
+        val next = latestVersion(root).getOrElse(-1L) + 1
+        // any existing dir/manifest at `next` is an orphan — a crashed
+        // writer's torn data (never committed: the pointer still names
+        // an older version) or a rolled-back version being rewritten —
+        // and linear history requires replacing it
+        deleteRecursively(Paths.get(dataDir(root, next)))
+        Files.createDirectories(Paths.get(dataDir(root, next)).getParent)
+        Files.move(Paths.get(stage), Paths.get(dataDir(root, next)))
+        // manifest (metadata — written before the pointer so a reader
+        // that sees the pointer always finds the manifest)
+        Files.createDirectories(manifest(root, next).getParent)
+        val batchField = batchId.map(b => s""","batchId":$b""").getOrElse("")
+        val deltaField = if (delta) ""","delta":true""" else ""
+        // a tombstone rides the delta-chain machinery (chain resolution,
+        // watermark carry, vacuum protection) but flips the reader's fold
+        // from union to anti-join
+        val tombField = tombstoneKey
+          .map(k => s""","tombstoneKey":"$k"""").getOrElse("")
+        // a merge rides the same machinery; the reader's fold becomes
+        // anti-join-keys-then-union-rows (atomic upsert)
+        val mergeField = mergeKey
+          .map(k => s""","mergeKey":"$k"""").getOrElse("")
+        // keyed marker: lets watermark readers distinguish an unordered
+        // content-fingerprint batchId from a monotone one
+        val keyedField = if (!monotone && batchId.nonEmpty) ""","keyed":true""" else ""
+        // running max of monotone batch ids, carried through EVERY commit
+        // (keyed fingerprints excluded — see commitKeyed); read under the
+        // lock, so an interleaved writer's batch id is never missed
+        val prevMax = latestVersion(root).flatMap(maxBatchIdOf(root, _))
+        val newMax = (prevMax.toSeq ++ (if (monotone) batchId.toSeq else Seq.empty))
+          .reduceOption(_ max _)
+        val maxField = newMax.map(b => s""","maxBatchId":$b""").getOrElse("")
+        Files.write(manifest(root, next),
+          s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField$deltaField$tombField$mergeField$keyedField$maxField}"""
+            .getBytes(StandardCharsets.UTF_8))
+        // 3. commit point: atomic pointer swap
+        val tmp = Paths.get(s"$root/_latest.tmp")
+        Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        Committed(next, committed = true)
+      }
+    }
   }
 
   /** Read the latest committed snapshot. */
@@ -367,10 +584,21 @@ object Snapshots {
       .foldLeft(Option.empty[DataFrame]) { (acc, cv) =>
         val df = spark.read.option("basePath", dataDir(root, cv))
           .parquet(dataDir(root, cv))
-        tombstoneKeyOf(root, cv) match {
-          case Some(k) =>
+        (tombstoneKeyOf(root, cv), mergeKeyOf(root, cv)) match {
+          case (Some(k), _) =>
             acc.map(_.join(broadcast(df.select(df(k))), Seq(k), "left_anti"))
-          case None => Some(acc.map(_.unionByName(df)).getOrElse(df))
+          // MERGE: its keys replace, its rows join — one atomic upsert
+          case (_, Some(k)) =>
+            Some(acc
+              .map(_.join(broadcast(df.select(df(k))), Seq(k), "left_anti")
+                .unionByName(df, allowMissingColumns = true))
+              .getOrElse(df))
+          // allowMissingColumns: the schema-evolution contract — rows
+          // from before a column was added read as null for it (write-
+          // time validation in commitAppend keeps accidental drift out)
+          case _ =>
+            Some(acc.map(_.unionByName(df, allowMissingColumns = true))
+              .getOrElse(df))
         }
       }
       .getOrElse(throw new IllegalStateException(
@@ -380,7 +608,7 @@ object Snapshots {
   /** Roll back: point `_latest` at an older committed version without
     * touching any data (the newer snapshots stay readable by explicit
     * version until vacuumed). */
-  def rollback(root: String, v: Long): Unit = {
+  def rollback(root: String, v: Long): Unit = withCommitLock(root) {
     require(Files.exists(manifest(root, v)), s"cannot roll back to uncommitted version $v")
     val tmp = Paths.get(s"$root/_latest.tmp")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
@@ -422,8 +650,23 @@ object Snapshots {
     * latest (never the pointer target), manifest first so a crashed
     * vacuum leaves data-without-manifest (invisible), not the
     * reverse. */
-  def vacuum(root: String, keep: Int): Seq[Long] = {
+  def vacuum(root: String, keep: Int): Seq[Long] = withCommitLock(root) {
+    vacuumLocked(root, keep)
+  }
+
+  private def vacuumLocked(root: String, keep: Int): Seq[Long] = {
     val latest = latestVersion(root).getOrElse(return Seq.empty)
+    // sweep abandoned stage dirs from crashed writers (a LIVE stage is
+    // minutes old at most — its writer is between the distributed write
+    // and the lock; only dirs quiet for an hour are provably orphans)
+    val dd = Paths.get(s"$root/data")
+    if (Files.isDirectory(dd)) {
+      val cutoffMs = java.time.Instant.now().minusSeconds(3600).toEpochMilli
+      Files.list(dd).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("stage-"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoffMs)
+        .toSeq.foreach(deleteRecursively)
+    }
     // never drop an ancestor that ANY retained version's delta chain
     // still resolves through: a retained delta whose full-snapshot
     // base fell outside retention would otherwise become unreadable,

@@ -281,6 +281,92 @@ object DocsStream {
       .start()
   }
 
+  /** Streaming SEMANTIC NEAR-DUP PROBE against the STORED vector index
+    * ([[graft.similarity.VectorIndex]]) — the embedding-side member of
+    * the streaming probe family ([[probeNearDups]] LSH text,
+    * [[probeSpans]] grid spans; [[assignVectors]] is the assignment
+    * half of this front door): each arriving vector is assigned to its
+    * persisted nearest centroid ROW-LOCALLY (the KB-scale centroid
+    * matrix folds into one codegen'd argmax at plan time — no join, no
+    * shuffle on the stream side), then ONE stream-static equi-join on
+    * `bucket` pairs it with the stored assignments of ITS OWN cluster
+    * only, and a row-local cosine ≥ `tau` filter emits the matches.
+    * Emits (new_id, match_id, cos) of the stream against the indexed
+    * corpus — [[graft.similarity.VectorIndex.semProbeBatch]]'s
+    * vs-corpus semantics in streaming form.
+    *
+    * FULLY STATELESS: a vector lives in exactly one bucket, so a
+    * (new, match) pair can only form once — unlike the multi-band LSH
+    * probe there is nothing to deduplicate and no watermark state at
+    * all. Within-stream pairs are out of scope by design (the
+    * [[absorbSemantic]] foreachBatch sink computes them with the exact
+    * batch semantics and absorbs each micro-batch so tomorrow's
+    * arrivals match today's). The static artifact frames re-read per
+    * micro-batch are the standard stream-static contract; the stored
+    * side's `bucket=` partition dirs mean each micro-batch's join
+    * builds from pruned reads once the optimizer pushes the join keys
+    * — and at worst reads the assignments table once per micro-batch,
+    * never the float corpus.
+    *
+    * @param vectors streaming (vec_id, v: array<double>) frame */
+  def probeSemantic(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, root: String, tau: Double): DataFrame = {
+    import graft.similarity.{Embeddings, VectorIndex}
+    val cents = graft.sources.Snapshots
+      .read(spark, VectorIndex.centroidsRoot(root))
+    val stored = graft.sources.Snapshots
+      .read(spark, VectorIndex.assignmentsRoot(root))
+      .select(col("vec_id").as("match_id"), col("v").as("mv"),
+        col("bucket").cast("int").as("bucket"))
+    VectorIndex.assignRowLocal(vectors, cents).drop("ccos")
+      .join(stored, Seq("bucket"))
+      .filter(col("vec_id") =!= col("match_id"))
+      .select(col("vec_id").as("new_id"), col("match_id"),
+        round(Embeddings.cosine(col("v"), col("mv")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Streaming SEMANTIC ABSORB LOOP — [[absorbNearDups]]'s shape for
+    * the vector family, completing the probe+absorb streaming story on
+    * all four stored index types: each micro-batch of (vec_id, v) rows
+    * runs [[graft.similarity.VectorIndex.semProbeBatch]] with batchId =
+    * the MICRO-BATCH id (row-local assignment, own-bucket probes of the
+    * stored assignments, within-batch pairs, idempotent delta absorb),
+    * and the batch's verified pairs are landed under `matchesRoot` on
+    * the same clock (first batch = full snapshot, later ones idempotent
+    * delta appends) — a crash between the index append and the matches
+    * commit retries into a no-op on the index side and a replay-stable
+    * pair set on the matches side.
+    *
+    * Per-micro-batch cost is semProbeBatch's O(batch + own-bucket
+    * candidates) with `bucket=`-pruned stored reads — the corpus is
+    * never re-assigned. `checkpoint` is REQUIRED for the same reason as
+    * [[absorbNearDups]]: a restart without it replays micro-batch ids
+    * from 0 below the stored watermark and silently drops data. An
+    * empty micro-batch emits no pairs and commits nothing
+    * (semProbeBatch's empty-batch short-circuit). */
+  def absorbSemantic(spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, root: String, matchesRoot: String,
+      checkpoint: String, tau: Double = 0.95):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.similarity.VectorIndex
+    import graft.sources.Snapshots
+    require(checkpoint.nonEmpty, "absorbSemantic needs a checkpoint location")
+    vectors.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val pairs = VectorIndex.semProbeBatch(spark, root,
+          df.select(col("vec_id"), col("v")), tau, id)
+        if (Snapshots.latestVersion(matchesRoot).isEmpty)
+          Snapshots.commitBatch(pairs, matchesRoot, id)
+        else
+          Snapshots.commitAppend(pairs, matchesRoot, batchId = Some(id))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming TRENDING TERMS: watermarked tumbling-window term
     * counts over a document stream — the "what is the crawl seeing
     * right now" monitoring view next to the batch vocab/entropy

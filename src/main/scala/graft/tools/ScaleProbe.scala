@@ -132,7 +132,14 @@ object ScaleProbe {
       // scaling its INPUT would re-create the fixed-k violation the
       // gate exists to close; the scaling claim is measured by the
       // dedicated semdedup_scaled probe below, which grows k with N
-      "q_span_compacted", "q_embedding_week")
+      "q_span_compacted", "q_embedding_week",
+      // r10 lakehouse gates: history plays once per content-fingerprint
+      // root in pass 1; min-of-2 isolates the READ path — the chain
+      // fold (union + anti-join + merge) must track table size with no
+      // metadata-driven blowup, and the change feed must track CHANGED
+      // rows (delta dirs only, never the base)
+      "q_ingest_rollback", "q_schema_evolution", "q_snapshot_merge",
+      "q_change_feed")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

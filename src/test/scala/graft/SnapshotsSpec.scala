@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -355,5 +357,183 @@ class SnapshotsSpec extends AnyFunSuite {
       Seq.empty, Some(epochMs)) == vc,
       "re-delivered epoch-millis batch re-appended after compact")
     assert(Snapshots.read(spark, root).count() == 2)
+  }
+
+  // -------------------------------------------------- concurrent writers
+
+  private def inParallel[T](n: Int)(body: Int => T): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val fs = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = { start.await(); body(i) }
+        })
+      }
+      start.countDown()
+      fs.map(_.get())
+    } finally pool.shutdown()
+  }
+
+  test("concurrent commits: every writer lands a distinct version, history stays linear") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(0L).toDF("id"), root) // v0
+    val got = inParallel(8)(i =>
+      Snapshots.commitAppend(Seq(100L + i).toDF("id"), root))
+    // 8 writers -> 8 DISTINCT versions 1..8 (the unlocked protocol let
+    // two writers claim one version and clobber each other's data)
+    assert(got.toSet == (1L to 8L).toSet, s"version collision: $got")
+    assert(Snapshots.latestVersion(root).contains(8L))
+    // no rows lost, no rows doubled: the chain union holds all 9
+    assert(Snapshots.read(spark, root).as[Long].collect().toSet ==
+      (Set(0L) ++ (0 until 8).map(100L + _)), "concurrent appends lost/doubled rows")
+    // every manifest present, every chain resolvable
+    assert(Snapshots.versions(root) == (0L to 8L))
+    Snapshots.chainVersions(root, 8L)
+    // no stage leftovers became visible data dirs
+    assert(Files.list(Paths.get(s"$root/data")).iterator().asScala
+      .forall(p => p.getFileName.toString.startsWith("v=") ||
+        p.getFileName.toString.startsWith("stage-")))
+    // every committed manifest counts its OWN rows (the staged read
+    // must see the staged files — a miscount here poisons row stats)
+    assert((1L to 8L).forall(v =>
+      Files.readString(Paths.get(s"$root/manifests/v$v.json"))
+        .contains("\"rows\":1")), "staged row count wrong in manifest")
+  }
+
+  test("concurrent replays of ONE batch id commit exactly once") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(0L).toDF("id"), root) // v0
+    // 6 racing deliveries of the SAME batch (the at-least-once runtime
+    // shape): the fast-path check passes for all of them simultaneously,
+    // so only the under-lock guard stands between this and a 6x append
+    inParallel(6)(_ =>
+      Snapshots.commitAppend(Seq(42L).toDF("id"), root, Seq.empty, Some(1L)))
+    assert(Snapshots.versions(root) == Seq(0L, 1L),
+      s"racing same-batch deliveries multi-committed: ${Snapshots.versions(root)}")
+    assert(Snapshots.read(spark, root).count() == 2,
+      "batch rows double-appended under concurrent replay")
+    // and the same contract for commitKeyed: one fingerprint, one commit
+    val keyed = inParallel(6)(_ =>
+      Snapshots.commitKeyed(Seq(7L).toDF("id"), root, key = Long.MaxValue - 5))
+    assert(keyed.map(_._1).distinct.size == 1, s"keyed race forked: $keyed")
+    assert(keyed.count(_._2) == 1,
+      s"keyed race: expected exactly one winner, got $keyed")
+  }
+
+  // ---------------------------------------------------- schema evolution
+
+  test("schema evolution on the chain: additive columns gated by evolveSchema, nulls for old rows") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    // an unannounced column-set change is a WRITE-time error — the typo
+    // fails the writing job, not every future reader
+    intercept[IllegalArgumentException](
+      Snapshots.commitAppend(Seq((3L, "c", "web")).toDF("id", "v", "src"), root))
+    // a type change is never allowed, evolveSchema or not
+    intercept[IllegalArgumentException](
+      Snapshots.commitAppend(Seq((3L, 9L)).toDF("id", "v"), root,
+        evolveSchema = true))
+    // announced evolution: the delta adds `src`; old rows read as null
+    Snapshots.commitAppend(Seq((3L, "c", "web")).toDF("id", "v", "src"), root,
+      evolveSchema = true)
+    val out = Snapshots.read(spark, root)
+      .select(col("id"), col("src")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(1L -> None, 2L -> None, 3L -> Some("web")),
+      s"evolved read wrong: $out")
+    // later deltas in the OLD shape are also evolution (omitted column)
+    intercept[IllegalArgumentException](
+      Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "v"), root))
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "v"), root,
+      evolveSchema = true)
+    assert(Snapshots.read(spark, root).count() == 4)
+  }
+
+  // ------------------------------------------------- merge + change feed
+
+  test("commitMerge: atomic upsert — updates replace, new keys append, version-ordered, idempotent") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root)      // v0
+    val vm = Snapshots.commitMerge(
+      Seq((2L, "b2"), (4L, "d")).toDF("id", "v"), root, "id", Seq.empty, Some(1L))
+    assert(Snapshots.isDelta(root, vm) &&
+      Snapshots.mergeKeyOf(root, vm).contains("id"))
+    val after = Snapshots.read(spark, root).as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"),
+      s"merge wrong: $after")
+    // time travel: pre-merge view intact
+    assert(Snapshots.readVersion(spark, root, 0).count() == 3)
+    // replay no-ops on the shared monotone watermark
+    val vs = Snapshots.versions(root)
+    assert(Snapshots.commitMerge(Seq((2L, "XX")).toDF("id", "v"),
+      root, "id", Seq.empty, Some(1L)) == vm)
+    assert(Snapshots.versions(root) == vs, "replayed merge re-committed")
+    // version-ordered: a LATER delete removes a merged key
+    Snapshots.commitDelete(Seq(4L).toDF("id"), root, "id", Some(2L))
+    assert(Snapshots.read(spark, root).count() == 3)
+    // compact materializes the merged view; the watermark survives
+    val vc = Snapshots.compact(spark, root)
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(Snapshots.commitMerge(Seq((2L, "YY")).toDF("id", "v"),
+      root, "id", Seq.empty, Some(2L)) == vc, "replayed merge re-applied after compact")
+    // schema contract: a type change is rejected like commitAppend's
+    intercept[IllegalArgumentException](
+      Snapshots.commitMerge(Seq((9L, 7L)).toDF("id", "v"), root, "id"))
+  }
+
+  test("changesBetween: the delta history as a typed change log; full rewrites refuse") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)  // v0
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), root)       // v1
+    Snapshots.commitDelete(Seq(1L).toDF("id"), root, "id")             // v2
+    Snapshots.commitMerge(Seq((2L, "b2")).toDF("id", "v"), root, "id") // v3
+    val feed = Snapshots.changesBetween(spark, root, 0L, 3L)
+      .select(col("id"), col("v"), col("_change_type"), col("_commit_version"))
+      .as[(Long, Option[String], String, Long)].collect().toSet
+    assert(feed == Set(
+      (3L, Some("c"), "insert", 1L),
+      (1L, None, "delete", 2L),
+      (2L, Some("b2"), "upsert", 3L)), s"change feed wrong: $feed")
+    // a narrower window
+    assert(Snapshots.changesBetween(spark, root, 1L, 2L)
+      .select(col("_change_type")).head().getString(0) == "delete")
+    // a full snapshot inside the range is an error, not a silent gap
+    Snapshots.compact(spark, root)                                     // v4 full
+    intercept[IllegalArgumentException](
+      Snapshots.changesBetween(spark, root, 0L, 4L))
+  }
+
+  // --------------------------------------------------- rollback + repair
+
+  test("bad-batch repair: rollback reverts the watermark so the corrected batch can land") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(0L).toDF("id"), root)                               // v0
+    val v1 = Snapshots.commitAppend(Seq(1L).toDF("id"), root, Seq.empty, Some(1L))
+    // day 2 arrives poisoned and is committed before anyone notices
+    Snapshots.commitAppend(Seq(-99L).toDF("id"), root, Seq.empty, Some(2L))
+    assert(Snapshots.read(spark, root).count() == 3)
+    // the repair: roll the pointer back to the last good version —
+    // the watermark is PER-VERSION, so it reverts with the pointer
+    Snapshots.rollback(root, v1)
+    assert(Snapshots.read(spark, root).as[Long].collect().toSet == Set(0L, 1L))
+    // the corrected batch reuses the SAME batch id and must commit
+    val v2 = Snapshots.commitAppend(Seq(2L).toDF("id"), root, Seq.empty, Some(2L))
+    assert(v2 == v1 + 1, "corrected batch did not land after rollback")
+    // a re-delivered POISONED day 2 (same id) now no-ops
+    assert(Snapshots.commitAppend(Seq(-99L).toDF("id"), root,
+      Seq.empty, Some(2L)) == v2, "poisoned replay slipped past the repaired watermark")
+    // and the clock continues
+    Snapshots.commitAppend(Seq(3L).toDF("id"), root, Seq.empty, Some(3L))
+    assert(Snapshots.read(spark, root).as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 3L), "repaired history wrong")
   }
 }

@@ -898,6 +898,88 @@ class StreamingSpec extends AnyFunSuite {
       "streaming span flags diverged from the batch report")
   }
 
+  test("streaming semantic probe: stateless, equals the batch stored-index probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.{Embeddings, VectorIndex}
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft-semstream").toString
+    VectorIndex.build(vecs, root)
+    // planted verbatim copies: cosine with their originals is exactly
+    // 1.0, so matches are guaranteed at any SF
+    val batch = vecs.filter(pmod(col("vec_id"), lit(10)) === 3).limit(40)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData(batch)
+    val q = graft.streaming.DocsStream
+      .probeSemantic(spark, mem.toDF().toDF("vec_id", "v"), root, tau = 0.95)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("semprobe").start()
+    q.processAllAvailable()
+    // a vector lives in ONE bucket — nothing to dedup, zero state
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty,
+      "semantic probe created streaming state — it must be stateless")
+    q.stop()
+    val got = spark.table("semprobe")
+    // reference: the batch probe's vs-corpus pairs on the same
+    // pre-absorb index (semProbeBatch absorbs, so it runs AFTER the
+    // streaming probe; within-batch pairs are out of the probe's scope)
+    val want = VectorIndex.semProbeBatch(spark, root,
+        batch.toDF("vec_id", "v"), tau = 0.95, batchId = 0L)
+      .filter(col("match_id") < 1000000L)
+    assert(want.count() >= 40, "planted copies produced no matches")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streaming semantic probe diverged from the batch stored-index probe")
+  }
+
+  test("stream -> vector-index loop: foreachBatch semantic absorb chains micro-batches; replay no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.{Embeddings, VectorIndex}
+    import graft.sources.Snapshots
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Embeddings.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("graft-semloop").toString
+    val (root, mroot) = (s"$base/idx", s"$base/matches")
+    VectorIndex.build(vecs, root)
+    val slice = vecs.filter(pmod(col("vec_id"), lit(10)) === 4).limit(20)
+      .as[(Long, Seq[Double])].collect().toSeq
+    // micro-batch 0: copies of a corpus slice; micro-batch 1: copies of
+    // BATCH 0's vectors — their cross-batch match is reachable only
+    // through batch 0's absorbed rows
+    val b0 = slice.map { case (id, v) => (id + 1000000L, v) }
+    val b1 = slice.map { case (id, v) => (id + 2000000L, v) }
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.DocsStream.absorbSemantic(spark,
+      mem.toDF().toDF("vec_id", "v"), root, mroot, s"$base/ckpt")
+    mem.addData(b0); q.processAllAvailable()
+    mem.addData(b1); q.processAllAvailable()
+    q.stop()
+    val landed = Snapshots.read(spark, mroot)
+    // batch 0 matched its corpus originals
+    assert(landed.filter(col("new_id") >= 1000000L && col("new_id") < 2000000L &&
+      col("match_id") < 1000000L).count() >= 20,
+      "micro-batch 0 pairs missing")
+    // batch 1 matched batch 0 THROUGH the absorbed index (same vector,
+    // cos exactly 1.0), proving cross-micro-batch chain visibility
+    assert(landed.filter(col("new_id") >= 2000000L &&
+      col("match_id") >= 1000000L && col("match_id") < 2000000L)
+      .count() >= 20, "micro-batch 1 did not match micro-batch 0 through the index")
+    // replayed micro-batch id: index AND matches no-op
+    val (v1, v2) = (Snapshots.versions(VectorIndex.assignmentsRoot(root)),
+      Snapshots.versions(mroot))
+    val rep = VectorIndex.semProbeBatch(spark, root,
+      b1.toDF("vec_id", "v"), tau = 0.95, batchId = 1L)
+    Snapshots.commitAppend(rep, mroot, batchId = Some(1L))
+    assert(Snapshots.versions(VectorIndex.assignmentsRoot(root)) == v1 &&
+      Snapshots.versions(mroot) == v2,
+      "replayed micro-batch re-appended")
+  }
+
   test("stream -> span-index loop: foreachBatch absorb chains micro-batches; replay no-ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -179,6 +179,17 @@ object Snapshots {
     * ([[readVersion]] folds with `unionByName(allowMissingColumns)`).
     * Validation runs at WRITE time so a typo'd column name fails the
     * writing job, not every future reader. */
+  // chain read-schema cache: resolving the unified schema costs one
+  // parquet footer read per chain member, and an absorb loop validates
+  // on EVERY append. ONE entry per root (bounded by live roots),
+  // validated against (version, commit ts): the ts catches a
+  // rollback-then-recommit that REUSES a version number — even from
+  // another driver sharing the filesystem — because the rewritten
+  // manifest carries a fresh timestamp. A stale put self-corrects: the
+  // next reader sees the (version, ts) mismatch and recomputes.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, org.apache.spark.sql.types.StructType)]()
+
   private def validateAppendSchema(delta: DataFrame, root: String,
       evolveSchema: Boolean): Unit = {
     import org.apache.spark.sql.types._
@@ -191,7 +202,19 @@ object Snapshots {
         StructType(fs.map(f => f.copy(dataType = norm(f.dataType), nullable = true)))
       case other => other
     }
-    val current = read(delta.sparkSession, root).schema
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val ts = commitTsOf(root, latest).getOrElse(0L)
+    val current = schemaCache.get(root) match {
+      case (v, t, s) if v == latest && t == ts => s
+      case _ =>
+        // resolve the schema of THIS version explicitly — read() would
+        // re-resolve the pointer and could cache a newer version's
+        // schema under this key if a commit lands mid-lookup
+        val s = readVersion(delta.sparkSession, root, latest).schema
+        schemaCache.put(root, (latest, ts, s))
+        s
+    }
     val cur = current.map(f => f.name -> norm(f.dataType)).toMap
     val del = delta.schema.map(f => f.name -> norm(f.dataType)).toMap
     val typeChanged = del.keySet.intersect(cur.keySet)
@@ -542,6 +565,10 @@ object Snapshots {
         // keyed marker: lets watermark readers distinguish an unordered
         // content-fingerprint batchId from a monotone one
         val keyedField = if (!monotone && batchId.nonEmpty) ""","keyed":true""" else ""
+        // wall-clock commit time: powers AS OF reads ([[readAsOf]]).
+        // Written under the lock, so timestamps are non-decreasing in
+        // version order on any one host's clock
+        val tsField = s""","ts":${System.currentTimeMillis()}"""
         // running max of monotone batch ids, carried through EVERY commit
         // (keyed fingerprints excluded — see commitKeyed); read under the
         // lock, so an interleaved writer's batch id is never missed
@@ -550,7 +577,7 @@ object Snapshots {
           .reduceOption(_ max _)
         val maxField = newMax.map(b => s""","maxBatchId":$b""").getOrElse("")
         Files.write(manifest(root, next),
-          s"""{"version":$next,"rows":$rows,"parent":${next - 1}$batchField$deltaField$tombField$mergeField$keyedField$maxField}"""
+          s"""{"version":$next,"rows":$rows,"parent":${next - 1}$tsField$batchField$deltaField$tombField$mergeField$keyedField$maxField}"""
             .getBytes(StandardCharsets.UTF_8))
         // 3. commit point: atomic pointer swap
         val tmp = Paths.get(s"$root/_latest.tmp")
@@ -603,6 +630,42 @@ object Snapshots {
       }
       .getOrElse(throw new IllegalStateException(
         s"version $v under $root resolves to no data (tombstone-only chain)"))
+  }
+
+  /** Wall-clock commit time of a version (epoch millis), if recorded —
+    * manifests from before the field existed have none and are treated
+    * by [[readAsOf]] as older than any timestamp. */
+  def commitTsOf(root: String, v: Long): Option[Long] = {
+    val m = manifest(root, v)
+    if (!Files.exists(m)) None
+    else "\"ts\":(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+      .map(_.group(1).toLong)
+  }
+
+  /** TIMESTAMP time travel — "the table as of last midnight": resolve
+    * the newest version whose commit time is ≤ `tsMs` and read it.
+    * The version-number API ([[readVersion]]) is the precise form;
+    * this is the operational one (audits, reproducing yesterday's
+    * training run, debugging a consumer that read at a known time).
+    * Versions predating the timestamp field count as infinitely old,
+    * so legacy history stays addressable. Resolution honors the LIVE
+    * timeline only (versions ≤ the `_latest` pointer): after a
+    * rollback, the rolled-away versions are dead-timeline audit
+    * artifacts — reachable by explicit [[readVersion]], but an AS OF
+    * read must never resolve into them (their chains can fold over
+    * data a post-rollback recommit rewrote). O(versions) metadata
+    * reads to resolve; the data read is one chain, same as any read. */
+  def readAsOf(spark: SparkSession, root: String, tsMs: Long): DataFrame = {
+    val live = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $root"))
+    val v = versions(root)
+      .filter(_ <= live)
+      .filter(v => commitTsOf(root, v).getOrElse(0L) <= tsMs)
+      .sorted.lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version under $root committed at or before $tsMs"))
+    readVersion(spark, root, v)
   }
 
   /** Roll back: point `_latest` at an older committed version without

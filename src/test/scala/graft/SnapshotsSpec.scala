@@ -511,6 +511,61 @@ class SnapshotsSpec extends AnyFunSuite {
       Snapshots.changesBetween(spark, root, 0L, 4L))
   }
 
+  test("readAsOf: timestamp time travel resolves the newest version at or before the instant") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root)                 // v0
+    Thread.sleep(5)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.commit(Seq(2L).toDF("id"), root)                 // v1
+    assert(Snapshots.commitTsOf(root, 0).exists(_ < between) &&
+      Snapshots.commitTsOf(root, 1).exists(_ > between))
+    assert(Snapshots.readAsOf(spark, root, between).head().getLong(0) == 1L)
+    assert(Snapshots.readAsOf(spark, root,
+      System.currentTimeMillis()).head().getLong(0) == 2L)
+    // before any commit: explicit error, not a silent empty read
+    intercept[IllegalArgumentException](
+      Snapshots.readAsOf(spark, root, Snapshots.commitTsOf(root, 0).get - 1))
+    // a LEGACY manifest (no ts field) counts as infinitely old: strip
+    // v0's field and it still resolves for any timestamp
+    val m = Paths.get(s"$root/manifests/v0.json")
+    Files.writeString(m,
+      Files.readString(m).replaceAll(""","ts":\d+""", ""))
+    assert(Snapshots.commitTsOf(root, 0).isEmpty)
+    assert(Snapshots.readAsOf(spark, root, between).head().getLong(0) == 1L)
+    // AS OF honors the LIVE timeline: after a rollback, the rolled-away
+    // v1 is a dead-timeline audit artifact (explicit readVersion only)
+    // and readAsOf(now) must resolve v0, not the zombie
+    Snapshots.rollback(root, 0)
+    assert(Snapshots.readAsOf(spark, root,
+      System.currentTimeMillis()).head().getLong(0) == 1L,
+      "readAsOf resolved a rolled-back dead-timeline version")
+  }
+
+  test("schema validation survives rollback-then-recommit version-number reuse") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root)                 // v0
+    // v1 in the original shape — validation caches (v1, ts, schema)
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "v"), root,
+      Seq.empty, Some(1L))
+    // bad-batch repair: rollback and RECOMMIT v1 with an EVOLVED schema
+    // (same version number, fresh manifest timestamp)
+    Snapshots.rollback(root, 0)
+    Snapshots.commitAppend(Seq((2L, "b", "web")).toDF("id", "v", "src"), root,
+      Seq.empty, Some(1L), evolveSchema = true)
+    // the rewritten v1's schema must be what validation sees — a stale
+    // cache entry from the first v1 would let the old shape through
+    // unannounced (and mis-reject deltas carrying src)
+    intercept[IllegalArgumentException](
+      Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), root,
+        Seq.empty, Some(2L)))
+    Snapshots.commitAppend(
+      Seq((3L, "c", "api")).toDF("id", "v", "src"), root, Seq.empty, Some(2L))
+    assert(Snapshots.read(spark, root).count() == 3)
+  }
+
   // --------------------------------------------------- rollback + repair
 
   test("bad-batch repair: rollback reverts the watermark so the corrected batch can land") {

@@ -27,6 +27,23 @@ object Lakehouse {
     s"/tmp/graft-lakehouse/v1/$tag-${fp.getLong(0)}-${fp.getLong(1)}"
   }
 
+  /** Play a gate's scripted history exactly once per corpus, crash-
+    * safely: complete = the root's latest version equals the script's
+    * known final version. Anything else (empty, or a crash left a
+    * PARTIAL history) wipes the content-addressed root and replays
+    * from scratch — a plain "root exists → skip" guard would read the
+    * partial chain forever and brick the gate for that corpus. */
+  private def ensureHistory(root: String, finalVersion: Long)(play: => Unit): Unit =
+    if (!Snapshots.latestVersion(root).contains(finalVersion)) {
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      play
+    }
+
   /** #226 BAD-BATCH REPAIR (`q_ingest_rollback`) — the operational
     * answer to "yesterday's ingest was poisoned and it's already
     * committed": day 0 full snapshot, day 1 delta, then day 2 lands
@@ -55,7 +72,7 @@ object Lakehouse {
           lit(tag).as("day"))
     }
     val root = fpRoot(docs, "rollback")
-    if (Snapshots.latestVersion(root).isEmpty) {
+    ensureHistory(root, finalVersion = 3L) {
       Snapshots.commit(day(0, 0), root)                                   // v0
       val v1 = Snapshots.commitAppend(day(1, 1), root, Seq.empty, Some(1L))
       Snapshots.commitAppend(day(2, -2, poison = true), root,
@@ -85,7 +102,7 @@ object Lakehouse {
   def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val root = fpRoot(docs, "evolve")
-    if (Snapshots.latestVersion(root).isEmpty) {
+    ensureHistory(root, finalVersion = 1L) {
       Snapshots.commit(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
           .select(col("doc_id"), length(col("text")).cast("long").as("len")),
@@ -109,7 +126,7 @@ object Lakehouse {
     def asLen(df: DataFrame) =
       df.select(col("doc_id"), length(col("text")).cast("long").as("len"))
     val root = fpRoot(docs, "merge")
-    if (Snapshots.latestVersion(root).isEmpty) {
+    ensureHistory(root, finalVersion = 3L) {
       Snapshots.commit(asLen(slice(0)), root)                               // v0
       Snapshots.commitAppend(asLen(slice(1)), root, Seq.empty, Some(1L))    // v1
       Snapshots.commitDelete(

@@ -150,7 +150,6 @@ object Snapshots {
       evolveSchema: Boolean = false): Long = {
     require(latestVersion(root).nonEmpty,
       s"commitAppend needs an existing full snapshot under $root")
-    validateAppendSchema(delta, root, evolveSchema)
     batchId match {
       case Some(b) =>
         val latest = latestVersion(root)
@@ -158,15 +157,23 @@ object Snapshots {
         // (carried forward through every manifest), not just the latest
         // version's own batchId: an interleaved unkeyed commit would
         // otherwise blank the guard and let a re-delivered batch
-        // double-append its rows. The fast-path check here avoids even
-        // staging the data; the guard repeats it under the commit lock
-        // so two concurrent deliveries of one batch id land EXACTLY
-        // once (the loser discards its stage).
+        // double-append its rows. The fast-path check runs BEFORE
+        // schema validation: a straggling duplicate of a pre-evolution
+        // batch must NO-OP like any other replay, not crash the
+        // pipeline on a delivery that will never be written (and a
+        // no-op must not pay the chain-schema read). The guard repeats
+        // the check under the commit lock so two concurrent deliveries
+        // of one batch id land EXACTLY once (the loser discards its
+        // stage).
         if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= b))) latest.get
-        else commitInternal(delta, root, batchId, partitionCols, delta = true,
-          guard = Some(() => !latestVersion(root)
-            .exists(v => maxBatchIdOf(root, v).exists(_ >= b)))).version
+        else {
+          validateAppendSchema(delta, root, evolveSchema)
+          commitInternal(delta, root, batchId, partitionCols, delta = true,
+            guard = Some(() => !latestVersion(root)
+              .exists(v => maxBatchIdOf(root, v).exists(_ >= b)))).version
+        }
       case None =>
+        validateAppendSchema(delta, root, evolveSchema)
         commitInternal(delta, root, None, partitionCols, delta = true).version
     }
   }
@@ -317,17 +324,23 @@ object Snapshots {
       s"commitMerge needs an existing snapshot under $root")
     require(updates.columns.contains(keyCol),
       s"merge key $keyCol missing from the update frame")
-    validateAppendSchema(updates, root, evolveSchema)
     batchId match {
       case Some(b) =>
         val latest = latestVersion(root)
+        // fast-path before validation — the commitAppend contract: a
+        // replayed pre-evolution batch no-ops instead of throwing
         if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= b))) latest.get
-        else commitInternal(updates, root, batchId, partitionCols,
-          delta = true, mergeKey = Some(keyCol),
-          guard = Some(() => !latestVersion(root)
-            .exists(v => maxBatchIdOf(root, v).exists(_ >= b)))).version
-      case None => commitInternal(updates, root, None, partitionCols,
-        delta = true, mergeKey = Some(keyCol)).version
+        else {
+          validateAppendSchema(updates, root, evolveSchema)
+          commitInternal(updates, root, batchId, partitionCols,
+            delta = true, mergeKey = Some(keyCol),
+            guard = Some(() => !latestVersion(root)
+              .exists(v => maxBatchIdOf(root, v).exists(_ >= b)))).version
+        }
+      case None =>
+        validateAppendSchema(updates, root, evolveSchema)
+        commitInternal(updates, root, None, partitionCols,
+          delta = true, mergeKey = Some(keyCol)).version
     }
   }
 
@@ -382,10 +395,17 @@ object Snapshots {
     * full. */
   def compact(spark: SparkSession, root: String,
       partitionCols: Seq[String] = Seq.empty): Long = {
-    val latest = latestVersion(root).getOrElse(
-      throw new IllegalStateException(s"no committed version under $root"))
-    if (!isDelta(root, latest)) latest
-    else {
+    while (true) {
+      // PIN the chain being compacted: the rewrite reads THIS version,
+      // and the under-lock guard refuses the commit if any writer
+      // advanced the root while the distributed rewrite ran — a delta
+      // landing mid-compaction would otherwise silently vanish from
+      // the compacted full snapshot (the daily-absorb-races-nightly-
+      // compact scenario the commit lock exists for). On refusal the
+      // loop re-pins and re-runs; an already-full latest is a no-op.
+      val pinned = latestVersion(root).getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      if (!isDelta(root, pinned)) return pinned
       // carry the chain's max batchId into the compacted manifest:
       // commitAppend's replay check reads the LATEST version's
       // batchId, so a compact that dropped it would let a re-delivered
@@ -396,9 +416,13 @@ object Snapshots {
       // monotone ids like epoch millis survive compaction); the chain
       // scan inside maxBatchIdOf serves only manifests from before the
       // field existed
-      val maxBatch = maxBatchIdOf(root, latest)
-      commitInternal(read(spark, root), root, maxBatch, partitionCols).version
+      val maxBatch = maxBatchIdOf(root, pinned)
+      val c = commitInternal(readVersion(spark, root, pinned), root,
+        maxBatch, partitionCols,
+        guard = Some(() => latestVersion(root).contains(pinned)))
+      if (c.committed) return c.version
     }
+    -1L // unreachable
   }
 
   /** Idempotent commit keyed by an arbitrary UNORDERED run key (a
@@ -541,10 +565,19 @@ object Snapshots {
             s"commit guard failed on empty root $root")), committed = false)
       } else {
         val next = latestVersion(root).getOrElse(-1L) + 1
-        // any existing dir/manifest at `next` is an orphan — a crashed
+        // anything at or above `next` is dead-timeline — a crashed
         // writer's torn data (never committed: the pointer still names
-        // an older version) or a rolled-back version being rewritten —
-        // and linear history requires replacing it
+        // an older version) or versions rolled away by [[rollback]].
+        // Linear history requires TRUNCATING all of it, not just the
+        // claimed version: a stale higher manifest (old v3, parent 2)
+        // would otherwise fold over the REWRITTEN v2's data on an
+        // explicit readVersion/changesBetween — a chain that never
+        // existed, served as silently wrong rows. The dead timeline
+        // stays readable only UNTIL the first post-rollback commit.
+        versions(root).filter(_ >= next).foreach { v =>
+          Files.deleteIfExists(manifest(root, v))
+          deleteRecursively(Paths.get(dataDir(root, v)))
+        }
         deleteRecursively(Paths.get(dataDir(root, next)))
         Files.createDirectories(Paths.get(dataDir(root, next)).getParent)
         Files.move(Paths.get(stage), Paths.get(dataDir(root, next)))
@@ -669,8 +702,11 @@ object Snapshots {
   }
 
   /** Roll back: point `_latest` at an older committed version without
-    * touching any data (the newer snapshots stay readable by explicit
-    * version until vacuumed). */
+    * touching any data. The rolled-away versions stay readable by
+    * explicit version ONLY until the next commit: committing on a
+    * rolled-back root truncates the dead timeline (its chains would
+    * otherwise fold over rewritten data — see the claim step in
+    * commitInternal), so take any audit reads before repairing. */
   def rollback(root: String, v: Long): Unit = withCommitLock(root) {
     require(Files.exists(manifest(root, v)), s"cannot roll back to uncommitted version $v")
     val tmp = Paths.get(s"$root/_latest.tmp")
@@ -719,15 +755,24 @@ object Snapshots {
 
   private def vacuumLocked(root: String, keep: Int): Seq[Long] = {
     val latest = latestVersion(root).getOrElse(return Seq.empty)
-    // sweep abandoned stage dirs from crashed writers (a LIVE stage is
-    // minutes old at most — its writer is between the distributed write
-    // and the lock; only dirs quiet for an hour are provably orphans)
+    // sweep abandoned stage dirs from crashed writers. "Abandoned" is
+    // judged by the NEWEST mtime anywhere in the stage tree, not the
+    // top-level dir: a long-running distributed write keeps touching
+    // files under `_temporary/` for the duration of the job while the
+    // top dir's mtime stays at creation — judging by the top dir would
+    // delete a live stage mid-write. Only trees quiet for an hour are
+    // provably orphans. O(files in stages) — stages are transient and
+    // few.
     val dd = Paths.get(s"$root/data")
     if (Files.isDirectory(dd)) {
       val cutoffMs = java.time.Instant.now().minusSeconds(3600).toEpochMilli
+      def newestMtime(p: Path): Long =
+        Files.walk(p).iterator().asScala
+          .map(f => Files.getLastModifiedTime(f).toMillis)
+          .foldLeft(0L)(_ max _)
       Files.list(dd).iterator().asScala
         .filter(_.getFileName.toString.startsWith("stage-"))
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoffMs)
+        .filter(p => newestMtime(p) < cutoffMs)
         .toSeq.foreach(deleteRecursively)
     }
     // never drop an ancestor that ANY retained version's delta chain
@@ -753,10 +798,7 @@ object Snapshots {
       v < cutoff && v != latest && !protectedChain(v))
     drop.foreach { v =>
       Files.deleteIfExists(manifest(root, v))
-      val d = Paths.get(dataDir(root, v))
-      if (Files.isDirectory(d)) {
-        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
+      deleteRecursively(Paths.get(dataDir(root, v)))
     }
     drop
   }

@@ -193,6 +193,20 @@ object DocsStream {
         greatest(col("__within"), coalesce(col("__stored"), lit(0))).as("dup"))
   }
 
+  /** Shared landing step of every absorb loop: the micro-batch's
+    * derived frame commits under `root` on the micro-batch clock —
+    * first batch = full snapshot, later ones idempotent delta appends
+    * — so a crash between an index append and this landing retries
+    * into a no-op on the index side and a replay-stable frame here. */
+  private def landBatch(df: DataFrame, root: String, id: Long): Unit = {
+    import graft.sources.Snapshots
+    if (Snapshots.latestVersion(root).isEmpty)
+      Snapshots.commitBatch(df, root, id)
+    else
+      Snapshots.commitAppend(df, root, batchId = Some(id))
+    ()
+  }
+
   /** Streaming TEXT-INDEX ABSORB LOOP — the foreachBatch sink that
     * closes the stream → stored-LSH-index cycle (the text twin of the
     * vector side's assignBatch sink, ending [[probeNearDups]]'s
@@ -225,19 +239,13 @@ object DocsStream {
       checkpoint: String):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.dedup.LshIndex
-    import graft.sources.Snapshots
     require(checkpoint.nonEmpty, "absorbNearDups needs a checkpoint location")
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        val matches = LshIndex.absorbBatch(spark, root,
-          df.select(col("doc_id"), col("text")), id)
-        if (Snapshots.latestVersion(matchesRoot).isEmpty)
-          Snapshots.commitBatch(matches, matchesRoot, id)
-        else
-          Snapshots.commitAppend(matches, matchesRoot, batchId = Some(id))
-        ()
+        landBatch(LshIndex.absorbBatch(spark, root,
+          df.select(col("doc_id"), col("text")), id), matchesRoot, id)
       }
       .start()
   }
@@ -264,19 +272,13 @@ object DocsStream {
       checkpoint: String):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.dedup.SpanIndex
-    import graft.sources.Snapshots
     require(checkpoint.nonEmpty, "absorbSpans needs a checkpoint location")
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        val stats = SpanIndex.absorbBatch(spark, root,
-          df.select(col("doc_id"), col("text")), id)
-        if (Snapshots.latestVersion(statsRoot).isEmpty)
-          Snapshots.commitBatch(stats, statsRoot, id)
-        else
-          Snapshots.commitAppend(stats, statsRoot, batchId = Some(id))
-        ()
+        landBatch(SpanIndex.absorbBatch(spark, root,
+          df.select(col("doc_id"), col("text")), id), statsRoot, id)
       }
       .start()
   }
@@ -350,19 +352,19 @@ object DocsStream {
       checkpoint: String, tau: Double = 0.95):
       org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.similarity.VectorIndex
-    import graft.sources.Snapshots
     require(checkpoint.nonEmpty, "absorbSemantic needs a checkpoint location")
     vectors.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        val pairs = VectorIndex.semProbeBatch(spark, root,
-          df.select(col("vec_id"), col("v")), tau, id)
-        if (Snapshots.latestVersion(matchesRoot).isEmpty)
-          Snapshots.commitBatch(pairs, matchesRoot, id)
-        else
-          Snapshots.commitAppend(pairs, matchesRoot, batchId = Some(id))
-        ()
+        // an empty micro-batch commits NOTHING on either root (the
+        // documented contract): semProbeBatch short-circuits the index
+        // side, and landing an empty pair delta here would grow the
+        // matches chain by one version per idle tick
+        val batch = df.select(col("vec_id"), col("v")).localCheckpoint()
+        if (!batch.isEmpty)
+          landBatch(VectorIndex.semProbeBatch(spark, root, batch, tau, id),
+            matchesRoot, id)
       }
       .start()
   }

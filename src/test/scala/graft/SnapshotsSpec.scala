@@ -453,6 +453,74 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root).count() == 4)
   }
 
+  test("compact racing appends never loses a delta's rows") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(0L).toDF("id"), root)
+    Snapshots.commitAppend(Seq(1L).toDF("id"), root) // a chain to compact
+    // one compactor races 6 appenders: whatever interleaving happens,
+    // the final read must hold every appended row — the unguarded
+    // compact could claim its version AFTER a racing delta landed and
+    // silently drop that delta's rows from the compacted snapshot
+    val results = inParallel(7) { i =>
+      if (i == 0) { Snapshots.compact(spark, root); -1L }
+      else Snapshots.commitAppend(Seq(100L + i).toDF("id"), root)
+    }
+    assert(results.count(_ >= 0) == 6)
+    val got = Snapshots.read(spark, root).as[Long].collect().toSet
+    val want = Set(0L, 1L) ++ (1 to 6).map(100L + _)
+    assert(got == want, s"compact race lost rows: missing ${want.diff(got)}")
+    // and compacting the settled chain is clean + complete
+    Snapshots.compact(spark, root)
+    assert(Snapshots.read(spark, root).as[Long].collect().toSet == want)
+  }
+
+  test("recommit after rollback truncates the dead timeline — no mixed-timeline chains") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(0L).toDF("id"), root)                             // v0
+    Snapshots.commitAppend(Seq(1L).toDF("id"), root, Seq.empty, Some(1L))  // v1
+    Snapshots.commitAppend(Seq(2L).toDF("id"), root, Seq.empty, Some(2L))  // v2
+    Snapshots.commitAppend(Seq(3L).toDF("id"), root, Seq.empty, Some(3L))  // v3
+    Snapshots.rollback(root, 1)
+    // dead timeline still auditable BEFORE the repair commit
+    assert(Snapshots.readVersion(spark, root, 3).count() == 4)
+    // the repair rewrites v2 — old v3 (parent 2) would now fold over
+    // DIFFERENT v2 data: it must be truncated, not served
+    Snapshots.commitAppend(Seq(22L).toDF("id"), root, Seq.empty, Some(2L))
+    assert(Snapshots.versions(root) == Seq(0L, 1L, 2L),
+      s"dead-timeline manifests survived the recommit: ${Snapshots.versions(root)}")
+    intercept[IllegalArgumentException](Snapshots.readVersion(spark, root, 3))
+    assert(Snapshots.read(spark, root).as[Long].collect().toSet == Set(0L, 1L, 22L))
+    // the change feed over the repaired history is pure single-timeline
+    val feed = Snapshots.changesBetween(spark, root, 0L, 2L)
+      .select(col("id")).as[Long].collect().toSet
+    assert(feed == Set(1L, 22L), s"change feed mixed timelines: $feed")
+  }
+
+  test("a replayed pre-evolution batch no-ops instead of failing schema validation") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "v"), root,
+      Seq.empty, Some(1L))
+    Snapshots.commitAppend(Seq((3L, "c", "web")).toDF("id", "v", "src"), root,
+      Seq.empty, Some(2L), evolveSchema = true)
+    // an at-least-once runtime re-delivers batch 1 in its ORIGINAL
+    // (pre-evolution) shape without the evolve flag: it is below the
+    // watermark and must NO-OP — validation firing before the replay
+    // fast-path crashed the pipeline here
+    val vs = Snapshots.versions(root)
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "v"), root,
+      Seq.empty, Some(1L))
+    assert(Snapshots.versions(root) == vs, "replayed old-shape batch committed")
+    // same contract for a replayed old-shape merge
+    Snapshots.commitMerge(Seq((2L, "B")).toDF("id", "v"), root, "id",
+      Seq.empty, Some(2L))
+    assert(Snapshots.versions(root) == vs, "replayed old-shape merge committed")
+    assert(Snapshots.read(spark, root).count() == 3)
+  }
+
   // ------------------------------------------------- merge + change feed
 
   test("commitMerge: atomic upsert — updates replace, new keys append, version-ordered, idempotent") {

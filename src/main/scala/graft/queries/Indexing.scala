@@ -855,9 +855,7 @@ object Indexing {
       // exactly-once landing on the day clock: a replayed day's probe
       // (which would now see LATER days' absorbed rows) never rewrites
       // the ledger — the committed week is the week as it happened
-      if (Snapshots.latestVersion(mroot).isEmpty)
-        Snapshots.commitBatch(p, mroot, d.toLong)
-      else Snapshots.commitAppend(p, mroot, batchId = Some(d.toLong))
+      Snapshots.landBatch(p, mroot, d.toLong)
       VectorIndex.encodeBatchPq(s, root, batch, batchId = d.toLong)
       VectorIndex.nightly(s, root)
       Snapshots.maintain(s, Seq(mroot -> Seq.empty))

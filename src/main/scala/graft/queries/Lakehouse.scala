@@ -27,22 +27,31 @@ object Lakehouse {
     s"/tmp/graft-lakehouse/v1/$tag-${fp.getLong(0)}-${fp.getLong(1)}"
   }
 
+  private val historyMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Play a gate's scripted history exactly once per corpus, crash-
     * safely: complete = the root's latest version equals the script's
     * known final version. Anything else (empty, or a crash left a
     * PARTIAL history) wipes the content-addressed root and replays
     * from scratch — a plain "root exists → skip" guard would read the
-    * partial chain forever and brick the gate for that corpus. */
-  private def ensureHistory(root: String, finalVersion: Long)(play: => Unit): Unit =
-    if (!Snapshots.latestVersion(root).contains(finalVersion)) {
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    * partial chain forever and brick the gate for that corpus.
+    * The `_latest` pointer is deleted FIRST, so a crash mid-wipe
+    * leaves the root unambiguously incomplete (pointer-last would
+    * leave pointer == final with no manifests — bricked). Runs under a
+    * per-root JVM monitor: two gates share one history root
+    * (mergeHistory serves #228 and #229) and a concurrent check-then-
+    * wipe could destroy the other runner's half-played history. */
+  private def ensureHistory(root: String, finalVersion: Long)(play: => Unit): Unit = {
+    val mon = historyMonitors.computeIfAbsent(root, _ => new Object)
+    mon.synchronized {
+      if (!Snapshots.latestVersion(root).contains(finalVersion)) {
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/_latest"))
+        Snapshots.deleteRecursively(java.nio.file.Paths.get(root))
+        play
       }
-      play
     }
+  }
 
   /** #226 BAD-BATCH REPAIR (`q_ingest_rollback`) — the operational
     * answer to "yesterday's ingest was poisoned and it's already

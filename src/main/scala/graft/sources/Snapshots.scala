@@ -81,9 +81,21 @@ object Snapshots {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+
+  /** The shared LANDING step of every absorb loop (streaming
+    * foreachBatch sinks, the week-scale gates): commit a micro-batch's
+    * derived frame under `root` on the batch-id clock — first batch =
+    * full snapshot, later ones idempotent delta appends — so a crash
+    * between an index append and this landing retries into a no-op on
+    * the index side and a replay-stable frame here. */
+  def landBatch(df: DataFrame, root: String, batchId: Long): Unit = {
+    if (latestVersion(root).isEmpty) commitBatch(df, root, batchId)
+    else commitAppend(df, root, batchId = Some(batchId))
+    ()
+  }
 
   /** The committed latest version, if any. */
   def latestVersion(root: String): Option[Long] = {
@@ -395,17 +407,28 @@ object Snapshots {
     * full. */
   def compact(spark: SparkSession, root: String,
       partitionCols: Seq[String] = Seq.empty): Long = {
-    while (true) {
-      // PIN the chain being compacted: the rewrite reads THIS version,
-      // and the under-lock guard refuses the commit if any writer
-      // advanced the root while the distributed rewrite ran — a delta
-      // landing mid-compaction would otherwise silently vanish from
-      // the compacted full snapshot (the daily-absorb-races-nightly-
-      // compact scenario the commit lock exists for). On refusal the
-      // loop re-pins and re-runs; an already-full latest is a no-op.
+    // bounded retries: every refused attempt means a writer advanced
+    // the root mid-rewrite, and each retry re-stages a now-LONGER
+    // chain — under a sustained append stream an unbounded loop would
+    // livelock burning a full-table rewrite per append. After the cap,
+    // return the (uncompacted) latest; the next maintenance run
+    // catches up when the stream pauses.
+    var attempts = 3
+    while (attempts > 0) {
+      attempts -= 1
+      // PIN the chain being compacted — version AND commit timestamp:
+      // the under-lock guard refuses the commit if any writer advanced
+      // the root while the distributed rewrite ran (a delta landing
+      // mid-compaction would otherwise silently vanish from the
+      // compacted snapshot), and the timestamp catches the ABA case
+      // where a rollback-then-repair lands BACK ON the pinned version
+      // NUMBER — committing the staged pre-repair chain over the
+      // repair would silently undo it (the schema cache defends
+      // against the same version-number reuse the same way).
       val pinned = latestVersion(root).getOrElse(
         throw new IllegalStateException(s"no committed version under $root"))
       if (!isDelta(root, pinned)) return pinned
+      val pinnedTs = commitTsOf(root, pinned)
       // carry the chain's max batchId into the compacted manifest:
       // commitAppend's replay check reads the LATEST version's
       // batchId, so a compact that dropped it would let a re-delivered
@@ -419,10 +442,11 @@ object Snapshots {
       val maxBatch = maxBatchIdOf(root, pinned)
       val c = commitInternal(readVersion(spark, root, pinned), root,
         maxBatch, partitionCols,
-        guard = Some(() => latestVersion(root).contains(pinned)))
+        guard = Some(() => latestVersion(root).contains(pinned) &&
+          commitTsOf(root, pinned) == pinnedTs))
       if (c.committed) return c.version
     }
-    -1L // unreachable
+    latestVersion(root).get // contended past the retry cap: defer
   }
 
   /** Idempotent commit keyed by an arbitrary UNORDERED run key (a
@@ -766,10 +790,22 @@ object Snapshots {
     val dd = Paths.get(s"$root/data")
     if (Files.isDirectory(dd)) {
       val cutoffMs = java.time.Instant.now().minusSeconds(3600).toEpochMilli
+      // a LIVE writer is churning its stage tree (task commits rename
+      // files out of _temporary/ and delete attempt dirs) while this
+      // walks it — an entry vanishing mid-walk is itself proof of
+      // activity, so treat any I/O hiccup as "active", never as
+      // abandoned, and never let it abort the wider vacuum
       def newestMtime(p: Path): Long =
-        Files.walk(p).iterator().asScala
-          .map(f => Files.getLastModifiedTime(f).toMillis)
+        try Files.walk(p).iterator().asScala
+          .map { f =>
+            try Files.getLastModifiedTime(f).toMillis
+            catch { case _: java.io.IOException => Long.MaxValue }
+          }
           .foldLeft(0L)(_ max _)
+        catch {
+          case _: java.io.IOException | _: java.io.UncheckedIOException =>
+            Long.MaxValue
+        }
       Files.list(dd).iterator().asScala
         .filter(_.getFileName.toString.startsWith("stage-"))
         .filter(p => newestMtime(p) < cutoffMs)

@@ -193,19 +193,8 @@ object DocsStream {
         greatest(col("__within"), coalesce(col("__stored"), lit(0))).as("dup"))
   }
 
-  /** Shared landing step of every absorb loop: the micro-batch's
-    * derived frame commits under `root` on the micro-batch clock —
-    * first batch = full snapshot, later ones idempotent delta appends
-    * — so a crash between an index append and this landing retries
-    * into a no-op on the index side and a replay-stable frame here. */
-  private def landBatch(df: DataFrame, root: String, id: Long): Unit = {
-    import graft.sources.Snapshots
-    if (Snapshots.latestVersion(root).isEmpty)
-      Snapshots.commitBatch(df, root, id)
-    else
-      Snapshots.commitAppend(df, root, batchId = Some(id))
-    ()
-  }
+  private def landBatch(df: DataFrame, root: String, id: Long): Unit =
+    graft.sources.Snapshots.landBatch(df, root, id)
 
   /** Streaming TEXT-INDEX ABSORB LOOP — the foreachBatch sink that
     * closes the stream → stored-LSH-index cycle (the text twin of the
@@ -345,8 +334,11 @@ object DocsStream {
     * never re-assigned. `checkpoint` is REQUIRED for the same reason as
     * [[absorbNearDups]]: a restart without it replays micro-batch ids
     * from 0 below the stored watermark and silently drops data. An
-    * empty micro-batch emits no pairs and commits nothing
-    * (semProbeBatch's empty-batch short-circuit). */
+    * empty micro-batch appends nothing on either root (semProbeBatch's
+    * empty-batch short-circuit covers the index side) — except the
+    * very first tick, which still lands an empty frame so
+    * `matchesRoot` exists with the contract schema for downstream
+    * readers. */
   def absorbSemantic(spark: org.apache.spark.sql.SparkSession,
       vectors: DataFrame, root: String, matchesRoot: String,
       checkpoint: String, tau: Double = 0.95):
@@ -357,12 +349,17 @@ object DocsStream {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        // an empty micro-batch commits NOTHING on either root (the
-        // documented contract): semProbeBatch short-circuits the index
-        // side, and landing an empty pair delta here would grow the
-        // matches chain by one version per idle tick
-        val batch = df.select(col("vec_id"), col("v")).localCheckpoint()
-        if (!batch.isEmpty)
+        // an empty micro-batch APPENDS nothing on either root — the
+        // index side short-circuits in semProbeBatch, and landing an
+        // empty pair delta here would grow the matches chain by one
+        // version per idle tick. Exception: the very FIRST tick still
+        // lands (empty) so matchesRoot exists with the contract schema
+        // for downstream readers, matching the sibling loops. The
+        // micro-batch frame is replayable, so the emptiness probe is a
+        // plain take(1) with no extra materialization.
+        val batch = df.select(col("vec_id"), col("v"))
+        if (!batch.isEmpty ||
+            graft.sources.Snapshots.latestVersion(matchesRoot).isEmpty)
           landBatch(VectorIndex.semProbeBatch(spark, root, batch, tau, id),
             matchesRoot, id)
       }

@@ -36,18 +36,18 @@ object Lakehouse {
     * PARTIAL history) wipes the content-addressed root and replays
     * from scratch — a plain "root exists → skip" guard would read the
     * partial chain forever and brick the gate for that corpus.
-    * The `_latest` pointer is deleted FIRST, so a crash mid-wipe
-    * leaves the root unambiguously incomplete (pointer-last would
-    * leave pointer == final with no manifests — bricked). Runs under a
-    * per-root JVM monitor: two gates share one history root
-    * (mergeHistory serves #228 and #229) and a concurrent check-then-
-    * wipe could destroy the other runner's half-played history. */
+    * [[Snapshots.wipe]] deletes the `_latest` pointer FIRST, so a
+    * crash mid-wipe leaves the root unambiguously incomplete
+    * (tree-order deletion could leave pointer == final with no
+    * manifests — bricked). Runs under a per-root JVM monitor: two
+    * gates share one history root (mergeHistory serves #228 and #229)
+    * and a concurrent check-then-wipe could destroy the other
+    * runner's half-played history. */
   private def ensureHistory(root: String, finalVersion: Long)(play: => Unit): Unit = {
     val mon = historyMonitors.computeIfAbsent(root, _ => new Object)
     mon.synchronized {
       if (!Snapshots.latestVersion(root).contains(finalVersion)) {
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/_latest"))
-        Snapshots.deleteRecursively(java.nio.file.Paths.get(root))
+        Snapshots.wipe(root)
         play
       }
     }

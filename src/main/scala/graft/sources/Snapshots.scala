@@ -97,6 +97,18 @@ object Snapshots {
     ()
   }
 
+  /** WIPE a root back to nonexistence, crash-ordered: the `_latest`
+    * pointer goes FIRST so a crash mid-wipe leaves the root
+    * unambiguously uncommitted (tree-order deletion could leave a
+    * pointer with no manifests — a root that looks committed but
+    * cannot be read). For content-addressed scratch roots whose
+    * history is cheap to replay; NOT a data-retention tool ([[vacuum]]
+    * is). */
+  def wipe(root: String): Unit = {
+    Files.deleteIfExists(pointer(root))
+    deleteRecursively(Paths.get(root))
+  }
+
   /** The committed latest version, if any. */
   def latestVersion(root: String): Option[Long] = {
     val p = pointer(root)
@@ -404,7 +416,13 @@ object Snapshots {
     * compaction half of the append contract): readers of the new
     * version touch ONE dir again; older versions stay time-travelable
     * until vacuumed. No-op (returns latest) when latest is already
-    * full. */
+    * full. Under SUSTAINED write contention the rewrite may be refused
+    * (a racing writer advanced the chain mid-rewrite) up to 3 times,
+    * after which compact DEFERS: it returns the current latest — which
+    * is then still a delta — rather than livelocking full-table
+    * rewrites; the next maintenance run catches up. Callers needing a
+    * guaranteed-full result must check `isDelta` on the returned
+    * version. */
   def compact(spark: SparkSession, root: String,
       partitionCols: Seq[String] = Seq.empty): Long = {
     // bounded retries: every refused attempt means a writer advanced
@@ -809,7 +827,16 @@ object Snapshots {
       Files.list(dd).iterator().asScala
         .filter(_.getFileName.toString.startsWith("stage-"))
         .filter(p => newestMtime(p) < cutoffMs)
-        .toSeq.foreach(deleteRecursively)
+        .toSeq.foreach { p =>
+          // same tolerance for the deletion itself: a >1h-suspended
+          // writer resuming mid-delete makes the walk throw — skip the
+          // stage (it re-qualifies next vacuum) rather than aborting
+          // the retained-version GC below
+          try deleteRecursively(p)
+          catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+          }
+        }
     }
     // never drop an ancestor that ANY retained version's delta chain
     // still resolves through: a retained delta whose full-snapshot

@@ -193,8 +193,6 @@ object DocsStream {
         greatest(col("__within"), coalesce(col("__stored"), lit(0))).as("dup"))
   }
 
-  private def landBatch(df: DataFrame, root: String, id: Long): Unit =
-    graft.sources.Snapshots.landBatch(df, root, id)
 
   /** Streaming TEXT-INDEX ABSORB LOOP — the foreachBatch sink that
     * closes the stream → stored-LSH-index cycle (the text twin of the
@@ -233,7 +231,7 @@ object DocsStream {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        landBatch(LshIndex.absorbBatch(spark, root,
+        graft.sources.Snapshots.landBatch(LshIndex.absorbBatch(spark, root,
           df.select(col("doc_id"), col("text")), id), matchesRoot, id)
       }
       .start()
@@ -266,7 +264,7 @@ object DocsStream {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        landBatch(SpanIndex.absorbBatch(spark, root,
+        graft.sources.Snapshots.landBatch(SpanIndex.absorbBatch(spark, root,
           df.select(col("doc_id"), col("text")), id), statsRoot, id)
       }
       .start()
@@ -354,13 +352,20 @@ object DocsStream {
         // empty pair delta here would grow the matches chain by one
         // version per idle tick. Exception: the very FIRST tick still
         // lands (empty) so matchesRoot exists with the contract schema
-        // for downstream readers, matching the sibling loops. The
-        // micro-batch frame is replayable, so the emptiness probe is a
-        // plain take(1) with no extra materialization.
+        // for downstream readers, matching the sibling loops — but
+        // ONLY once the index itself exists: a deployment may start
+        // the stream before VectorIndex.build commits, and probing a
+        // centroids-less root on an empty startup tick would crash a
+        // query the old code let idle. The micro-batch frame is
+        // replayable, so the emptiness probe is a plain take(1) with
+        // no extra materialization.
         val batch = df.select(col("vec_id"), col("v"))
         if (!batch.isEmpty ||
-            graft.sources.Snapshots.latestVersion(matchesRoot).isEmpty)
-          landBatch(VectorIndex.semProbeBatch(spark, root, batch, tau, id),
+            (graft.sources.Snapshots.latestVersion(matchesRoot).isEmpty &&
+             graft.sources.Snapshots
+               .latestVersion(VectorIndex.centroidsRoot(root)).nonEmpty))
+          graft.sources.Snapshots.landBatch(
+            VectorIndex.semProbeBatch(spark, root, batch, tau, id),
             matchesRoot, id)
       }
       .start()

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -26,9 +26,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  2. under the lock: revalidate any idempotence guard (replay
   *     watermark / content key), claim `v = latest + 1`, rename the
   *     stage dir into place, write the manifest file;
-  *  3. atomically move a temp pointer over `_latest` (the commit
-  *     point — `ATOMIC_MOVE` on one small file, the same single-
-  *     object-swap object stores give you).
+  *  3. atomically publish the `_latest` pointer (the commit point —
+  *     one small-file atomic swap). Lock, stage move and pointer
+  *     publish are the [[CommitIO]] seam: the default is POSIX
+  *     primitives (multi-writer-safe on local/shared-POSIX
+  *     filesystems ONLY); an object-store deployment must plug a
+  *     conditional-put arbiter in through the seam — see CommitIO.
   *
   * Readers resolve `_latest` (or an explicit version) and read ONE
   * immutable directory — no reader/writer race: concurrent readers of
@@ -55,35 +58,58 @@ object Snapshots {
   // a nightly compact, or two replayed absorbs) can race one root. The
   // version-claim protocol ("next = latest + 1, overwrite") is only
   // safe single-writer, so every METADATA mutation (claim + manifest +
-  // pointer, rollback, vacuum) runs under a per-root commit lock:
-  // a JVM-level monitor (FileChannel refuses overlapping locks inside
-  // one process) wrapping an OS file lock on `<root>/_commitlock`
-  // (cross-process — two Spark drivers sharing a filesystem exclude
-  // each other). The DISTRIBUTED data write never holds the lock: it
-  // stages to a private `data/stage-*` dir first, and only the O(1)
-  // rename + two metadata writes serialize. On an object store the
-  // file lock degrades to JVM-only and the pointer swap's
-  // conditional-put takes over as the commit arbiter — same protocol
-  // Delta/Iceberg document for S3.
-  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // pointer, rollback, vacuum) runs under a per-root commit lock —
+  // two Spark drivers sharing the filesystem exclude each other
+  // (CrossProcessLockSpec races real JVMs on one root to prove it).
+  // The DISTRIBUTED data write never holds the lock: it stages to a
+  // private `data/stage-*` dir first, and only the O(1) rename + two
+  // metadata writes serialize.
+  //
+  // The lock, the stage move and the pointer publish are the
+  // [[CommitIO]] seam: the default [[PosixCommitIO]] guarantees
+  // multi-writer safety ONLY on a local/shared-POSIX filesystem; an
+  // object-store deployment must plug a conditional-put arbiter in
+  // through the seam (see CommitIO's scaladoc — the old claim that
+  // the pointer swap "degrades" safely there was wrong: a plain
+  // rename has no conditional semantics). Specs inject a
+  // fault-injecting CommitIO to pin what each broken primitive costs.
+  @volatile private[graft] var io: CommitIO = PosixCommitIO
 
-  private def withCommitLock[T](root: String)(body: => T): T = {
-    val mon = monitors.computeIfAbsent(root, _ => new Object)
-    mon.synchronized {
-      Files.createDirectories(Paths.get(root))
-      val ch = java.nio.channels.FileChannel.open(Paths.get(s"$root/_commitlock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lk = ch.lock()
-        try body finally lk.release()
-      } finally ch.close()
-    }
-  }
+  private def withCommitLock[T](root: String)(body: => T): T =
+    io.withLock(root)(body)
 
   private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+
+  /** How long a stage tree may sit mtime-quiet before [[vacuum]]
+    * treats it as a crashed writer's orphan
+    * (`-Dgraft.snapshots.stageAbandonCutoffSec`, default 1 hour).
+    * Live writers HEARTBEAT their stage (below), so the cutoff only
+    * paces orphan reclamation — it can never sweep a live commit,
+    * however long the writer stalls. */
+  private[graft] def stageAbandonCutoffMs: Long =
+    sys.props.get("graft.snapshots.stageAbandonCutoffSec")
+      .map(_.toLong).getOrElse(3600L) * 1000L
+
+  private lazy val heartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "snapshots-stage-heartbeat")
+      t.setDaemon(true); t
+    })
+
+  /** Periodically touch `file` until cancelled — the lease that keeps
+    * a live writer's stage out of the abandonment sweep. A touch
+    * failing because the stage is already gone (a guard discard racing
+    * the tick) is harmless and swallowed. */
+  private[graft] def startStageHeartbeat(file: Path):
+      java.util.concurrent.ScheduledFuture[_] = {
+    val period = math.max(500L, stageAbandonCutoffMs / 6)
+    heartbeats.scheduleAtFixedRate(() => {
+      try Files.write(file, Array.emptyByteArray)
+      catch { case _: java.io.IOException => () }
+    }, 0L, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
 
   /** The shared LANDING step of every absorb loop (streaming
     * foreachBatch sinks, the week-scale gates): commit a micro-batch's
@@ -97,16 +123,23 @@ object Snapshots {
     ()
   }
 
-  /** WIPE a root back to nonexistence, crash-ordered: the `_latest`
-    * pointer goes FIRST so a crash mid-wipe leaves the root
+  /** WIPE a root back to (near-)nonexistence, crash-ordered: the
+    * `_latest` pointer goes FIRST so a crash mid-wipe leaves the root
     * unambiguously uncommitted (tree-order deletion could leave a
     * pointer with no manifests — a root that looks committed but
-    * cannot be read). For content-addressed scratch roots whose
-    * history is cheap to replay; NOT a data-retention tool ([[vacuum]]
-    * is). */
-  def wipe(root: String): Unit = {
+    * cannot be read). Runs UNDER the commit lock, sparing the
+    * `_commitlock` file itself: deleting the lock file would let a
+    * concurrent cross-process holder keep its lock on the unlinked
+    * inode while a new writer locks a recreated file — two "owners"
+    * of one root. For content-addressed scratch roots whose history
+    * is cheap to replay; NOT a data-retention tool ([[vacuum]] is). */
+  def wipe(root: String): Unit = withCommitLock(root) {
     Files.deleteIfExists(pointer(root))
-    deleteRecursively(Paths.get(root))
+    val top = Paths.get(root)
+    if (Files.exists(top))
+      Files.list(top).iterator().asScala.toSeq
+        .filterNot(_.getFileName.toString == "_commitlock")
+        .foreach(deleteRecursively)
   }
 
   /** The committed latest version, if any. */
@@ -193,12 +226,26 @@ object Snapshots {
         else {
           validateAppendSchema(delta, root, evolveSchema)
           commitInternal(delta, root, batchId, partitionCols, delta = true,
-            guard = Some(() => !latestVersion(root)
-              .exists(v => maxBatchIdOf(root, v).exists(_ >= b)))).version
+            guard = Some(() => {
+              val fresh = !latestVersion(root)
+                .exists(v => maxBatchIdOf(root, v).exists(_ >= b))
+              // re-run the schema contract UNDER the lock: the
+              // pre-stage check above fails fast, but a racing
+              // evolution commit landing between it and the claim
+              // would otherwise let a mismatched column set commit
+              // without evolveSchema — the write-time contract must
+              // hold under contention, not just solo (a thrown guard
+              // discards the stage and propagates loudly)
+              if (fresh) validateAppendSchema(delta, root, evolveSchema)
+              fresh
+            })).version
         }
       case None =>
         validateAppendSchema(delta, root, evolveSchema)
-        commitInternal(delta, root, None, partitionCols, delta = true).version
+        commitInternal(delta, root, None, partitionCols, delta = true,
+          guard = Some(() => {
+            validateAppendSchema(delta, root, evolveSchema); true
+          })).version
     }
   }
 
@@ -213,13 +260,13 @@ object Snapshots {
   // chain read-schema cache: resolving the unified schema costs one
   // parquet footer read per chain member, and an absorb loop validates
   // on EVERY append. ONE entry per root (bounded by live roots),
-  // validated against (version, commit ts): the ts catches a
-  // rollback-then-recommit that REUSES a version number — even from
-  // another driver sharing the filesystem — because the rewritten
-  // manifest carries a fresh timestamp. A stale put self-corrects: the
-  // next reader sees the (version, ts) mismatch and recomputes.
+  // validated against (version, COMMIT ID): the cid is a per-commit
+  // UUID, so a rollback-then-recommit that REUSES a version number —
+  // even from another driver sharing the filesystem, even within one
+  // clock millisecond (the old timestamp guard's ABA hole) — always
+  // misses and recomputes. A stale put self-corrects the same way.
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Long, org.apache.spark.sql.types.StructType)]()
+    String, (Long, String, org.apache.spark.sql.types.StructType)]()
 
   private def validateAppendSchema(delta: DataFrame, root: String,
       evolveSchema: Boolean): Unit = {
@@ -235,15 +282,15 @@ object Snapshots {
     }
     val latest = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    val ts = commitTsOf(root, latest).getOrElse(0L)
+    val cid = commitIdentity(root, latest)
     val current = schemaCache.get(root) match {
-      case (v, t, s) if v == latest && t == ts => s
+      case (v, c, s) if v == latest && c == cid => s
       case _ =>
         // resolve the schema of THIS version explicitly — read() would
         // re-resolve the pointer and could cache a newer version's
         // schema under this key if a commit lands mid-lookup
         val s = readVersion(delta.sparkSession, root, latest).schema
-        schemaCache.put(root, (latest, ts, s))
+        schemaCache.put(root, (latest, cid, s))
         s
     }
     val cur = current.map(f => f.name -> norm(f.dataType)).toMap
@@ -358,13 +405,21 @@ object Snapshots {
           validateAppendSchema(updates, root, evolveSchema)
           commitInternal(updates, root, batchId, partitionCols,
             delta = true, mergeKey = Some(keyCol),
-            guard = Some(() => !latestVersion(root)
-              .exists(v => maxBatchIdOf(root, v).exists(_ >= b)))).version
+            guard = Some(() => {
+              val fresh = !latestVersion(root)
+                .exists(v => maxBatchIdOf(root, v).exists(_ >= b))
+              // same under-lock schema recheck as commitAppend
+              if (fresh) validateAppendSchema(updates, root, evolveSchema)
+              fresh
+            })).version
         }
       case None =>
         validateAppendSchema(updates, root, evolveSchema)
         commitInternal(updates, root, None, partitionCols,
-          delta = true, mergeKey = Some(keyCol)).version
+          delta = true, mergeKey = Some(keyCol),
+          guard = Some(() => {
+            validateAppendSchema(updates, root, evolveSchema); true
+          })).version
     }
   }
 
@@ -434,19 +489,21 @@ object Snapshots {
     var attempts = 3
     while (attempts > 0) {
       attempts -= 1
-      // PIN the chain being compacted — version AND commit timestamp:
-      // the under-lock guard refuses the commit if any writer advanced
-      // the root while the distributed rewrite ran (a delta landing
-      // mid-compaction would otherwise silently vanish from the
-      // compacted snapshot), and the timestamp catches the ABA case
-      // where a rollback-then-repair lands BACK ON the pinned version
-      // NUMBER — committing the staged pre-repair chain over the
-      // repair would silently undo it (the schema cache defends
+      // PIN the chain being compacted — version AND commit IDENTITY
+      // (the per-commit UUID): the under-lock guard refuses the commit
+      // if any writer advanced the root while the distributed rewrite
+      // ran (a delta landing mid-compaction would otherwise silently
+      // vanish from the compacted snapshot), and the commit id catches
+      // the ABA case where a rollback-then-repair lands BACK ON the
+      // pinned version NUMBER — committing the staged pre-repair chain
+      // over the repair would silently undo it. The id is a UUID, not
+      // a wall-clock timestamp, so same-millisecond reuse and clock
+      // regression cannot fake a match (the schema cache defends
       // against the same version-number reuse the same way).
       val pinned = latestVersion(root).getOrElse(
         throw new IllegalStateException(s"no committed version under $root"))
       if (!isDelta(root, pinned)) return pinned
-      val pinnedTs = commitTsOf(root, pinned)
+      val pinnedId = commitIdentity(root, pinned)
       // carry the chain's max batchId into the compacted manifest:
       // commitAppend's replay check reads the LATEST version's
       // batchId, so a compact that dropped it would let a re-delivered
@@ -458,10 +515,14 @@ object Snapshots {
       // scan inside maxBatchIdOf serves only manifests from before the
       // field existed
       val maxBatch = maxBatchIdOf(root, pinned)
+      // compacted = true: marks this full rewrite as an INVISIBLE one
+      // (same logical content as the chain it replaces), which is what
+      // lets a change-feed follower skip it instead of erroring — a
+      // fresh commit() has no such marker and remains a feed error
       val c = commitInternal(readVersion(spark, root, pinned), root,
-        maxBatch, partitionCols,
+        maxBatch, partitionCols, compacted = true,
         guard = Some(() => latestVersion(root).contains(pinned) &&
-          commitTsOf(root, pinned) == pinnedTs))
+          commitIdentity(root, pinned) == pinnedId))
       if (c.committed) return c.version
     }
     latestVersion(root).get // contended past the retry cap: defer
@@ -567,7 +628,7 @@ object Snapshots {
   private def commitInternal(df: DataFrame, root: String, batchId: Option[Long],
       partitionCols: Seq[String] = Seq.empty, delta: Boolean = false,
       monotone: Boolean = true, tombstoneKey: Option[String] = None,
-      mergeKey: Option[String] = None,
+      mergeKey: Option[String] = None, compacted: Boolean = false,
       guard: Option[() => Boolean] = None): Committed = {
     // 1. STAGE the data (distributed, lock-free — concurrent writers
     // each write a private stage dir). Hive-partitioned commits
@@ -584,23 +645,56 @@ object Snapshots {
     // staged files when counting them below (nothing ever lists
     // `<root>/data` itself, so the name needs no hiding)
     val stage = s"$root/data/stage-${java.util.UUID.randomUUID()}"
-    val clustered =
-      if (partitionCols.nonEmpty)
-        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      else df
-    val w = clustered.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(stage)
-    // a delta manifest counts its OWN rows only; counting the staged
-    // files avoids re-running df's plan
-    val rows = df.sparkSession.read.parquet(stage).count()
-    // 2. CLAIM + METADATA under the per-root commit lock (O(1) file
-    // ops only — the expensive distributed write is already done)
+    // HEARTBEAT the stage for as long as this writer owns it: vacuum's
+    // abandonment sweep judges by newest mtime in the stage tree, and
+    // a fully-written stage whose writer merely STALLS past the cutoff
+    // (GC pause, long row-count read, waiting on a contended lock)
+    // would otherwise be swept out from under a live commit. The
+    // daemon tick keeps the tree provably alive until the stage is
+    // moved or discarded; `_`-prefixed, so Spark's hidden-file filter
+    // keeps it out of the staged-row count (and it is deleted before
+    // the move so committed dirs stay clean).
+    Files.createDirectories(Paths.get(stage))
+    val hb = startStageHeartbeat(Paths.get(s"$stage/_heartbeat"))
+    try {
+      val clustered =
+        if (partitionCols.nonEmpty)
+          df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        else df
+      val w = clustered.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(stage)
+      // a delta manifest counts its OWN rows only; counting the staged
+      // files avoids re-running df's plan
+      val rows = df.sparkSession.read.parquet(stage).count()
+      commitStaged(root, stage, rows, batchId, delta, monotone,
+        tombstoneKey, mergeKey, compacted, guard)
+    } finally hb.cancel(false)
+  }
+
+  /** Step 2+3 of the commit protocol over an already-staged data dir:
+    * claim + metadata + pointer under the per-root commit lock (O(1)
+    * file ops only — the expensive distributed write is already
+    * done). */
+  private def commitStaged(root: String, stage: String, rows: Long,
+      batchId: Option[Long], delta: Boolean, monotone: Boolean,
+      tombstoneKey: Option[String], mergeKey: Option[String],
+      compacted: Boolean, guard: Option[() => Boolean]): Committed = {
     withCommitLock(root) {
       // revalidate under the lock: a racing writer may have committed
       // this batch id / key while we staged — the loser discards its
-      // stage and reports the current latest
-      if (guard.exists(g => !g())) {
+      // stage and reports the current latest. A guard that THROWS
+      // (the under-lock schema recheck) also discards the stage, then
+      // propagates: the caller must see the contract violation loudly,
+      // and the stage must not linger until the abandonment sweep.
+      val pass =
+        try guard.forall(g => g())
+        catch {
+          case e: Throwable =>
+            deleteRecursively(Paths.get(stage))
+            throw e
+        }
+      if (!pass) {
         deleteRecursively(Paths.get(stage))
         Committed(latestVersion(root).getOrElse(
           throw new IllegalStateException(
@@ -622,7 +716,8 @@ object Snapshots {
         }
         deleteRecursively(Paths.get(dataDir(root, next)))
         Files.createDirectories(Paths.get(dataDir(root, next)).getParent)
-        Files.move(Paths.get(stage), Paths.get(dataDir(root, next)))
+        Files.deleteIfExists(Paths.get(s"$stage/_heartbeat"))
+        io.moveStage(Paths.get(stage), Paths.get(dataDir(root, next)))
         // manifest (metadata — written before the pointer so a reader
         // that sees the pointer always finds the manifest)
         Files.createDirectories(manifest(root, next).getParent)
@@ -644,6 +739,13 @@ object Snapshots {
         // Written under the lock, so timestamps are non-decreasing in
         // version order on any one host's clock
         val tsField = s""","ts":${System.currentTimeMillis()}"""
+        // unique COMMIT ID: the ABA guard for compact's chain pin and
+        // the schema cache — version numbers are reused by
+        // rollback-then-recommit and wall-clock millis can collide or
+        // regress, a UUID cannot
+        val cidField = s""","cid":"${java.util.UUID.randomUUID()}""""
+        // invisible-rewrite marker (see [[compact]] / [[isCompacted]])
+        val compField = if (compacted) ""","compacted":true""" else ""
         // running max of monotone batch ids, carried through EVERY commit
         // (keyed fingerprints excluded — see commitKeyed); read under the
         // lock, so an interleaved writer's batch id is never missed
@@ -652,13 +754,10 @@ object Snapshots {
           .reduceOption(_ max _)
         val maxField = newMax.map(b => s""","maxBatchId":$b""").getOrElse("")
         Files.write(manifest(root, next),
-          s"""{"version":$next,"rows":$rows,"parent":${next - 1}$tsField$batchField$deltaField$tombField$mergeField$keyedField$maxField}"""
+          s"""{"version":$next,"rows":$rows,"parent":${next - 1}$tsField$cidField$batchField$deltaField$tombField$mergeField$keyedField$compField$maxField}"""
             .getBytes(StandardCharsets.UTF_8))
         // 3. commit point: atomic pointer swap
-        val tmp = Paths.get(s"$root/_latest.tmp")
-        Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        io.publishPointer(root, next.toString.getBytes(StandardCharsets.UTF_8))
         Committed(next, committed = true)
       }
     }
@@ -707,6 +806,39 @@ object Snapshots {
         s"version $v under $root resolves to no data (tombstone-only chain)"))
   }
 
+  /** The unique commit id (UUID) of a version, if recorded — every
+    * manifest written since the field existed has one; it is THE
+    * identity of a commit (version numbers are reused by
+    * rollback-then-recommit, wall-clock millis collide). */
+  def commitIdOf(root: String, v: Long): Option[String] = {
+    val m = manifest(root, v)
+    if (!Files.exists(m)) None
+    else "\"cid\":\"([^\"]+)\"".r
+      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+      .map(_.group(1))
+  }
+
+  /** Comparable identity string for ABA guards: the commit id when
+    * present, else the legacy timestamp (pre-cid manifests), else a
+    * missing-manifest marker — two reads agree iff they saw the SAME
+    * manifest bytes for this version. */
+  private def commitIdentity(root: String, v: Long): String =
+    commitIdOf(root, v)
+      .orElse(commitTsOf(root, v).map(t => s"ts:$t"))
+      .getOrElse("absent")
+
+  /** Whether a version is a COMPACTION — a full rewrite whose logical
+    * content equals the chain it replaced (written by [[compact]]).
+    * Invisible to readers by construction; a change-feed follower
+    * skips it, where a fresh [[commit]] (a real content replace) is a
+    * feed error. */
+  def isCompacted(root: String, v: Long): Boolean = {
+    val m = manifest(root, v)
+    Files.exists(m) &&
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+        .contains("\"compacted\":true")
+  }
+
   /** Wall-clock commit time of a version (epoch millis), if recorded —
     * manifests from before the field existed have none and are treated
     * by [[readAsOf]] as older than any timestamp. */
@@ -751,10 +883,7 @@ object Snapshots {
     * commitInternal), so take any audit reads before repairing. */
   def rollback(root: String, v: Long): Unit = withCommitLock(root) {
     require(Files.exists(manifest(root, v)), s"cannot roll back to uncommitted version $v")
-    val tmp = Paths.get(s"$root/_latest.tmp")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    io.publishPointer(root, v.toString.getBytes(StandardCharsets.UTF_8))
   }
 
   /** What [[maintain]] touched: the compacted version per chain root
@@ -807,7 +936,11 @@ object Snapshots {
     // few.
     val dd = Paths.get(s"$root/data")
     if (Files.isDirectory(dd)) {
-      val cutoffMs = java.time.Instant.now().minusSeconds(3600).toEpochMilli
+      // configurable cutoff; live stages are heartbeat-protected (the
+      // writer touches `<stage>/_heartbeat` on a daemon tick), so even
+      // a writer stalled far past the cutoff — GC pause, long
+      // row-count read, waiting on a contended lock — keeps its stage
+      val cutoffMs = System.currentTimeMillis() - stageAbandonCutoffMs
       // a LIVE writer is churning its stage tree (task commits rename
       // files out of _temporary/ and delete attempt dirs) while this
       // walks it — an entry vanishing mid-walk is itself proof of

@@ -1,0 +1,297 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.CountDownLatch
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CommitIO, PosixCommitIO, Snapshots}
+
+/** The [[graft.sources.CommitIO]] seam under fault injection: what
+  * each broken storage primitive actually costs the commit protocol.
+  * These specs turn the documented degradation stories (torn pointer
+  * publish, non-atomic stage move, and the OBJECT-STORE hazard — no
+  * mutual exclusion, so two drivers claim one version and the loser's
+  * dead-timeline truncation erases the winner) into pinned, runnable
+  * behavior instead of Scaladoc. The happy-path races live in
+  * SnapshotsSpec (threads, one JVM) and CrossProcessLockSpec (real
+  * JVMs); here the races run against DELIBERATELY broken IO. */
+class CommitIOSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("commitio").toString + "/tbl"
+
+  /** Swap the injected IO for the duration of `body`. Suites run
+    * sequentially in the forked test JVM, so the global seam swap
+    * cannot leak into a concurrently-running suite. */
+  private def withIO[T](io: CommitIO)(body: => T): T = {
+    val prev = Snapshots.io
+    Snapshots.io = io
+    try body finally Snapshots.io = prev
+  }
+
+  /** Delegates everything to POSIX; subclasses break one primitive. */
+  private class DelegatingIO extends CommitIO {
+    def withLock[T](root: String)(body: => T): T =
+      PosixCommitIO.withLock(root)(body)
+    def moveStage(stage: Path, dst: Path): Unit =
+      PosixCommitIO.moveStage(stage, dst)
+    def publishPointer(root: String, bytes: Array[Byte]): Unit =
+      PosixCommitIO.publishPointer(root, bytes)
+  }
+
+  test("torn pointer publish: the failed commit is loud, invisible, and self-heals") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root) // v0
+    // the pointer publish dies AFTER the data move + manifest write —
+    // the commit point is never reached
+    val torn = new DelegatingIO {
+      override def publishPointer(root: String, bytes: Array[Byte]): Unit =
+        throw new java.io.IOException("injected: pointer publish torn")
+    }
+    val e = intercept[java.io.IOException](withIO(torn) {
+      Snapshots.commitAppend(Seq(2L).toDF("id"), root)
+    })
+    assert(e.getMessage.contains("injected"))
+    // invisible: readers still see v0 only (manifest v1 exists but the
+    // pointer — the commit point — never moved)
+    assert(Snapshots.latestVersion(root).contains(0L))
+    assert(Snapshots.read(spark, root).as[Long].collect().toSeq == Seq(1L))
+    // self-heals: the next commit truncates the dead v1 and claims it
+    val v = Snapshots.commitAppend(Seq(3L).toDF("id"), root)
+    assert(v == 1L)
+    assert(Snapshots.read(spark, root).as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("non-atomic stage move (object-store copy that dies midway): loud, invisible, self-heals") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root) // v0
+    // emulate a non-atomic "rename" that copies half the files then
+    // dies — the object-store failure ATOMIC_MOVE rules out on POSIX
+    val tornMove = new DelegatingIO {
+      override def moveStage(stage: Path, dst: Path): Unit = {
+        Files.createDirectories(dst)
+        val one = Files.list(stage).iterator().asScala
+          .find(p => Files.isRegularFile(p))
+        one.foreach(p => Files.copy(p, dst.resolve(p.getFileName)))
+        throw new java.io.IOException("injected: move died mid-copy")
+      }
+    }
+    intercept[java.io.IOException](withIO(tornMove) {
+      Snapshots.commitAppend(Seq(2L).toDF("id"), root)
+    })
+    // the torn dst dir exists but no manifest/pointer names it
+    assert(Snapshots.latestVersion(root).contains(0L))
+    assert(Snapshots.versions(root) == Seq(0L))
+    // next commit reclaims the version number and truncates the wreck
+    val v = Snapshots.commitAppend(Seq(3L).toDF("id"), root)
+    assert(v == 1L)
+    assert(Snapshots.read(spark, root).as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("SnapshotsSpec's race invariants hold with the file lock removed (monitor-only, one JVM)") {
+    import spark.implicits._
+    // the in-JVM races can NEVER see a file-lock bug: a per-root JVM
+    // monitor alone passes them, which is exactly why the
+    // cross-process claims are pinned by CrossProcessLockSpec with
+    // real JVMs and not here
+    val monitorOnly = new DelegatingIO {
+      private val mons = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+      override def withLock[T](root: String)(body: => T): T =
+        mons.computeIfAbsent(root, _ => new Object).synchronized(body)
+    }
+    withIO(monitorOnly) {
+      val root = tmpRoot()
+      Snapshots.commit(Seq(0L).toDF("id"), root)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val start = new CountDownLatch(1)
+        val fs = (0 until 8).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              start.await()
+              Snapshots.commitAppend(Seq(100L + i).toDF("id"), root)
+            }
+          })
+        }
+        start.countDown()
+        assert(fs.map(_.get()).toSet == (1L to 8L).toSet)
+      } finally pool.shutdown()
+      assert(Snapshots.read(spark, root).as[Long].collect().toSet ==
+        (Set(0L) ++ (0 until 8).map(100L + _)))
+    }
+  }
+
+  test("OBJECT-STORE HAZARD, pinned: without mutual exclusion a racing claim silently erases a committed version") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root) // v0
+    // Deterministic re-enactment of the documented hazard
+    // (CommitIO.scala scaladoc): writer A reaches its pointer publish
+    // — data moved, manifest v1 written — and stalls; writer B, with
+    // NO lock to stop it (an object store has none), reads latest=0,
+    // claims v1 too, and its dead-timeline truncation DELETES A's
+    // committed-but-unpublished manifest and data. Both "succeed"; A's
+    // rows are gone. This is the spec that makes the POSIX-only
+    // multi-writer caveat a tested fact, not a comment.
+    val aAtPublish = new CountDownLatch(1)
+    val bDone = new CountDownLatch(1)
+    val noLockChoreo = new DelegatingIO {
+      override def withLock[T](root: String)(body: => T): T = body // no exclusion
+      override def publishPointer(root: String, bytes: Array[Byte]): Unit = {
+        if (Thread.currentThread().getName == "writer-a") {
+          aAtPublish.countDown()
+          bDone.await()
+        }
+        PosixCommitIO.publishPointer(root, bytes)
+      }
+    }
+    withIO(noLockChoreo) {
+      val aResult = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val a = new Thread(() => {
+        aResult.set(Snapshots.commitAppend(Seq(100L).toDF("id"), root))
+      }, "writer-a")
+      a.start()
+      aAtPublish.await()
+      // B lands a full claim of the same version while A is stalled
+      val bV = Snapshots.commitAppend(Seq(200L).toDF("id"), root)
+      bDone.countDown()
+      a.join()
+      // both writers report success on the SAME version — the lost
+      // update the POSIX lock exists to prevent
+      assert(aResult.get() == 1L && bV == 1L)
+      val rows = Snapshots.read(spark, root).as[Long].collect().toSet
+      assert(rows == Set(1L, 200L),
+        s"expected A's commit silently erased (the documented hazard), got $rows")
+    }
+    // and the same interleaving CANNOT form under the POSIX lock: B
+    // blocks until A's publish completes, then claims the NEXT version
+    val root2 = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root2)
+    val a2 = new Thread(() => {
+      Snapshots.commitAppend(Seq(100L).toDF("id"), root2); ()
+    }, "writer-a2")
+    a2.start(); a2.join()
+    assert(Snapshots.commitAppend(Seq(200L).toDF("id"), root2) == 2L)
+    assert(Snapshots.read(spark, root2).as[Long].collect().toSet ==
+      Set(1L, 100L, 200L))
+  }
+
+  test("schema contract holds under contention: a racing evolution fails the in-flight old-shape append loudly") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    // the hook fires when the old-shape append ENTERS the lock — after
+    // its pre-stage validation passed against the OLD schema — and
+    // lands an evolution commit first; the under-lock recheck must
+    // then reject the old-shape delta (pre-fix it committed silently)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hooked = new DelegatingIO {
+      override def withLock[T](root: String)(body: => T): T = {
+        if (fired.compareAndSet(false, true))
+          Snapshots.commitAppend(
+            Seq((2L, "b", "web")).toDF("id", "v", "src"), root,
+            evolveSchema = true)
+        PosixCommitIO.withLock(root)(body)
+      }
+    }
+    val e = intercept[IllegalArgumentException](withIO(hooked) {
+      Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), root)
+    })
+    assert(e.getMessage.contains("evolveSchema"))
+    // the evolution landed; the unannounced old-shape delta did not;
+    // no stage leaked (a thrown guard discards it)
+    assert(Snapshots.versions(root) == Seq(0L, 1L))
+    assert(Snapshots.read(spark, root).count() == 2)
+    assert(!Files.list(Paths.get(s"$root/data")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("stage-")), "stage leaked")
+    // the same delta WITH the flag is welcome
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), root,
+      evolveSchema = true)
+    assert(Snapshots.read(spark, root).count() == 3)
+  }
+
+  test("commit ids: rollback-then-recommit reuses the version number but never the identity") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    Snapshots.commitAppend(Seq(2L).toDF("id"), root)
+    val cid1 = Snapshots.commitIdOf(root, 1L)
+    assert(cid1.nonEmpty, "manifest missing cid")
+    Snapshots.rollback(root, 0L)
+    Snapshots.commitAppend(Seq(3L).toDF("id"), root) // reuses v1
+    val cid2 = Snapshots.commitIdOf(root, 1L)
+    assert(cid2.nonEmpty && cid2 != cid1,
+      "recommitted version must carry a fresh commit id (ABA guard)")
+  }
+
+  test("stage heartbeat: a live-but-stalled writer's stage survives the abandonment sweep; a dead one is swept") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    val prev = sys.props.get("graft.snapshots.stageAbandonCutoffSec")
+    sys.props("graft.snapshots.stageAbandonCutoffSec") = "2"
+    try {
+      val stage = Paths.get(s"$root/data/stage-test")
+      Files.createDirectories(stage)
+      Files.write(stage.resolve("part-0"), Array[Byte](1))
+      // a LIVE writer heartbeats its stage: even stalled far past the
+      // cutoff, the stage must survive the sweep
+      val hb = Snapshots.startStageHeartbeat(stage.resolve("_heartbeat"))
+      try {
+        Thread.sleep(3000)
+        Snapshots.vacuum(root, keep = 7)
+        assert(Files.exists(stage), "heartbeat-protected stage was swept")
+      } finally hb.cancel(false)
+      // dead writer (no heartbeat): quiet past the cutoff -> swept
+      Thread.sleep(3000)
+      Snapshots.vacuum(root, keep = 7)
+      assert(!Files.exists(stage), "abandoned stage not swept")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.snapshots.stageAbandonCutoffSec") = v
+        case None => sys.props -= "graft.snapshots.stageAbandonCutoffSec"
+      }
+    }
+  }
+
+  test("wipe preserves the lock file's inode (cross-process mutual exclusion survives a wipe)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    val lockFile = Paths.get(s"$root/_commitlock")
+    assert(Files.exists(lockFile))
+    val keyBefore = Files.readAttributes(lockFile,
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    Snapshots.wipe(root)
+    assert(Snapshots.latestVersion(root).isEmpty)
+    assert(Snapshots.versions(root).isEmpty)
+    // the lock FILE survived (same inode): a concurrent cross-process
+    // holder's lock still guards the root after the wipe
+    assert(Files.exists(lockFile), "wipe deleted the commit lock file")
+    val keyAfter = Files.readAttributes(lockFile,
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    assert(keyBefore == keyAfter, "lock file inode changed across wipe")
+    // and the root is fully reusable
+    assert(Snapshots.commit(Seq(2L).toDF("id"), root) == 0L)
+    assert(Snapshots.read(spark, root).as[Long].head() == 2L)
+  }
+
+  test("compaction manifests carry the invisible-rewrite marker; fresh commits do not") {
+    import spark.implicits._
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    Snapshots.commitAppend(Seq(2L).toDF("id"), root)
+    val cv = Snapshots.compact(spark, root)
+    assert(Snapshots.isCompacted(root, cv), "compact not marked compacted")
+    assert(!Snapshots.isCompacted(root, 0L))
+    val fresh = Snapshots.commit(Seq(9L).toDF("id"), root)
+    assert(!Snapshots.isCompacted(root, fresh))
+  }
+}

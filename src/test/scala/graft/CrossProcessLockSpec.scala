@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Snapshots
+
+/** The CROSS-PROCESS half of the multi-writer commit claims
+  * (Snapshots.scala's commit-lock note): real child JVMs ([[RaceChild]])
+  * racing commits on one shared root, so the `FileChannel` lock in
+  * [[graft.sources.PosixCommitIO]] is the ONLY thing serializing them
+  * — the per-root JVM monitor that shields every in-JVM thread race
+  * (SnapshotsSpec) is provably out of play across process boundaries.
+  * Covers: lock contention between two drivers + this JVM, the
+  * loser's stage discard and linear-history invariants under real
+  * interleaving, and recovery after a lock HOLDER DIES (the OS
+  * releases a dead process's file locks; a leftover lock FILE must
+  * never wedge the root). */
+class CrossProcessLockSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // the forked test JVM's classpath IS the full test classpath
+  // (build.sbt: Test / fork := true), so children see RaceChild,
+  // graft classes, and the Spark jars
+  private val classpath = sys.props("java.class.path")
+  private val javaBin =
+    Paths.get(sys.props("java.home"), "bin", "java").toString
+  // same module opens build.sbt injects (Spark 4 on JDK 17 outside
+  // spark-submit); children create their own SparkSession
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def launch(args: Seq[String], out: java.io.File): Process = {
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xms512m", "-Xmx3g",
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", classpath, "graft.RaceChild") ++ args)
+    new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(out)
+      .start()
+  }
+
+  test("three processes race appends on one root: linear history, no lost or doubled rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("xproc").toString + "/tbl"
+    Snapshots.commit(Seq(0L).toDF("id"), root) // v0
+    val logs = (1 to 2).map(i => Files.createTempFile(s"race-$i", ".log").toFile)
+    // two child JVMs, 5 appends each...
+    val kids = Seq(
+      launch(Seq("append", root, "1", "5"), logs(0)),
+      launch(Seq("append", root, "2", "5"), logs(1)))
+    // ...while THIS JVM appends 5 more: three processes contending on
+    // the same `_commitlock`, no shared monitor anywhere
+    (0 until 5).foreach { i =>
+      Snapshots.commitAppend(Seq(3000L + i).toDF("id"), root)
+    }
+    kids.foreach { p =>
+      assert(p.waitFor(240, TimeUnit.SECONDS), "child JVM timed out")
+    }
+    kids.zip(logs).foreach { case (p, log) =>
+      assert(p.exitValue() == 0,
+        s"child failed:\n${new String(Files.readAllBytes(log.toPath)).takeRight(4000)}")
+    }
+    // linear history: 15 appends -> versions 1..15, no gaps, no forks
+    assert(Snapshots.versions(root) == (0L to 15L),
+      s"history not linear: ${Snapshots.versions(root)}")
+    assert(Snapshots.latestVersion(root).contains(15L))
+    // every row exactly once (a clobbered claim loses rows; a replayed
+    // stage doubles them)
+    val expect = Set(0L) ++
+      (0 until 5).flatMap(i => Seq(1000L + i, 2000L + i, 3000L + i))
+    val rows = Snapshots.read(spark, root).as[Long].collect().toSeq
+    assert(rows.size == expect.size, s"row count ${rows.size} != ${expect.size}")
+    assert(rows.toSet == expect, "rows lost or doubled across processes")
+    // every manifest carries a unique commit id and resolves its chain
+    val cids = (0L to 15L).map(v => Snapshots.commitIdOf(root, v))
+    assert(cids.forall(_.nonEmpty) && cids.distinct.size == cids.size)
+    Snapshots.chainVersions(root, 15L)
+    // no stage dir was promoted without its manifest (loser discard)
+    import scala.jdk.CollectionConverters._
+    assert(Files.list(Paths.get(s"$root/data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong).toSeq.sorted == (0L to 15L))
+  }
+
+  test("the commit lock blocks across processes, and a DYING holder releases the root") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("xproc-die").toString + "/tbl"
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    val log = Files.createTempFile("lockhold", ".log").toFile
+    val holder = launch(Seq("lockhold", root), log)
+    try {
+      // wait until the child provably HOLDS the OS lock
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!new String(Files.readAllBytes(log.toPath)).contains("LOCKED")) {
+        assert(System.nanoTime() < deadline, "lockhold child never locked")
+        assert(holder.isAlive, "lockhold child died early")
+        Thread.sleep(100)
+      }
+      // a metadata mutation in THIS process must block on the child's
+      // file lock (the JVM monitor is free — different processes)
+      val blocked = Future { Snapshots.rollback(root, 0L) }
+      intercept[java.util.concurrent.TimeoutException](
+        Await.ready(blocked, 3.seconds))
+      // kill the holder: the OS releases a dead process's locks, so
+      // the blocked writer must proceed — a crashed driver can never
+      // wedge the table root
+      holder.destroyForcibly()
+      holder.waitFor(30, TimeUnit.SECONDS)
+      Await.result(blocked, 60.seconds)
+      assert(Snapshots.latestVersion(root).contains(0L))
+      // and the root is fully writable again
+      Snapshots.commit(Seq(2L).toDF("id"), root)
+      assert(Snapshots.read(spark, root).as[Long].head() == 2L)
+    } finally if (holder.isAlive) holder.destroyForcibly()
+  }
+}

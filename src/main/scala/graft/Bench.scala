@@ -101,7 +101,8 @@ object Bench {
         series: Seq[(Int, Double, Double)],
         calibFirst: Double, calibLast: Double,
         parFirst: Double, parLast: Double,
-        loadStart: Double, loadEnd: Double) {
+        loadStart: Double, loadEnd: Double,
+        retimed: Map[String, Double] = Map.empty) {
       // contention score: spread of the all-cores probe across the
       // run, ROBUST to a single blip (the probe shares the box with
       // the bench JVM's own GC/netty threads, which cost one isolated
@@ -125,24 +126,48 @@ object Bench {
     // two timed passes per attempt, report per-query min: single-pass
     // numbers on a shared machine carry ±80% scheduler noise; min-of-2
     // is the repeatable steady-state figure
+    //
+    // VARIANCE GUARD for the heavy composed gates (the r10 lesson:
+    // q_curation_week swung 14 s -> 19.7 s with no way to tell box
+    // noise from a real day-cost regression): a query whose two passes
+    // DISAGREE past 25% while costing > 5 s gets up to two targeted
+    // re-times — agreement means the cost is real, disagreement means
+    // noise, and min-of-the-agreeing-tail is the steady-state figure.
+    // Re-timed names + final figures are published in the artifact
+    // (`retimed`) so the adjudication is visible, not inferred.
     def attempt(): Attempt = {
       val series = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+      def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        try { run(fn, sfDir) } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        dt
+      }
       def timed(pass: Int): Map[String, Double] =
         SparkEntry.queries.zipWithIndex.map { case ((name, fn), i) =>
           if (i % calibEvery == 0)
             series += ((pass * SparkEntry.queries.size + i,
               calibrate(), calibratePar()))
-          val t0 = System.nanoTime()
-          try { run(fn, sfDir) } catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - t0) / 1e9
-          cleanup()
-          name -> dt
+          name -> timeOne(fn)
         }.toMap
       val (cF, pF, lS) = (calibrate(), calibratePar(), loadavg())
       val (r1, r2) = (timed(0), timed(1))
+      val retimed = scala.collection.mutable.Map.empty[String, Double]
+      val merged = r1.map { case (k, v) =>
+        var best = math.min(v, r2(k))
+        val spread = math.max(v, r2(k)) / math.max(best, 1e-9)
+        if (best > 5.0 && spread > 1.25) {
+          (0 until 2).foreach { _ =>
+            best = math.min(best, timeOne(SparkEntry.queries(k)))
+          }
+          retimed(k) = best
+        }
+        k -> best
+      }
       val (cL, pL, lE) = (calibrate(), calibratePar(), loadavg())
-      Attempt(r1.map { case (k, v) => k -> math.min(v, r2(k)) },
-        series.toSeq, cF, cL, pF, pL, lS, lE)
+      Attempt(merged, series.toSeq, cF, cL, pF, pL, lS, lE,
+        retimed.toMap)
     }
     // COMMIT POLICY (the r6/r7 lesson, now enforced in the harness
     // itself): if the attempt's all-cores calibration is not flat —
@@ -157,6 +182,37 @@ object Bench {
     val best = attempts.minBy(_.parRatio)
     val results = best.results
     import best.{calibFirst, calibLast, loadStart, loadEnd}
+    // PER-DAY WEEK BREAKDOWN in the artifact — the q_curation_week
+    // adjudication data (r10's weak mark: a 41% swing in the composed
+    // 7-day gate that nobody could attribute): each absorbDaily +
+    // nightly of the week gate timed separately on a scratch root at
+    // the bench SF, so a real day-cost regression localizes to a day
+    // and a busy box shows up as uniform inflation against the
+    // calibration series. Runs OUTSIDE the headline totals.
+    val weekDays: Seq[(Double, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WEEKDAYS", "1") != "1") Seq.empty
+      else try {
+        import org.apache.spark.sql.functions.col
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val wbase = java.nio.file.Files
+          .createTempDirectory("graft-benchweek").toString
+        val (curatedRoot, lshRoot) = (s"$wbase/curated", s"$wbase/lsh")
+        graft.sources.Snapshots.commit(corpus, curatedRoot)
+        graft.dedup.LshIndex.build(corpus, lshRoot)
+        val days = (0 until 7).map { d =>
+          val batch = graft.queries.Indexing.weekBatch(corpus, d).localCheckpoint()
+          val t0 = System.nanoTime()
+          graft.tools.FullEval.run(graft.pipelines.CurationJob
+            .absorbDaily(batch, curatedRoot, lshRoot, batchId = d.toLong))
+          val tIngest = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          graft.pipelines.CurationJob.nightly(spark, curatedRoot, lshRoot, keep = 3)
+          (tIngest, (System.nanoTime() - t1) / 1e9)
+        }
+        cleanup()
+        days
+      } catch { case _: Throwable => Seq.empty }
     // stable key order; scalar fields FIRST, then the 10 slowest, then
     // the full map — a consumer that truncates the line tail still gets
     // the total and the queries that matter; times at 3 decimals keep
@@ -180,8 +236,14 @@ object Bench {
     // inflated segment names exactly which queries a load spike hit
     val series = best.series
       .map { case (i, v, p) => s"[$i,${ms(v)},${ms(p)}]" }.mkString("[", ",", "]")
+    // re-timed heavy queries (variance guard) + the week per-day
+    // breakdown ride the SHORT line too — both are the adjudication
+    // data for the composed gates and total a few hundred bytes
+    val retimedObj = obj(best.retimed.toSeq.sortBy(_._1))
+    val weekObj = weekDays
+      .map { case (i, n) => s"[${ms(i)},${ms(n)}]" }.mkString("[", ",", "]")
     val scalars =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","attempts":${attempts.size},"clean":${best.clean},"calib_par_ratio":${ms(best.parRatio)},"calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"calib_par_first_sec":${ms(best.parFirst)},"calib_par_last_sec":${ms(best.parLast)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd"""
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","attempts":${attempts.size},"clean":${best.clean},"calib_par_ratio":${ms(best.parRatio)},"calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"calib_par_first_sec":${ms(best.parFirst)},"calib_par_last_sec":${ms(best.parLast)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_retimed":${best.retimed.size},"retimed":$retimedObj,"week_days_ingest_nightly":$weekObj"""
     val json =
       s"""{$scalars,"calib_series":$series,"slowest":$slow,"queries":$qs}"""
     // durable copy the driver can read whole even if stdout is capped

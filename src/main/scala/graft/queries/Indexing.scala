@@ -658,6 +658,58 @@ object Indexing {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** #231 CONTENDED WEEK GATE (`q_curation_week_contended`) — #219's
+    * 7-day composition with the OPERATIONAL RACE left in: each day,
+    * [[graft.pipelines.CurationJob.absorbDaily]] and
+    * [[graft.pipelines.CurationJob.nightly]] run CONCURRENTLY on the
+    * same roots (latch-started threads, joined before the next day) —
+    * the deployment shape where the maintenance window overlaps a late
+    * ingest. The primitives are individually raced in SnapshotsSpec /
+    * CrossProcessLockSpec; this gates the COMPOSED job: the final
+    * curated corpus must equal the uncontended week's exactly (same
+    * DuckDB oracle as #219), because ingest outcomes depend only on
+    * INDEX CONTENT — compaction is an invisible rewrite, a
+    * mid-rewrite append makes compact's pin guard refuse-and-defer,
+    * and the replay watermark serializes under the commit lock. Any
+    * interleaving that loses a delta, double-appends a batch, or
+    * compacts away a mid-flight day shifts the corpus and fails the
+    * hash. Re-running replays every day as a no-op against the played
+    * root. */
+  def curationWeekContended(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.CurationJob
+    import graft.sources.Snapshots
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val base = LshIndex.defaultRoot(corpus) + "-weekc"
+    val (curatedRoot, lshRoot) = (s"$base/curated", s"$base/lsh")
+    if (Snapshots.latestVersion(curatedRoot).isEmpty)
+      Snapshots.commit(corpus, curatedRoot)
+    LshIndex.buildIfAbsent(corpus, lshRoot)
+    for (d <- 0 until 7) {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def racer(name: String)(body: => Unit) = {
+        val t = new Thread(() => {
+          start.await()
+          try body catch { case e: Throwable => errs.add(e) }
+        }, name)
+        t.start(); t
+      }
+      val ingest = racer(s"weekc-ingest-$d") {
+        CurationJob.absorbDaily(weekBatch(corpus, d), curatedRoot, lshRoot,
+          batchId = d.toLong)
+      }
+      val maint = racer(s"weekc-nightly-$d") {
+        CurationJob.nightly(s, curatedRoot, lshRoot, keep = 3)
+      }
+      start.countDown()
+      ingest.join(); maint.join()
+      if (!errs.isEmpty) throw errs.peek()
+    }
+    Snapshots.read(s, curatedRoot)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
   /** #220 TARGETED DELETE THROUGH THE VECTOR INDEX (`q_ann_delete`) —
     * #216's right-to-be-forgotten gate for the embedding side: build
     * the IVF index on the full corpus, tombstone every
@@ -893,6 +945,7 @@ object Indexing {
     "q_lsh_retrain_swap"      -> lshRetrainSwap _,
     "q_lsh_drift"             -> lshDrift _,
     "q_curation_week"         -> curationWeek _,
+    "q_curation_week_contended" -> curationWeekContended _,
     "q_ann_delete"            -> annDelete _,
     "q_semdedup_incremental"  -> semdedupIncremental _,
     "q_substring_dedup_incremental" -> substringDedupIncremental _,
@@ -1573,6 +1626,10 @@ object Indexing {
         |  FROM documents WHERE doc_id % 10 = 0""".stripMargin,
       rowsPerBand = 4),
     "q_curation_week" -> curationWeekOracleSql,
+    // the CONTENDED week answers the UNCONTENDED week's oracle
+    // verbatim: racing nightly maintenance against daily ingest must
+    // not change the curated corpus by a single row
+    "q_curation_week_contended" -> curationWeekOracleSql,
     "q_lsh_drift" -> lshDriftOracle(
       "SELECT doc_id, text FROM documents",
       """SELECT doc_id + 1000000 AS doc_id, text || ' near dup probe' AS text

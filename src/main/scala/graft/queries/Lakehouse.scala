@@ -178,11 +178,77 @@ object Lakehouse {
   def changeFeed(s: SparkSession, dir: String): DataFrame =
     Snapshots.changesBetween(s, mergeHistory(s, dir), fromV = 0L, toV = 3L)
 
+  /** Poll the follower's absorbed position until it reaches `v`. */
+  private def awaitPosition(sinkRoot: String, v: Long): Unit = {
+    val deadline = System.nanoTime() + 180L * 1000000000L
+    while (!graft.streaming.ChangeFeed.position(sinkRoot).exists(_ >= v)) {
+      require(System.nanoTime() < deadline,
+        s"change-feed follower never reached version $v under $sinkRoot")
+      Thread.sleep(100)
+    }
+  }
+
+  /** #230 STREAMING CHANGE-FEED FOLLOWER (`q_change_feed_stream`) —
+    * #229's consumer story made PUSH instead of poll
+    * ([[graft.streaming.ChangeFeed]]): a live follower query tails the
+    * chain WHILE it grows — v1 insert delta lands, then nightly
+    * maintenance COMPACTS the table mid-stream (the follower must skip
+    * the invisible rewrite and keep flowing), then a targeted delete
+    * and an atomic merge land — each absorbed into the sink table
+    * exactly once, keyed by SOURCE VERSION id (no checkpoint needed:
+    * the watermark lives in the sink chain, so restarts and replays
+    * no-op — ChangeFeedSpec pins that directly). The gate reads the
+    * sink: the same typed change rows as `q_change_feed`, at the
+    * versions this history commits them (1 insert, 3 delete, 4
+    * merge — 2 is the skipped compaction). A follower bug in either
+    * direction shows: a skipped delta loses rows, a double landing
+    * doubles them, a mis-skip of the compaction explodes the feed
+    * with a full table copy. Scale: each tick is O(new manifests)
+    * metadata + O(changed rows) data — the feed's cost tracks the
+    * change rate, never the table size. */
+  def changeFeedStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ChangeFeed
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def slice(m: Int, of: Int = 3) = docs.filter(pmod(col("doc_id"), lit(of)) === m)
+    def asLen(df: DataFrame) =
+      df.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val src = fpRoot(docs, "feedsrc")
+    val sink = fpRoot(docs, "feedsink")
+    val mon = historyMonitors.computeIfAbsent(sink, _ => new Object)
+    mon.synchronized {
+      // complete = the follower absorbed through v4 (v2 is the
+      // mid-stream compaction it must skip); anything less is a
+      // partial run — wipe both roots and replay with a live stream
+      if (!ChangeFeed.position(sink).contains(4L)) {
+        Snapshots.wipe(src); Snapshots.wipe(sink)
+        Snapshots.commit(asLen(slice(0)), src)                            // v0 base
+        val q = ChangeFeed.follow(s, src, sink, fromV = 0L,
+          tick = "250 milliseconds")
+        try {
+          Snapshots.commitAppend(asLen(slice(1)), src, Seq.empty, Some(1L)) // v1
+          awaitPosition(sink, 1L)
+          Snapshots.compact(s, src)                                       // v2: skipped
+          Snapshots.commitDelete(
+            slice(0, 30).select(col("doc_id")), src, "doc_id", Some(2L))  // v3
+          Snapshots.commitMerge(
+            asLen(slice(1, 15))
+              .select(col("doc_id"), (col("len") + 1000L).as("len"))
+              .unionByName(asLen(slice(2, 15))
+                .select((col("doc_id") + 1000000L).as("doc_id"), col("len"))),
+            src, "doc_id", batchId = Some(3L))                            // v4
+          awaitPosition(sink, 4L)
+        } finally q.stop()
+      }
+    }
+    Snapshots.read(s, sink)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ingest_rollback"  -> ingestRollback _,
-    "q_schema_evolution" -> schemaEvolution _,
-    "q_snapshot_merge"   -> snapshotMerge _,
-    "q_change_feed"      -> changeFeed _
+    "q_ingest_rollback"    -> ingestRollback _,
+    "q_schema_evolution"   -> schemaEvolution _,
+    "q_snapshot_merge"     -> snapshotMerge _,
+    "q_change_feed"        -> changeFeed _,
+    "q_change_feed_stream" -> changeFeedStream _
   )
 
   val oracles: Map[String, String] = Map(
@@ -236,6 +302,22 @@ object Lakehouse {
         |FROM documents WHERE doc_id % 15 = 1
         |UNION ALL
         |SELECT doc_id + 1000000, CAST(LENGTH(text) AS BIGINT), 'upsert', CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 15 = 2""".stripMargin,
+    // the STREAMED feed over the grown-while-following history: same
+    // change rows, at this history's version numbers — 1 insert,
+    // 3 delete, 4 merge (2 is the compaction the follower skips)
+    "q_change_feed_stream" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len,
+        |       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM documents WHERE doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS BIGINT), 'delete', CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 30 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT) + 1000, 'upsert', CAST(4 AS BIGINT)
+        |FROM documents WHERE doc_id % 15 = 1
+        |UNION ALL
+        |SELECT doc_id + 1000000, CAST(LENGTH(text) AS BIGINT), 'upsert', CAST(4 AS BIGINT)
         |FROM documents WHERE doc_id % 15 = 2""".stripMargin
   )
 }

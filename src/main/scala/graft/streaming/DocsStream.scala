@@ -336,7 +336,12 @@ object DocsStream {
     * empty-batch short-circuit covers the index side) — except the
     * very first tick, which still lands an empty frame so
     * `matchesRoot` exists with the contract schema for downstream
-    * readers. */
+    * readers (only once the index exists — empty ticks before the
+    * build idle politely). BUILD-BEFORE-STREAM is enforced loudly: a
+    * NON-EMPTY micro-batch arriving before [[graft.similarity
+    * .VectorIndex.build]] committed fails the query with a named
+    * IllegalStateException instead of an incidental read error
+    * (StreamingSpec pins the failure mode). */
   def absorbSemantic(spark: org.apache.spark.sql.SparkSession,
       vectors: DataFrame, root: String, matchesRoot: String,
       checkpoint: String, tau: Double = 0.95):
@@ -360,10 +365,23 @@ object DocsStream {
         // replayable, so the emptiness probe is a plain take(1) with
         // no extra materialization.
         val batch = df.select(col("vec_id"), col("v"))
+        val built = graft.sources.Snapshots
+          .latestVersion(VectorIndex.centroidsRoot(root)).nonEmpty
+        // BUILD-BEFORE-STREAM is a contract, and breaking it must be a
+        // NAMED failure: a non-empty micro-batch arriving before
+        // VectorIndex.build committed would otherwise crash
+        // incidentally deep inside Snapshots.read on the missing
+        // centroids root (empty startup ticks keep idling politely —
+        // a stream may legitimately start before its first data).
+        if (!batch.isEmpty && !built)
+          throw new IllegalStateException(
+            s"absorbSemantic: no vector index is built under $root — " +
+              "run VectorIndex.build/buildIfAbsent BEFORE streaming " +
+              "absorb (build-before-stream contract); this micro-batch " +
+              s"(id=$id) carries rows that would otherwise be probed " +
+              "against a nonexistent index")
         if (!batch.isEmpty ||
-            (graft.sources.Snapshots.latestVersion(matchesRoot).isEmpty &&
-             graft.sources.Snapshots
-               .latestVersion(VectorIndex.centroidsRoot(root)).nonEmpty))
+            (graft.sources.Snapshots.latestVersion(matchesRoot).isEmpty && built))
           graft.sources.Snapshots.landBatch(
             VectorIndex.semProbeBatch(spark, root, batch, tau, id),
             matchesRoot, id)

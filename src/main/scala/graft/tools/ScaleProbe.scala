@@ -139,7 +139,13 @@ object ScaleProbe {
       // metadata-driven blowup, and the change feed must track CHANGED
       // rows (delta dirs only, never the base)
       "q_ingest_rollback", "q_schema_evolution", "q_snapshot_merge",
-      "q_change_feed")
+      "q_change_feed",
+      // r11 additions: the streamed follower gate (history + follower
+      // play once per fingerprint root in pass 1; min-of-2 isolates
+      // the sink read, which tracks CHANGED rows) and the contended
+      // week (replay passes re-run every day as watermark no-ops, so
+      // the curve tracks the same absorbed volume as q_curation_week)
+      "q_change_feed_stream", "q_curation_week_contended")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {
@@ -305,6 +311,34 @@ object ScaleProbe {
         val tNightly = (System.nanoTime() - t1) / 1e9
         println(f"${s"  week_day$d"}%-24s $tIngest%7.2fs $tNightly%7.2fs")
       }
+    }
+    // CHANGE-FEED FOLLOW probe (r11): the O(changed rows) claim
+    // measured — the SAME fixed-size delta lands on a 1x vs 16x base
+    // table, and catchUp (read the delta dir, type it, land it into
+    // the sink) must stay FLAT: the follower never touches the base,
+    // only the changed version's immutable dir. Base commit cost
+    // (∝ corpus) sits OUTSIDE the timed window by design.
+    if (args.isEmpty || args(0).split(",").contains("change_feed_follow")) {
+      import graft.sources.Snapshots
+      import graft.streaming.ChangeFeed
+      val delta = spark.read.parquet(s"${dirs(1)}/documents.parquet")
+        .filter(pmod(col("doc_id"), lit(20)) === 3)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          length(col("text")).cast("long").as("len"))
+        .localCheckpoint()
+      val times = scales.map { n =>
+        val b = java.nio.file.Files.createTempDirectory(s"feedprobe$n").toString
+        val (src, sink) = (s"$b/src", s"$b/sink")
+        Snapshots.commit(
+          spark.read.parquet(s"${dirs(n)}/documents.parquet")
+            .select(col("doc_id"), length(col("text")).cast("long").as("len")),
+          src)
+        Snapshots.commitAppend(delta, src, Seq.empty, Some(1L))
+        val t0 = System.nanoTime()
+        ChangeFeed.catchUp(spark, src, sink)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"${"change_feed_follow"}%-24s ${times.map(t => f"$t%7.2fs").mkString} ${times.last / times.head}%6.1fx")
     }
     spark.stop()
   }

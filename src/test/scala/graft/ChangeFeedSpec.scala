@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Snapshots
+import graft.streaming.ChangeFeed
+
+/** The streaming change-feed follower ([[graft.streaming.ChangeFeed]]):
+  * replay exactly-once WITHOUT a checkpoint (the watermark lives in
+  * the sink chain), compaction-skip, full-rewrite refusal, and the
+  * delete/merge typed-row semantics per landed version. The
+  * grown-while-following end-to-end run is the `q_change_feed_stream`
+  * gate; these specs pin the contracts the gate's hash can't name. */
+class ChangeFeedSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpBase(): String =
+    java.nio.file.Files.createTempDirectory("feed").toString
+
+  test("catchUp lands each delta once, typed; replays and re-runs no-op") {
+    import spark.implicits._
+    val b = tmpBase()
+    val (src, sink) = (s"$b/src", s"$b/sink")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)   // v0
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), src, Seq.empty, Some(1L)) // v1
+    Snapshots.commitDelete(Seq(1L).toDF("id"), src, "id", Some(2L))    // v2
+    assert(ChangeFeed.catchUp(spark, src, sink) == Seq(1L, 2L))
+    assert(ChangeFeed.position(sink).contains(2L))
+    // typed rows: v1 insert with values, v2 delete key-only (null v)
+    val rows = Snapshots.read(spark, sink)
+      .select(col("id"), col("v"), col("_change_type"), col("_commit_version"))
+      .as[(Long, Option[String], String, Long)].collect().toSet
+    assert(rows == Set((3L, Some("c"), "insert", 1L), (1L, None, "delete", 2L)))
+    // replay: nothing new -> nothing landed, position unchanged
+    assert(ChangeFeed.catchUp(spark, src, sink).isEmpty)
+    assert(Snapshots.versions(sink).size == 2)
+    // the feed reconstructs the table: base minus deletes plus inserts
+    // (v0 is pre-feed history the consumer seeds from readVersion(0))
+    val live = Snapshots.read(spark, src).count()
+    assert(live == 2) // (2,b) and (3,c)
+  }
+
+  test("compactions are skipped (invisible rewrites); a fresh full rewrite is a named error") {
+    import spark.implicits._
+    val b = tmpBase()
+    val (src, sink) = (s"$b/src", s"$b/sink")
+    Snapshots.commit(Seq(1L).toDF("id"), src)                       // v0
+    Snapshots.commitAppend(Seq(2L).toDF("id"), src, Seq.empty, Some(1L)) // v1
+    assert(ChangeFeed.catchUp(spark, src, sink) == Seq(1L))
+    Snapshots.compact(spark, src)                                   // v2 compacted
+    // the compaction is skipped, the feed keeps flowing
+    assert(ChangeFeed.catchUp(spark, src, sink).isEmpty)
+    Snapshots.commitAppend(Seq(3L).toDF("id"), src, Seq.empty, Some(2L)) // v3
+    assert(ChangeFeed.catchUp(spark, src, sink) == Seq(3L))
+    assert(Snapshots.read(spark, sink).count() == 2) // v1 + v3 rows only
+    // a REAL content replace has no row-level representation: loud stop
+    Snapshots.commit(Seq(9L).toDF("id"), src)                       // v4 fresh full
+    val e = intercept[IllegalArgumentException](
+      ChangeFeed.catchUp(spark, src, sink))
+    assert(e.getMessage.contains("full rewrite"))
+  }
+
+  test("a live follower tails a growing chain; restart WITHOUT checkpoint stays exactly-once") {
+    import spark.implicits._
+    val b = tmpBase()
+    val (src, sink) = (s"$b/src", s"$b/sink")
+    Snapshots.commit(Seq((1L, 10L)).toDF("id", "x"), src)
+    def await(v: Long): Unit = {
+      val dl = System.nanoTime() + 60L * 1000000000L
+      while (!ChangeFeed.position(sink).exists(_ >= v)) {
+        assert(System.nanoTime() < dl, s"follower never reached $v")
+        Thread.sleep(50)
+      }
+    }
+    val q1 = ChangeFeed.follow(spark, src, sink, tick = "100 milliseconds")
+    try {
+      Snapshots.commitAppend(Seq((2L, 20L)).toDF("id", "x"), src, Seq.empty, Some(1L))
+      await(1L)
+    } finally q1.stop()
+    // restart with NO checkpoint (a fresh temp one): the sink
+    // watermark alone must carry exactly-once across the restart
+    val q2 = ChangeFeed.follow(spark, src, sink, tick = "100 milliseconds")
+    try {
+      Snapshots.commitAppend(Seq((3L, 30L)).toDF("id", "x"), src, Seq.empty, Some(2L))
+      await(2L)
+    } finally q2.stop()
+    val ids = Snapshots.read(spark, sink).select("id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(2L, 3L), s"duplicated or lost landings: $ids")
+  }
+
+  test("absorbSemantic fails LOUDLY on a non-empty batch before the index is built") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b = tmpBase()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.DocsStream.absorbSemantic(spark,
+      mem.toDF().toDF("vec_id", "v"), s"$b/idx-never-built", s"$b/matches",
+      s"$b/ckpt")
+    try {
+      mem.addData(Seq((1L, Seq.fill(64)(0.1))))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("build-before-stream")),
+        s"expected the named build-before-stream error, got: $e")
+    } finally q.stop()
+  }
+}

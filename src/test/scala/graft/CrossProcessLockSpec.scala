@@ -98,6 +98,53 @@ class CrossProcessLockSpec extends AnyFunSuite {
       .map(_.stripPrefix("v=").toLong).toSeq.sorted == (0L to 15L))
   }
 
+  test("cross-process composed job: child-JVM daily ingest races this JVM's nightly maintenance; the corpus is byte-identical to the uncontended run") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.pipelines.CurationJob
+    import graft.dedup.LshIndex
+    val sfdir = sf // sf0.001 documents
+    val corpus = spark.read.parquet(s"$sfdir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    def playedRoots(tag: String): (String, String, String) = {
+      val base = Files.createTempDirectory(s"xweek-$tag").toString
+      Snapshots.commit(corpus, s"$base/curated")
+      LshIndex.build(corpus, s"$base/lsh")
+      (base, s"$base/curated", s"$base/lsh")
+    }
+    // reference: two days played sequentially, maintenance between
+    val (_, refCurated, refLsh) = playedRoots("ref")
+    (0 until 2).foreach { d =>
+      CurationJob.absorbDaily(graft.queries.Indexing.weekBatch(corpus, d),
+        refCurated, refLsh, batchId = d.toLong)
+      CurationJob.nightly(spark, refCurated, refLsh, keep = 3)
+    }
+    // contended: each day's ingest runs in a CHILD JVM while THIS JVM
+    // hammers nightly maintenance on the same roots — compaction and
+    // vacuum contend with the absorb through the OS file lock only
+    val (base, curated, lsh) = playedRoots("race")
+    (0 until 2).foreach { d =>
+      val log = Files.createTempFile(s"absorbday-$d", ".log").toFile
+      val kid = launch(Seq("absorbday", base, d.toString, sfdir), log)
+      try {
+        while (kid.isAlive) {
+          CurationJob.nightly(spark, curated, lsh, keep = 3)
+          Thread.sleep(100) // most ticks no-op until the child lands
+        }
+        assert(kid.waitFor(240, TimeUnit.SECONDS) && kid.exitValue() == 0,
+          s"absorbday child failed:\n${new String(
+            Files.readAllBytes(log.toPath)).takeRight(4000)}")
+      } finally if (kid.isAlive) kid.destroyForcibly()
+      CurationJob.nightly(spark, curated, lsh, keep = 3)
+    }
+    val want = Snapshots.read(spark, refCurated)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val got = Snapshots.read(spark, curated)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "cross-process ingest-vs-maintenance race changed the curated corpus")
+  }
+
   test("the commit lock blocks across processes, and a DYING holder releases the root") {
     import spark.implicits._
     val root = Files.createTempDirectory("xproc-die").toString + "/tbl"

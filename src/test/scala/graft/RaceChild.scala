@@ -24,6 +24,27 @@ object RaceChild {
       println(s"DONE $writerId")
       spark.stop()
       sys.exit(0)
+    // absorbday <base> <day> <sfdir>: one CurationJob.absorbDaily day
+    // (the #219 week gate's batch shape) against <base>/curated +
+    // <base>/lsh — launched while the PARENT JVM runs nightly
+    // maintenance on the same roots, so ingest-vs-compaction contends
+    // across real process boundaries
+    case "absorbday" =>
+      val (base, day, sfdir) = (args(1), args(2).toInt, args(3))
+      val spark = GraftSession.builder(master = "local[2]", shufflePartitions = 2)
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("race-wh").toString)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import org.apache.spark.sql.functions.col
+      val corpus = spark.read.parquet(s"$sfdir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      graft.pipelines.CurationJob.absorbDaily(
+        graft.queries.Indexing.weekBatch(corpus, day),
+        s"$base/curated", s"$base/lsh", batchId = day.toLong)
+      println(s"DONE day$day")
+      spark.stop()
+      sys.exit(0)
     // lockhold <root>: take the commit lock the way PosixCommitIO does
     // and hold it until killed — the dying-holder recovery scenario
     case "lockhold" =>

@@ -128,6 +128,54 @@ class CommitIOSpec extends AnyFunSuite {
     }
   }
 
+  test("LeaseCommitIO (the shipped object-store arbiter): 8-writer race passes with NO posix lock; an expired lease from a dead holder is broken") {
+    import spark.implicits._
+    withIO(new graft.sources.LeaseCommitIO()) {
+      val root = tmpRoot()
+      Snapshots.commit(Seq(0L).toDF("id"), root)
+      assert(!Files.exists(Paths.get(s"$root/_commitlock")),
+        "lease arbiter must never touch the posix lock file")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val start = new CountDownLatch(1)
+        val fs = (0 until 8).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              start.await()
+              Snapshots.commitAppend(Seq(100L + i).toDF("id"), root)
+            }
+          })
+        }
+        start.countDown()
+        assert(fs.map(_.get()).toSet == (1L to 8L).toSet)
+      } finally pool.shutdown()
+      assert(Snapshots.read(spark, root).as[Long].collect().toSet ==
+        (Set(0L) ++ (0 until 8).map(100L + _)))
+      // racing same-batch deliveries: the under-lease guard still
+      // lands exactly one commit
+      val before = Snapshots.versions(root)
+      val pool2 = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val start = new CountDownLatch(1)
+        val fs = (0 until 4).map(_ => pool2.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = { start.await()
+            Snapshots.commitAppend(Seq(42L).toDF("id"), root, Seq.empty, Some(99L)) }
+        }))
+        start.countDown(); fs.foreach(_.get())
+      } finally pool2.shutdown()
+      assert(Snapshots.versions(root).size == before.size + 1,
+        "same-batch race multi-committed under the lease arbiter")
+      // DEAD HOLDER: a crashed writer's lease expires and is broken by
+      // the next writer instead of wedging the root forever
+      val stale = s"dead-owner:nonce:${System.currentTimeMillis() - 1}"
+      Files.write(Paths.get(s"$root/_lease"),
+        stale.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      Snapshots.commitAppend(Seq(999L).toDF("id"), root) // must not hang
+      assert(Snapshots.read(spark, root).as[Long].collect().contains(999L))
+    }
+  }
+
   test("OBJECT-STORE HAZARD, pinned: without mutual exclusion a racing claim silently erases a committed version") {
     import spark.implicits._
     val root = tmpRoot()

@@ -98,6 +98,37 @@ class CrossProcessLockSpec extends AnyFunSuite {
       .map(_.stripPrefix("v=").toLong).toSeq.sorted == (0L to 15L))
   }
 
+  test("three processes race appends under the LEASE arbiter (no posix lock anywhere): same invariants") {
+    import spark.implicits._
+    val prev = Snapshots.io
+    Snapshots.io = new graft.sources.LeaseCommitIO()
+    try {
+      val root = Files.createTempDirectory("xproc-lease").toString + "/tbl"
+      Snapshots.commit(Seq(0L).toDF("id"), root)
+      val logs = (1 to 2).map(i => Files.createTempFile(s"lease-$i", ".log").toFile)
+      val kids = Seq(
+        launch(Seq("append", root, "1", "5", "lease"), logs(0)),
+        launch(Seq("append", root, "2", "5", "lease"), logs(1)))
+      (0 until 5).foreach { i =>
+        Snapshots.commitAppend(Seq(3000L + i).toDF("id"), root)
+      }
+      kids.foreach(p => assert(p.waitFor(240, TimeUnit.SECONDS), "child timed out"))
+      kids.zip(logs).foreach { case (p, log) =>
+        assert(p.exitValue() == 0,
+          s"lease child failed:\n${new String(Files.readAllBytes(log.toPath)).takeRight(4000)}")
+      }
+      assert(Snapshots.versions(root) == (0L to 15L),
+        s"lease-arbitrated history not linear: ${Snapshots.versions(root)}")
+      val expect = Set(0L) ++
+        (0 until 5).flatMap(i => Seq(1000L + i, 2000L + i, 3000L + i))
+      val rows = Snapshots.read(spark, root).as[Long].collect().toSeq
+      assert(rows.size == expect.size && rows.toSet == expect,
+        "rows lost or doubled under the lease arbiter")
+      assert(!Files.exists(Paths.get(s"$root/_commitlock")),
+        "lease-arbitrated root must never grow a posix lock file")
+    } finally Snapshots.io = prev
+  }
+
   test("cross-process composed job: child-JVM daily ingest races this JVM's nightly maintenance; the corpus is byte-identical to the uncontended run") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, md5}

@@ -8,9 +8,14 @@ package graft
   * the per-root monitor before the file lock can ever matter). */
 object RaceChild {
   def main(args: Array[String]): Unit = args(0) match {
-    // append <root> <writerId> <n>: n sequential unkeyed delta appends
+    // append <root> <writerId> <n> [lease]: n sequential unkeyed delta
+    // appends; "lease" swaps in the object-store-style arbiter
+    // (graft.sources.LeaseCommitIO — create-if-absent + TTL, no POSIX
+    // lock) so the cross-process race also exercises that seam impl
     case "append" =>
       val (root, writerId, n) = (args(1), args(2).toLong, args(3).toInt)
+      if (args.length > 4 && args(4) == "lease")
+        graft.sources.Snapshots.io = new graft.sources.LeaseCommitIO()
       val spark = GraftSession.builder(master = "local[2]", shufflePartitions = 2)
         .config("spark.sql.warehouse.dir",
           java.nio.file.Files.createTempDirectory("race-wh").toString)

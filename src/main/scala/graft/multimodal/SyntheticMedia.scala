@@ -96,6 +96,113 @@ object SyntheticMedia {
     }.toDF("doc_id", "media")
   }
 
+  // ------------------------------------------------- FLV screen video
+
+  /** Encode an FLV / Screen Video v1 clip (the INTER-FRAME planted
+    * probe): `frames(i)` lists one entry per 16×16 block in codec
+    * order (bottom-left first, rows of blocks bottom-up) — Some(rgb)
+    * writes the block as a zlib tile, None encodes the zero-length
+    * "persist previous frame" entry. Frame 0 must be all-Some (the
+    * keyframe). This is the encoder side of
+    * [[VideoDecode.flvFramesSampled]]; VideoDecodeSpec round-trips
+    * them and `q_video_interframe` gates the pair against an
+    * arithmetic oracle. */
+  def flvScreenBytes(frames: Seq[Seq[Option[Int]]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.head.forall(_.nonEmpty),
+      "frame 0 is the keyframe: every block must be present")
+    val bw = 16; val bh = 16
+    val blocksPerRow = (w + bw - 1) / bw
+    val blockRows = (h + bh - 1) / bh
+    require(frames.forall(_.length == blocksPerRow * blockRows),
+      s"each frame needs ${blocksPerRow * blockRows} block entries")
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val n = d.deflate(buf)
+        require(d.finished(), "deflate buffer too small")
+        buf.take(n)
+      } finally d.end()
+    }
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def be16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def be24(v: Int): Unit = { u8(v >> 16); u8(v >> 8); u8(v) }
+    def be32(v: Long): Unit = { u8((v >> 24).toInt); u8((v >> 16).toInt); u8((v >> 8).toInt); u8(v.toInt) }
+    // FLV header: signature, version 1, video-only flag, dataOffset 9
+    out.write('F'); out.write('L'); out.write('V'); u8(1); u8(0x01); be32(9L)
+    be32(0L) // PreviousTagSize0
+    frames.zipWithIndex.foreach { case (blocks, fi) =>
+      val payload = new ByteArrayOutputStream()
+      def p8(v: Int): Unit = payload.write(v & 0xff)
+      def p16(v: Int): Unit = { p8(v >> 8); p8(v) }
+      val frameType = if (fi == 0) 1 else 2 // keyframe | interframe
+      p8((frameType << 4) | 3)              // codec id 3 = Screen Video
+      p16(((bw / 16 - 1) << 12) | w)
+      p16(((bh / 16 - 1) << 12) | h)
+      var bi = 0
+      var y0 = 0
+      while (y0 < h) {
+        val tileH = math.min(bh, h - y0)
+        var x0 = 0
+        while (x0 < w) {
+          val tileW = math.min(bw, w - x0)
+          blocks(bi) match {
+            case Some(rgb) =>
+              // solid tile, rows bottom-up, pixels BGR
+              val raw = new Array[Byte](tileW * tileH * 3)
+              var i = 0
+              while (i < tileW * tileH) {
+                raw(i * 3) = (rgb & 0xff).toByte
+                raw(i * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+                raw(i * 3 + 2) = ((rgb >> 16) & 0xff).toByte
+                i += 1
+              }
+              val z = deflate(raw)
+              p16(z.length); payload.write(z, 0, z.length)
+            case None => p16(0) // persist
+          }
+          bi += 1
+          x0 += bw
+        }
+        y0 += bh
+      }
+      val body = payload.toByteArray
+      u8(9); be24(body.length)               // tag type video, dataSize
+      be24(fi * 40); u8(0); be24(0)          // timestamp, streamId
+      out.write(body, 0, body.length)
+      be32(11L + body.length)                // PreviousTagSize
+    }
+    out.toByteArray
+  }
+
+  /** One planted Screen-Video FLV per doc for the INTER-FRAME decode
+    * gate: 32×16 canvas = two 16×16 blocks [left, right];
+    * 2 + id%3 frames. The keyframe paints left = primary id%3 and
+    * right = primary (id+1)%3; interframe i updates ONLY one block —
+    * right when i is odd, left when i is even — to primary
+    * (id + 2i)%3, the other block PERSISTING through the codec's
+    * zero-length entry. Every frame after the first is therefore
+    * readable only through carried state, which is what the gate
+    * verifies arithmetically. */
+  def plantFlvs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (2 + id % 3).toInt
+        val key = Seq(Some(primaries(((id % 3) + 3).toInt % 3)),
+          Some(primaries((((id + 1) % 3) + 3).toInt % 3)))
+        val inter = (1 until n).map { i =>
+          val c = Some(primaries((((id + 2 * i) % 3) + 3).toInt % 3))
+          if (i % 2 == 1) Seq(None, c) else Seq(c, None)
+        }
+        (id, flvScreenBytes(key +: inter, 32, 16))
+      }
+    }.toDF("doc_id", "media")
+  }
+
   // ---------------------------------------------------------- audio
 
   /** Segments per clip (= fingerprint windows + 1: 65 segments give

@@ -145,7 +145,10 @@ object ScaleProbe {
       // the sink read, which tracks CHANGED rows) and the contended
       // week (replay passes re-run every day as watermark no-ops, so
       // the curve tracks the same absorbed volume as q_curation_week)
-      "q_change_feed_stream", "q_curation_week_contended")
+      "q_change_feed_stream", "q_curation_week_contended",
+      // r11: per-doc FLV encode+decode is row-local (clip state never
+      // leaves its row) — the curve must be linear in docs
+      "q_video_interframe")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

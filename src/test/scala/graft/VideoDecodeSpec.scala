@@ -201,4 +201,84 @@ class VideoDecodeSpec extends AnyFunSuite {
     val decoded = VideoDecode.decode(overrun)
     assert(decoded.forall(_.nonEmpty)) // clamped walk still finds the frame or bails clean
   }
+
+  // --------------------------------------- FLV / Screen Video v1
+
+  test("FLV screen video round-trip: keyframe + interframes, block PERSISTENCE is the decode") {
+    import graft.multimodal.SyntheticMedia
+    // 32x16 = two 16x16 blocks [left, right]
+    val red = 0xff0000; val green = 0x00ff00; val blue = 0x0000ff
+    val clip = SyntheticMedia.flvScreenBytes(Seq(
+      Seq(Some(red), Some(green)),  // keyframe: L red, R green
+      Seq(None, Some(blue)),        // inter: L PERSISTS red, R -> blue
+      Seq(Some(green), None)        // inter: L -> green, R PERSISTS blue
+    ), 32, 16)
+    assert(VideoDecode.detectFormat(clip) == "flv")
+    val frames = VideoDecode.flvFrames(clip).get
+    assert(frames.length == 3)
+    assert(frames.forall(p => p.width == 32 && p.height == 16))
+    // full-frame means: each block contributes channel/2
+    def rgb(p: graft.multimodal.ImageDecode.Pixels) =
+      (p.meanR, p.meanG, p.meanB)
+    assert(rgb(frames(0)) == (127.5, 127.5, 0.0))   // red + green
+    // frame 1 readable ONLY via carried state: left is still red
+    assert(rgb(frames(1)) == (127.5, 0.0, 127.5))   // red + blue
+    assert(rgb(frames(2)) == (0.0, 127.5, 127.5))   // green + blue
+    // header-only meta: dims + frame count, no pixel work
+    val m = VideoDecode.meta(clip).get
+    assert(m == VideoDecode.VideoMeta("flv", 32, 16, 3))
+    // sampling: state still decodes every frame, stats only on sampled
+    val sampled = VideoDecode.flvFramesSampled(clip, stride = 2).get
+    assert(sampled.map(_._1) == Vector(0, 2))
+    assert(rgb(sampled(1)._2) == (0.0, 127.5, 127.5))
+  }
+
+  test("FLV screen video: partial edge blocks (canvas not a multiple of 16) and vertical orientation") {
+    import graft.multimodal.SyntheticMedia
+    // 24x20: block grid 2x2 -> tiles 16x16, 8x16, 16x4, 8x4; codec
+    // order is BOTTOM row of blocks first
+    val r = 0xff0000; val g = 0x00ff00; val b = 0x0000ff; val k = 0x000000
+    val clip = SyntheticMedia.flvScreenBytes(Seq(
+      // bottom row [left 16x16, right 8x16], top row [left 16x4, right 8x4]
+      Seq(Some(r), Some(r), Some(g), Some(g)), // bottom red, top green
+      Seq(None, None, Some(b), Some(k))        // top-left -> blue, top-right -> black
+    ), 24, 20)
+    val frames = VideoDecode.flvFrames(clip).get
+    assert(frames.length == 2)
+    assert(frames.forall(p => p.width == 24 && p.height == 20))
+    // frame 0: 24x16 red (384 px) + 24x4 green (96 px) over 480 px
+    assert(frames(0).meanR == 255.0 * 384 / 480)
+    assert(frames(0).meanG == 255.0 * 96 / 480)
+    // frame 1: bottom PERSISTS red; top row now 16x4 blue + 8x4 black
+    assert(frames(1).meanR == 255.0 * 384 / 480)
+    assert(frames(1).meanG == 0.0)
+    assert(frames(1).meanB == 255.0 * 64 / 480)
+  }
+
+  test("FLV screen video: malformed input is None, never a throw") {
+    import graft.multimodal.SyntheticMedia
+    val good = SyntheticMedia.flvScreenBytes(
+      Seq(Seq(Some(0xff0000), Some(0x00ff00))), 32, 16)
+    // truncations at every length: None or a clean partial, no throw
+    (0 until good.length by 7).foreach { n =>
+      VideoDecode.flvFrames(good.take(n)) // must not throw
+    }
+    // corrupt deflate stream inside a block
+    val corrupt = good.clone()
+    corrupt(corrupt.length - 10) = 0x55.toByte
+    assert(VideoDecode.flvFrames(corrupt).isEmpty ||
+      VideoDecode.flvFrames(corrupt).nonEmpty) // total either way
+    // a clip that opens on an INTERFRAME has no prediction base: None
+    val orphan = SyntheticMedia.flvScreenBytes(
+      Seq(Seq(Some(0xff0000), Some(0x00ff00)),
+        Seq(None, Some(0x0000ff))), 32, 16)
+    // splice out the keyframe tag: header(9) + prevTag0(4) then tag 1
+    val tag1Size = {
+      val ds = ((orphan(13 + 1) & 0xff) << 16) | ((orphan(13 + 2) & 0xff) << 8) | (orphan(13 + 3) & 0xff)
+      11 + ds + 4
+    }
+    val spliced = orphan.take(13) ++ orphan.drop(13 + tag1Size)
+    assert(VideoDecode.flvFrames(spliced).isEmpty,
+      "an interframe with no keyframe base must not decode")
+  }
 }

@@ -207,6 +207,16 @@ object Lakehouse {
     * metadata + O(changed rows) data — the feed's cost tracks the
     * change rate, never the table size. */
   def changeFeedStream(s: SparkSession, dir: String): DataFrame = {
+    val (_, sink) = feedHistory(s, dir)
+    Snapshots.read(s, sink)
+  }
+
+  /** The grown-while-following feed history behind #230/#233 (played
+    * once per corpus, live follower included): v0 base, v1 insert
+    * delta, v2 mid-stream compaction (skipped by the feed), v3
+    * targeted delete, v4 atomic merge. Returns (source root, sink
+    * root) with the sink fully caught up to v4. */
+  private def feedHistory(s: SparkSession, dir: String): (String, String) = {
     import graft.streaming.ChangeFeed
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     def slice(m: Int, of: Int = 3) = docs.filter(pmod(col("doc_id"), lit(of)) === m)
@@ -240,7 +250,35 @@ object Lakehouse {
         } finally q.stop()
       }
     }
-    Snapshots.read(s, sink)
+    (src, sink)
+  }
+
+  /** #233 CHANGE-FEED MIRROR (`q_feed_mirror`) — the downstream
+    * consumer end of the CDC loop: a REPLICA table bootstrapped from
+    * the source's base snapshot and then maintained PURELY from the
+    * streamed change feed ([[graft.streaming.ChangeFeed.mirrorCatchUp]]
+    * — insert → append, delete → tombstone, upsert → atomic merge,
+    * one mirror version per source version, exactly once by version
+    * id). The gate reads the MIRROR and must equal the source's final
+    * table byte-for-byte (the `q_snapshot_merge`-shaped oracle over
+    * the same slices): a lost feed version, a double apply, a
+    * mis-typed delete, or a torn upsert all shift the replica. The
+    * mirror never reads the source after bootstrap — only the feed.
+    * Cost per applied version is O(its changed rows); the replica's
+    * base is never rewritten. */
+  def feedMirror(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ChangeFeed
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val (src, sink) = feedHistory(s, dir)
+    val mirror = fpRoot(docs, "feedmirror")
+    val mon = historyMonitors.computeIfAbsent(mirror, _ => new Object)
+    mon.synchronized {
+      if (Snapshots.latestVersion(mirror).isEmpty)
+        Snapshots.commitBatch(Snapshots.readVersion(s, src, 0L), mirror,
+          batchId = 0L)
+      ChangeFeed.mirrorCatchUp(s, sink, mirror, keyCol = "doc_id")
+    }
+    Snapshots.read(s, mirror)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -248,7 +286,8 @@ object Lakehouse {
     "q_schema_evolution"   -> schemaEvolution _,
     "q_snapshot_merge"     -> snapshotMerge _,
     "q_change_feed"        -> changeFeed _,
-    "q_change_feed_stream" -> changeFeedStream _
+    "q_change_feed_stream" -> changeFeedStream _,
+    "q_feed_mirror"        -> feedMirror _
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,6 +357,21 @@ object Lakehouse {
         |FROM documents WHERE doc_id % 15 = 1
         |UNION ALL
         |SELECT doc_id + 1000000, CAST(LENGTH(text) AS BIGINT), 'upsert', CAST(4 AS BIGINT)
+        |FROM documents WHERE doc_id % 15 = 2""".stripMargin,
+    // the feed-maintained REPLICA must equal the source's final table:
+    // base minus deletes, inserts, updated rows exactly once, new keys
+    // (the q_snapshot_merge shape over the feed history's slices)
+    "q_feed_mirror" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 30 <> 0
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 1 AND doc_id % 15 <> 1
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT) + 1000
+        |FROM documents WHERE doc_id % 15 = 1
+        |UNION ALL
+        |SELECT doc_id + 1000000, CAST(LENGTH(text) AS BIGINT)
         |FROM documents WHERE doc_id % 15 = 2""".stripMargin
   )
 }

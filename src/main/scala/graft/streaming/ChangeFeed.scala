@@ -96,6 +96,66 @@ object ChangeFeed {
     }
   }
 
+  /** MIRROR APPLIER — the downstream consumer the feed exists for,
+    * closing the CDC loop end-to-end: fold the change table under
+    * `sinkRoot` into a REPLICA snapshot table at `mirrorRoot`, one
+    * committed mirror version per source version, exactly once (each
+    * apply commits with batchId = the source version, so replays,
+    * restarts and crash-retries no-op). Per version the typed rows
+    * map onto the table operations they came from — insert → delta
+    * append, delete → tombstone of `keyCol`, upsert → atomic merge —
+    * so the mirror IS a Snapshots table: time-travelable, compactable
+    * with [[Snapshots.maintain]], and readable mid-apply without
+    * tearing. A consumer bootstraps the mirror from a base snapshot
+    * (the feed covers changes AFTER it), exactly the Delta-CDF
+    * consumer pattern.
+    *
+    * Returns the source versions applied this pass. Cost is O(changed
+    * rows) per pass: the `_commit_version > watermark` filter pushes
+    * down to the sink's parquet scan, and each apply is the
+    * O(version's rows) commit it mirrors — the replica table's 100 TB
+    * base is never rewritten. */
+  def mirrorCatchUp(spark: SparkSession, sinkRoot: String,
+      mirrorRoot: String, keyCol: String): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    if (Snapshots.latestVersion(sinkRoot).isEmpty) return Seq.empty
+    require(Snapshots.latestVersion(mirrorRoot).nonEmpty,
+      s"mirror $mirrorRoot has no base snapshot — bootstrap it from the " +
+        "source table (the change feed covers changes AFTER the base)")
+    val wm = Snapshots.latestVersion(mirrorRoot)
+      .flatMap(v => Snapshots.maxBatchIdOf(mirrorRoot, v)).getOrElse(0L)
+    val changes = Snapshots.read(spark, sinkRoot)
+      .filter(col("_commit_version") > wm)
+    // the pending-version list is O(feed versions above the watermark)
+    // driver-side metadata — bounded by the change history, not data
+    val pending = changes.select(col("_commit_version"), col("_change_type"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val byV = pending.groupBy(_._1)
+    byV.keys.toSeq.sorted.map { v =>
+      val types = byV(v).map(_._2).distinct
+      require(types.size == 1,
+        s"malformed feed: version $v carries mixed change types $types")
+      val rows = changes.filter(col("_commit_version") === v)
+        .drop("_change_type", "_commit_version")
+      types.head match {
+        case "insert" =>
+          Snapshots.commitAppend(rows, mirrorRoot, batchId = Some(v),
+            evolveSchema = true)
+        case "delete" =>
+          Snapshots.commitDelete(rows.select(col(keyCol)), mirrorRoot,
+            keyCol, batchId = Some(v))
+        case "upsert" =>
+          Snapshots.commitMerge(rows, mirrorRoot, keyCol = keyCol,
+            batchId = Some(v), evolveSchema = true)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown change type '$other' at feed version $v")
+      }
+      v
+    }
+  }
+
   /** Start the FOLLOWER: a streaming query whose every tick (default
     * 1 s) runs [[catchUp]]. The rate source is only a clock — all
     * state lives in the source chain and the sink watermark, so no

@@ -147,8 +147,10 @@ object ScaleProbe {
       // the curve tracks the same absorbed volume as q_curation_week)
       "q_change_feed_stream", "q_curation_week_contended",
       // r11: per-doc FLV encode+decode is row-local (clip state never
-      // leaves its row) — the curve must be linear in docs
-      "q_video_interframe")
+      // leaves its row) — the curve must be linear in docs; the
+      // feed-mirror replica applies O(changed rows) per version on
+      // top of the once-played feed history
+      "q_video_interframe", "q_feed_mirror")
     val scales = Seq(1, 4, 16)
 
     def scaled(n: Int): String = {

@@ -90,6 +90,38 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(2L, 3L), s"duplicated or lost landings: $ids")
   }
 
+  test("mirror applier: a replica maintained purely from the feed equals the source; replays no-op") {
+    import spark.implicits._
+    val b = tmpBase()
+    val (src, sink, mirror) = (s"$b/src", s"$b/sink", s"$b/mirror")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), src) // v0
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "v"), src, Seq.empty, Some(1L))
+    Snapshots.commitDelete(Seq(2L).toDF("id"), src, "id", Some(2L))
+    Snapshots.commitMerge(
+      Seq((3L, "c2", "web"), (5L, "e", "web")).toDF("id", "v", "src"),
+      src, "id", batchId = Some(3L), evolveSchema = true) // updates + insert + EVOLUTION
+    // consumer side: follow the feed, bootstrap the mirror from v0,
+    // then apply ONLY feed rows — the source is never read again
+    ChangeFeed.catchUp(spark, src, sink)
+    Snapshots.commitBatch(Snapshots.readVersion(spark, src, 0L), mirror, batchId = 0L)
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id") == Seq(1L, 2L, 3L))
+    def table(root: String) = Snapshots.read(spark, root)
+      .select(col("id"), col("v"), col("src"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(table(mirror) == table(src), "mirror diverged from source")
+    assert(table(mirror) == Set((1L, "a", None), (3L, "c2", Some("web")),
+      (4L, "d", None), (5L, "e", Some("web"))))
+    // replays: another catchUp + apply pass changes nothing
+    val (sv, mv) = (Snapshots.versions(sink), Snapshots.versions(mirror))
+    assert(ChangeFeed.catchUp(spark, src, sink).isEmpty)
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id").isEmpty)
+    assert(Snapshots.versions(sink) == sv && Snapshots.versions(mirror) == mv)
+    // a mirror without a bootstrap base is a LOUD error, not silence
+    val e = intercept[IllegalArgumentException](
+      ChangeFeed.mirrorCatchUp(spark, sink, s"$b/nomirror", "id"))
+    assert(e.getMessage.contains("bootstrap"))
+  }
+
   test("absorbSemantic fails LOUDLY on a non-empty batch before the index is built") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

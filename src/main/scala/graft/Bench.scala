@@ -102,7 +102,8 @@ object Bench {
         calibFirst: Double, calibLast: Double,
         parFirst: Double, parLast: Double,
         loadStart: Double, loadEnd: Double,
-        retimed: Map[String, Double] = Map.empty) {
+        retimed: Map[String, Double] = Map.empty,
+        disputed: Seq[String] = Seq.empty) {
       // contention score: spread of the all-cores probe across the
       // run, ROBUST to a single blip (the probe shares the box with
       // the bench JVM's own GC/netty threads, which cost one isolated
@@ -131,10 +132,13 @@ object Bench {
     // q_curation_week swung 14 s -> 19.7 s with no way to tell box
     // noise from a real day-cost regression): a query whose two passes
     // DISAGREE past 25% while costing > 5 s gets up to two targeted
-    // re-times — agreement means the cost is real, disagreement means
-    // noise, and min-of-the-agreeing-tail is the steady-state figure.
-    // Re-timed names + final figures are published in the artifact
-    // (`retimed`) so the adjudication is visible, not inferred.
+    // re-times, stopping as soon as the two LOWEST samples agree
+    // within 25% — agreement means that figure is the repeatable
+    // steady state; a query whose samples never converge is flagged
+    // in the artifact (`disputed`) so a persistent swing is visible
+    // instead of being silently masked by a min-of-4. Re-timed names
+    // + final figures are published (`retimed`) so the adjudication
+    // is data, not inference.
     def attempt(): Attempt = {
       val series = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
       def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -154,20 +158,27 @@ object Bench {
       val (cF, pF, lS) = (calibrate(), calibratePar(), loadavg())
       val (r1, r2) = (timed(0), timed(1))
       val retimed = scala.collection.mutable.Map.empty[String, Double]
+      val disputed = scala.collection.mutable.ArrayBuffer.empty[String]
       val merged = r1.map { case (k, v) =>
-        var best = math.min(v, r2(k))
-        val spread = math.max(v, r2(k)) / math.max(best, 1e-9)
-        if (best > 5.0 && spread > 1.25) {
-          (0 until 2).foreach { _ =>
-            best = math.min(best, timeOne(SparkEntry.queries(k)))
-          }
-          retimed(k) = best
+        val samples = scala.collection.mutable.ArrayBuffer(v, r2(k))
+        def lowTwoAgree: Boolean = {
+          val s = samples.sorted
+          s(1) / math.max(s(0), 1e-9) <= 1.25
         }
-        k -> best
+        if (samples.min > 5.0 && !lowTwoAgree) {
+          var tries = 2
+          while (tries > 0 && !lowTwoAgree) {
+            samples += timeOne(SparkEntry.queries(k))
+            tries -= 1
+          }
+          retimed(k) = samples.min
+          if (!lowTwoAgree) disputed += k
+        }
+        k -> samples.min
       }
       val (cL, pL, lE) = (calibrate(), calibratePar(), loadavg())
       Attempt(merged, series.toSeq, cF, cL, pF, pL, lS, lE,
-        retimed.toMap)
+        retimed.toMap, disputed.toSeq)
     }
     // COMMIT POLICY (the r6/r7 lesson, now enforced in the harness
     // itself): if the attempt's all-cores calibration is not flat —
@@ -242,8 +253,29 @@ object Bench {
     val retimedObj = obj(best.retimed.toSeq.sortBy(_._1))
     val weekObj = weekDays
       .map { case (i, n) => s"[${ms(i)},${ms(n)}]" }.mkString("[", ",", "]")
+    // WEEK-DAY OUTLIER marking (the r11 artifact lesson: a clean:true
+    // line carried a 27.7 s day-5 nightly that was pure external load,
+    // and nothing in the artifact said so): flag any day whose ingest
+    // or nightly exceeds 3x the median of days 1-3 (+1 s absolute
+    // floor so a tiny median cannot flag noise) — the same bound
+    // CurationWeekCostSpec asserts in CI. A flagged day means either
+    // a real day-cost regression (the spec will fail too) or load
+    // that hit exactly that window (the calib series localizes it).
+    val weekOutliers: Seq[Int] =
+      if (weekDays.size < 4) Seq.empty
+      else {
+        def med3(f: ((Double, Double)) => Double) = {
+          val s = weekDays.take(3).map(f).sorted; s(1)
+        }
+        val (mi, mn) = (med3(_._1), med3(_._2))
+        weekDays.zipWithIndex.collect {
+          case ((i, n), d) if i > 3 * mi + 1.0 || n > 3 * mn + 1.0 => d
+        }
+      }
+    val disputedArr = best.disputed.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val scalars =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","attempts":${attempts.size},"clean":${best.clean},"calib_par_ratio":${ms(best.parRatio)},"calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"calib_par_first_sec":${ms(best.parFirst)},"calib_par_last_sec":${ms(best.parLast)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_retimed":${best.retimed.size},"retimed":$retimedObj,"week_days_ingest_nightly":$weekObj"""
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","attempts":${attempts.size},"clean":${best.clean},"calib_par_ratio":${ms(best.parRatio)},"calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"calib_par_first_sec":${ms(best.parFirst)},"calib_par_last_sec":${ms(best.parLast)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_retimed":${best.retimed.size},"retimed":$retimedObj,"disputed":$disputedArr,"week_days_ingest_nightly":$weekObj,"week_day_outliers":${weekOutliers.mkString("[", ",", "]")}"""
     val json =
       s"""{$scalars,"calib_series":$series,"slowest":$slow,"queries":$qs}"""
     // durable copy the driver can read whole even if stdout is capped

@@ -42,6 +42,17 @@ trait CommitIO {
     * point. A reader must see either the old or the new pointer,
     * never a partial write. */
   def publishPointer(root: String, bytes: Array[Byte]): Unit
+
+  /** Filenames directly under a table root that ARE this
+    * implementation's lock/lease artifact. [[Snapshots.wipe]] runs
+    * UNDER [[withLock]] and must spare every name here: deleting a
+    * held POSIX lock file lets a new writer lock a recreated file
+    * while the old holder keeps the unlinked inode; deleting a held
+    * `_lease` hands the lease to a concurrent writer mid-wipe — both
+    * are the two-owners hazard wipe exists to avoid. The default
+    * covers both shipped arbiters so a seam swap can never reintroduce
+    * it; a custom arbiter with its own artifact overrides. */
+  def lockArtifacts: Set[String] = Set("_commitlock", "_lease")
 }
 
 /** OBJECT-STORE-STYLE reference arbiter: mutual exclusion built ONLY

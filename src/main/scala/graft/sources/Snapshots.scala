@@ -99,16 +99,24 @@ object Snapshots {
     })
 
   /** Periodically touch `file` until cancelled — the lease that keeps
-    * a live writer's stage out of the abandonment sweep. A touch
-    * failing because the stage is already gone (a guard discard racing
-    * the tick) is harmless and swallowed. */
+    * a live writer's stage out of the abandonment sweep. The file is
+    * created ONCE here; the tick only bumps its mtime
+    * (`setLastModifiedTime`, which throws on a missing file), so a
+    * tick racing the pre-move `deleteIfExists` or a guard-discard
+    * `deleteRecursively` can never RE-CREATE the heartbeat — the race
+    * that used to ship `_heartbeat` into committed data dirs or make
+    * the discard's directory delete throw DirectoryNotEmptyException.
+    * A touch failing because the stage is already gone is harmless
+    * and swallowed. */
   private[graft] def startStageHeartbeat(file: Path):
       java.util.concurrent.ScheduledFuture[_] = {
     val period = math.max(500L, stageAbandonCutoffMs / 6)
+    Files.write(file, Array.emptyByteArray)
     heartbeats.scheduleAtFixedRate(() => {
-      try Files.write(file, Array.emptyByteArray)
+      try Files.setLastModifiedTime(file,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       catch { case _: java.io.IOException => () }
-    }, 0L, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
   }
 
   /** The shared LANDING step of every absorb loop (streaming
@@ -127,18 +135,21 @@ object Snapshots {
     * `_latest` pointer goes FIRST so a crash mid-wipe leaves the root
     * unambiguously uncommitted (tree-order deletion could leave a
     * pointer with no manifests — a root that looks committed but
-    * cannot be read). Runs UNDER the commit lock, sparing the
-    * `_commitlock` file itself: deleting the lock file would let a
-    * concurrent cross-process holder keep its lock on the unlinked
-    * inode while a new writer locks a recreated file — two "owners"
-    * of one root. For content-addressed scratch roots whose history
-    * is cheap to replay; NOT a data-retention tool ([[vacuum]] is). */
+    * cannot be read). Runs UNDER the commit lock, sparing the IO's
+    * [[CommitIO.lockArtifacts]]: deleting a held POSIX lock file would
+    * let a concurrent cross-process holder keep its lock on the
+    * unlinked inode while a new writer locks a recreated file, and
+    * deleting a held `_lease` (Snapshots.io = LeaseCommitIO) would
+    * hand the lease to a concurrent writer while this wipe is still
+    * deleting — two "owners" of one root either way. For
+    * content-addressed scratch roots whose history is cheap to
+    * replay; NOT a data-retention tool ([[vacuum]] is). */
   def wipe(root: String): Unit = withCommitLock(root) {
     Files.deleteIfExists(pointer(root))
     val top = Paths.get(root)
     if (Files.exists(top))
       Files.list(top).iterator().asScala.toSeq
-        .filterNot(_.getFileName.toString == "_commitlock")
+        .filterNot(p => io.lockArtifacts(p.getFileName.toString))
         .foreach(deleteRecursively)
   }
 
@@ -668,7 +679,7 @@ object Snapshots {
       // files avoids re-running df's plan
       val rows = df.sparkSession.read.parquet(stage).count()
       commitStaged(root, stage, rows, batchId, delta, monotone,
-        tombstoneKey, mergeKey, compacted, guard)
+        tombstoneKey, mergeKey, compacted, guard, hb = Some(hb))
     } finally hb.cancel(false)
   }
 
@@ -679,8 +690,16 @@ object Snapshots {
   private def commitStaged(root: String, stage: String, rows: Long,
       batchId: Option[Long], delta: Boolean, monotone: Boolean,
       tombstoneKey: Option[String], mergeKey: Option[String],
-      compacted: Boolean, guard: Option[() => Boolean]): Committed = {
+      compacted: Boolean, guard: Option[() => Boolean],
+      hb: Option[java.util.concurrent.ScheduledFuture[_]] = None): Committed = {
     withCommitLock(root) {
+      // the stage is ours to mutate from here — stop the heartbeat
+      // BEFORE any delete/move on it (the tick is mtime-only so it
+      // cannot recreate the file, but a touch landing mid-move is
+      // still a wasted syscall racing the rename). The heartbeat did
+      // its job: it kept the stage alive through however long this
+      // writer waited on a contended lock.
+      hb.foreach(_.cancel(false))
       // revalidate under the lock: a racing writer may have committed
       // this batch id / key while we staged — the loser discards its
       // stage and reports the current latest. A guard that THROWS

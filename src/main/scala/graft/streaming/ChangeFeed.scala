@@ -70,6 +70,22 @@ object ChangeFeed {
     val latest = Snapshots.latestVersion(root).getOrElse(return Seq.empty)
     val wm = position(sinkRoot).getOrElse(fromV)
     val pending = Snapshots.versions(root).filter(v => v > wm && v <= latest)
+    // GAP GUARD: versions are claimed contiguously, so the first
+    // pending version must be wm + 1 — compacted rewrites COUNT as
+    // fillers here (they are skipped below, but their version numbers
+    // still occupy the chain). A hole means vacuum/maintain retention
+    // outran this follower: the vacuumed delta versions would
+    // otherwise simply vanish from the list and be silently skipped,
+    // and the sink would no longer reconstruct the table — exactly
+    // the non-representable history the scaladoc promises is a LOUD
+    // error, not a silent gap.
+    pending.headOption.filter(_ != wm + 1).foreach { h =>
+      throw new IllegalStateException(
+        s"change feed on $root: versions ${wm + 1}..${h - 1} are gone — " +
+          "retention outran the follower and the sink no longer " +
+          "reconstructs the table; reset the follower (new sink root " +
+          "bootstrapped from a current base snapshot)")
+    }
     pending.flatMap { v =>
       if (Snapshots.isCompacted(root, v)) None // invisible rewrite
       else {
@@ -124,6 +140,21 @@ object ChangeFeed {
         "source table (the change feed covers changes AFTER the base)")
     val wm = Snapshots.latestVersion(mirrorRoot)
       .flatMap(v => Snapshots.maxBatchIdOf(mirrorRoot, v)).getOrElse(0L)
+    // RESET GUARD — the mirror-side sibling of catchUp's gap guard:
+    // the feed table's own watermark is the last source version landed
+    // into it. If that is BEHIND the mirror's watermark, the sink was
+    // wiped/rolled back/replaced under us, and change rows the mirror
+    // never applied may be gone — error loudly instead of silently
+    // applying a feed that no longer contains its history. (Holes in
+    // `_commit_version` among the ROWS are legitimate — compacted
+    // source versions are never landed; loss of landed rows cannot
+    // happen on an intact sink because appends survive compaction, so
+    // a regressed watermark is THE observable of a reset sink.)
+    val sinkWm = position(sinkRoot).getOrElse(0L)
+    require(sinkWm >= wm,
+      s"change feed under $sinkRoot is at source version $sinkWm, BEHIND " +
+        s"the mirror $mirrorRoot at $wm — the feed was reset; re-bootstrap " +
+        "the mirror from a current base snapshot")
     val changes = Snapshots.read(spark, sinkRoot)
       .filter(col("_commit_version") > wm)
     // the pending-version list is O(feed versions above the watermark)

@@ -62,6 +62,51 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("full rewrite"))
   }
 
+  test("retention outrunning a lagging follower is a LOUD error, not a silent skip") {
+    import spark.implicits._
+    val b = tmpBase()
+    val (src, sink) = (s"$b/src", s"$b/sink")
+    Snapshots.commit(Seq(1L).toDF("id"), src)                            // v0
+    Snapshots.commitAppend(Seq(2L).toDF("id"), src, Seq.empty, Some(1L)) // v1
+    assert(ChangeFeed.catchUp(spark, src, sink) == Seq(1L))              // wm = 1
+    // the follower pauses; the source keeps moving and maintenance
+    // with aggressive retention drops the deltas the follower missed
+    Snapshots.commitAppend(Seq(3L).toDF("id"), src, Seq.empty, Some(2L)) // v2
+    Snapshots.commitAppend(Seq(4L).toDF("id"), src, Seq.empty, Some(3L)) // v3
+    Snapshots.compact(spark, src)                                        // v4
+    Snapshots.vacuum(src, keep = 0)                                      // v0-v3 gone
+    assert(Snapshots.versions(src) == Seq(4L))
+    // the old shape: pending = [4] (compacted, skipped) — v2 and v3
+    // silently vanish and the sink no longer reconstructs the table.
+    // The gap guard sees pending.head != wm + 1 and stops the feed.
+    val e = intercept[IllegalStateException](
+      ChangeFeed.catchUp(spark, src, sink))
+    assert(e.getMessage.contains("retention outran the follower"))
+    // position unchanged — nothing was half-landed
+    assert(ChangeFeed.position(sink).contains(1L))
+  }
+
+  test("mirror refuses a feed whose watermark regressed below the mirror's (reset sink)") {
+    import spark.implicits._
+    val b = tmpBase()
+    val (src, sink, mirror) = (s"$b/src", s"$b/sink", s"$b/mirror")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), src)                // v0
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "v"), src, Seq.empty, Some(1L))
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), src, Seq.empty, Some(2L))
+    ChangeFeed.catchUp(spark, src, sink)                                 // wm = 2
+    Snapshots.commitBatch(Snapshots.readVersion(spark, src, 0L), mirror, 0L)
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id") == Seq(1L, 2L))
+    // the sink is wiped and rebuilt from scratch — its watermark (1)
+    // is now BEHIND the mirror's (2): change rows the mirror never
+    // applied may be gone; silently applying would desync the replica
+    Snapshots.wipe(sink)
+    ChangeFeed.catchUp(spark, src, sink, fromV = 0L) // fresh sink replays v1..v2
+    Snapshots.rollback(sink, 0L)                     // regress: wm back to 1
+    val e = intercept[IllegalArgumentException](
+      ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id"))
+    assert(e.getMessage.contains("BEHIND"))
+  }
+
   test("a live follower tails a growing chain; restart WITHOUT checkpoint stays exactly-once") {
     import spark.implicits._
     val b = tmpBase()

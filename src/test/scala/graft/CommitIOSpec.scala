@@ -331,6 +331,49 @@ class CommitIOSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root).as[Long].head() == 2L)
   }
 
+  test("wipe spares EVERY lock artifact of the active IO (a held _lease survives a wipe)") {
+    import spark.implicits._
+    // the r11 hazard: wipe ran under io.withLock but filterNot'd only
+    // `_commitlock` — with Snapshots.io = LeaseCommitIO it deleted the
+    // HELD `_lease` mid-critical-section, so a concurrent writer could
+    // acquire the lease and commit while wipe was still deleting. The
+    // fix filters on CommitIO.lockArtifacts; pin the filter directly:
+    // an IO whose withLock is a plain monitor (so the lease file we
+    // plant is not touched by acquire/release) must see wipe spare
+    // both artifact names and delete everything else.
+    val root = tmpRoot()
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    val lease = Paths.get(s"$root/_lease")
+    Files.write(lease, "holder:nonce:9999999999999".getBytes)
+    val monitorOnly = new CommitIO {
+      def withLock[T](root: String)(body: => T): T =
+        this.synchronized(body)
+      def moveStage(stage: Path, dst: Path): Unit =
+        PosixCommitIO.moveStage(stage, dst)
+      def publishPointer(root: String, bytes: Array[Byte]): Unit =
+        PosixCommitIO.publishPointer(root, bytes)
+    }
+    withIO(monitorOnly) { Snapshots.wipe(root) }
+    assert(Snapshots.latestVersion(root).isEmpty)
+    assert(Snapshots.versions(root).isEmpty)
+    assert(Files.exists(lease), "wipe deleted the held _lease — a " +
+      "concurrent lease holder would share the root with the wiper")
+    assert(Files.exists(Paths.get(s"$root/_commitlock")),
+      "wipe deleted the commit lock file")
+    // and end-to-end under the REAL lease arbiter: wipe acquires the
+    // lease itself, must not self-destruct it mid-body (non-reentrant
+    // lock — a deleted-then-reacquired lease would deadlock or tear),
+    // and the root stays fully reusable afterwards
+    Files.deleteIfExists(lease)
+    withIO(new graft.sources.LeaseCommitIO()) {
+      Snapshots.commit(Seq(2L).toDF("id"), root)
+      Snapshots.wipe(root)
+      assert(Snapshots.latestVersion(root).isEmpty)
+      assert(Snapshots.commit(Seq(3L).toDF("id"), root) == 0L)
+      assert(Snapshots.read(spark, root).as[Long].head() == 3L)
+    }
+  }
+
   test("compaction manifests carry the invisible-rewrite marker; fresh commits do not") {
     import spark.implicits._
     val root = tmpRoot()

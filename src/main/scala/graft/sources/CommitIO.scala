@@ -55,31 +55,87 @@ trait CommitIO {
   def lockArtifacts: Set[String] = Set("_commitlock", "_lease")
 }
 
+/** The three object-store primitives a lease arbiter rests on — the
+  * exact call shapes S3 / GCS / ABFS expose, so a production
+  * [[LeaseCommitIO]] deployment implements THIS trait over its store
+  * and the arbiter logic above it is unchanged:
+  *  - `createIfAbsent` = conditional PUT (S3 `If-None-Match: *`, GCS
+  *    `if-generation-match: 0`);
+  *  - `read` = GET (returning the body a later conditional op names);
+  *  - `conditionalDelete` = generation/etag-conditional DELETE (S3
+  *    version-id, GCS `if-generation-match`) — delete ONLY if the
+  *    object still holds `expected`, atomically. This is the
+  *    primitive that closes the lease-break steal window: a breaker
+  *    that read an expired lease can no longer delete a DIFFERENT
+  *    (just-reacquired, live) lease that replaced it between the read
+  *    and the delete.
+  */
+trait LeaseStore {
+  /** Atomically create `p` with `bytes` iff absent; false if present. */
+  def createIfAbsent(p: Path, bytes: Array[Byte]): Boolean
+  /** Current bytes of `p`, None if it does not exist. */
+  def read(p: Path): Option[Array[Byte]]
+  /** Delete `p` iff its content still equals `expected` (the
+    * store's generation-conditional delete); returns whether the
+    * delete happened. MUST refuse when the content changed. */
+  def conditionalDelete(p: Path, expected: Array[Byte]): Boolean
+}
+
+/** Local-filesystem [[LeaseStore]] emulation: `CREATE_NEW` for the
+  * conditional put; the conditional delete is read-compare-delete
+  * under a per-path JVM monitor — EXACT for every contender inside
+  * one JVM (the spec-raced surface), while ACROSS local processes a
+  * sub-microsecond compare-to-delete window remains (the disclosed
+  * emulation residue — a real store's generation-conditional delete
+  * is exact by API contract, and the call shape here is identical). */
+object LocalLeaseStore extends LeaseStore {
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def mon(p: Path) = monitors.computeIfAbsent(p.toString, _ => new Object)
+
+  def createIfAbsent(p: Path, bytes: Array[Byte]): Boolean =
+    try { Files.write(p, bytes, java.nio.file.StandardOpenOption.CREATE_NEW); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  def read(p: Path): Option[Array[Byte]] =
+    try Some(Files.readAllBytes(p))
+    catch { case _: java.io.IOException => None }
+
+  def conditionalDelete(p: Path, expected: Array[Byte]): Boolean =
+    mon(p).synchronized {
+      try {
+        if (java.util.Arrays.equals(Files.readAllBytes(p), expected)) {
+          Files.deleteIfExists(p); true
+        } else false
+      } catch { case _: java.io.IOException => false }
+    }
+}
+
 /** OBJECT-STORE-STYLE reference arbiter: mutual exclusion built ONLY
-  * on atomic create-if-absent plus a liveness LEASE — the primitive
-  * every major object store exposes (S3 `If-None-Match` conditional
-  * PUT, GCS `if-generation-match: 0`, ABFS conditional create) — so a
-  * deployment whose table roots live on such a store has a REAL
+  * on the three [[LeaseStore]] primitives — conditional put, read,
+  * conditional delete — the set every major object store exposes, so
+  * a deployment whose table roots live on such a store has a REAL
   * arbiter to plug through the [[CommitIO]] seam instead of the
-  * silently-void POSIX file lock. No `FileChannel`, no JVM monitor:
-  * CommitIOSpec and CrossProcessLockSpec race threads AND real JVMs
-  * under this IO to prove the seam carries the whole protocol.
+  * silently-void POSIX file lock. No `FileChannel`: CommitIOSpec and
+  * CrossProcessLockSpec race threads AND real JVMs under this IO to
+  * prove the seam carries the whole protocol.
   *
-  * Acquire = `CREATE_NEW` of `<root>/_lease` carrying
-  * `owner:nonce:expiryMs`; release = delete. A holder that DIES
-  * leaves a lease that expires after `ttlMs`, and the next writer
-  * breaks it — here with a plain delete-then-retry (two concurrent
-  * breakers collapse into one winner at the next `CREATE_NEW`). The
-  * local-filesystem emulation has a microsecond read-to-delete window
-  * in which a just-broken-and-reacquired lease could be mis-stolen; a
-  * production store impl closes it with the store's
-  * generation-conditional delete (S3 version-id / GCS generation) —
-  * the seam method is the same. The TTL must exceed the critical
-  * section; the under-lock work is O(1) metadata ops (that is the
-  * protocol's design), so the 60 s default is ~4 orders of magnitude
-  * of headroom. NOT reentrant, same as the POSIX file lock. */
-final class LeaseCommitIO(ttlMs: Long = 60000L, pollMs: Long = 10L)
-    extends CommitIO {
+  * Acquire = `createIfAbsent` of `<root>/_lease` carrying
+  * `owner:nonce:expiryMs`. A holder that DIES leaves a lease that
+  * expires after `ttlMs`, and the next writer breaks it with
+  * `conditionalDelete(lease, the-expired-bytes-it-read)` — so a
+  * lease that was broken and REACQUIRED between the breaker's read
+  * and its delete is never mis-stolen: the content no longer matches
+  * and the delete refuses (two concurrent breakers of the SAME
+  * expired lease still collapse into one winner at the next
+  * `createIfAbsent`). Release is the same conditional delete against
+  * our own payload: a holder that stalled past its TTL and lost the
+  * lease to a breaker cannot free the new holder's lock. The TTL
+  * must exceed the critical section; the under-lock work is O(1)
+  * metadata ops (that is the protocol's design), so the 60 s default
+  * is ~4 orders of magnitude of headroom. NOT reentrant, same as the
+  * POSIX file lock. */
+final class LeaseCommitIO(ttlMs: Long = 60000L, pollMs: Long = 10L,
+    store: LeaseStore = LocalLeaseStore) extends CommitIO {
   private val owner = java.util.UUID.randomUUID().toString
 
   def withLock[T](root: String)(body: => T): T = {
@@ -90,33 +146,29 @@ final class LeaseCommitIO(ttlMs: Long = 60000L, pollMs: Long = 10L)
       val attempt =
         s"$owner:${java.util.UUID.randomUUID()}:${System.currentTimeMillis() + ttlMs}"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      try {
-        Files.write(lease, attempt, java.nio.file.StandardOpenOption.CREATE_NEW)
-        payload = attempt
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val expired =
-            try {
-              val cur = new String(Files.readAllBytes(lease),
-                java.nio.charset.StandardCharsets.UTF_8)
-              cur.substring(cur.lastIndexOf(':') + 1).toLongOption
-                .exists(_ < System.currentTimeMillis())
-            } catch { // vanished between CREATE_NEW and read: retry now
-              case _: java.io.IOException => true
-            }
-          if (expired) Files.deleteIfExists(lease) // break a dead holder
+      if (store.createIfAbsent(lease, attempt)) payload = attempt
+      else store.read(lease) match {
+        case None => () // vanished between createIfAbsent and read: retry now
+        case Some(cur) =>
+          val s = new String(cur, java.nio.charset.StandardCharsets.UTF_8)
+          val expired = s.substring(s.lastIndexOf(':') + 1).toLongOption
+            .exists(_ < System.currentTimeMillis())
+          // break a dead holder — CONDITIONALLY: only the exact bytes
+          // we judged expired may be deleted. If another breaker beat
+          // us and a fresh lease already replaced them, the delete
+          // refuses and the next loop iteration sees the live lease.
+          if (expired) { store.conditionalDelete(lease, cur); () }
           else Thread.sleep(pollMs)
       }
     }
     try body
     finally {
       // release ONLY our own lease: if we stalled past the TTL and a
-      // breaker re-acquired, deleting blindly would free THEIR lock
-      // (the store impl's conditional delete makes this exact)
-      try {
-        if (java.util.Arrays.equals(Files.readAllBytes(lease), payload))
-          Files.deleteIfExists(lease)
-      } catch { case _: java.io.IOException => () }
+      // breaker re-acquired, the conditional delete refuses to free
+      // THEIR lock (exact under the store's generation-conditional
+      // delete; the local emulation is exact per-JVM)
+      store.conditionalDelete(lease, payload)
+      ()
     }
   }
 

@@ -374,6 +374,78 @@ class CommitIOSpec extends AnyFunSuite {
     }
   }
 
+  test("lease break is generation-conditional: a re-acquired fresh lease cannot be mis-stolen") {
+    import graft.sources.LocalLeaseStore
+    // THE WINDOW (r11's disclosed residue), re-enacted with the store
+    // primitives in the exact hazard order: breaker A reads an expired
+    // lease; BEFORE A deletes it, breaker B breaks the same lease and
+    // REACQUIRES a fresh live one. The old break path (plain
+    // deleteIfExists) would now destroy B's live lease — two owners.
+    val dir = Files.createTempDirectory("lease")
+    val lease = dir.resolve("_lease")
+    val expired = s"dead:n1:${System.currentTimeMillis() - 1000}".getBytes
+    val fresh = s"B:n2:${System.currentTimeMillis() + 600000}".getBytes
+    Files.write(lease, expired)
+    // A reads `expired`... (pause) ...B breaks and reacquires:
+    assert(LocalLeaseStore.conditionalDelete(lease, expired))
+    assert(LocalLeaseStore.createIfAbsent(lease, fresh))
+    // the OLD path: Files.deleteIfExists(lease) here would return true
+    // and kill B's lock. The NEW path names the bytes A actually read —
+    // they no longer match, so the delete REFUSES and B's lease lives:
+    assert(!LocalLeaseStore.conditionalDelete(lease, expired),
+      "conditional delete stole a lease whose content had changed")
+    assert(java.util.Arrays.equals(Files.readAllBytes(lease), fresh),
+      "the fresh lease did not survive the stale break attempt")
+    // and A still cannot acquire while B holds
+    assert(!LocalLeaseStore.createIfAbsent(lease,
+      s"A:n3:${System.currentTimeMillis() + 600000}".getBytes))
+  }
+
+  test("withLock: an interleaved break-and-reacquire is never stolen; the waiter acquires only after release") {
+    import graft.sources.{LeaseCommitIO, LeaseStore, LocalLeaseStore}
+    val root = Files.createTempDirectory("leaseio").toString + "/tbl"
+    Files.createDirectories(Paths.get(root))
+    val lease = Paths.get(s"$root/_lease")
+    val expired = s"dead:n1:${System.currentTimeMillis() - 1000}".getBytes
+    val fresh = s"B:n2:${System.currentTimeMillis() + 600000}".getBytes
+    Files.write(lease, expired)
+    // a store that loses A the break race DETERMINISTICALLY: the
+    // instant A calls conditionalDelete on the expired bytes, breaker
+    // B's break+reacquire lands first (content swapped to a fresh
+    // live lease), then A's delete runs — and must refuse.
+    @volatile var injected = false
+    val interleaved = new LeaseStore {
+      def createIfAbsent(p: Path, b: Array[Byte]) =
+        LocalLeaseStore.createIfAbsent(p, b)
+      def read(p: Path) = LocalLeaseStore.read(p)
+      def conditionalDelete(p: Path, e: Array[Byte]) = {
+        if (!injected && java.util.Arrays.equals(e, expired)) {
+          injected = true
+          Files.write(p, fresh) // B: break + reacquire inside A's window
+        }
+        LocalLeaseStore.conditionalDelete(p, e)
+      }
+    }
+    val io = new LeaseCommitIO(ttlMs = 600000L, pollMs = 2L, store = interleaved)
+    @volatile var acquiredAt = 0L
+    val a = new Thread(() => io.withLock(root) { acquiredAt = System.nanoTime() })
+    a.start()
+    // wait for A to walk into the window, let it spin against B's
+    // live lease for a beat, then B releases
+    val deadline = System.currentTimeMillis() + 10000
+    while (!injected && System.currentTimeMillis() < deadline) Thread.sleep(1)
+    assert(injected, "A never attempted the break")
+    Thread.sleep(100)
+    assert(java.util.Arrays.equals(Files.readAllBytes(lease), fresh),
+      "A stole B's live lease inside the break window")
+    val releasedAt = System.nanoTime()
+    assert(LocalLeaseStore.conditionalDelete(lease, fresh)) // B releases
+    a.join(15000)
+    assert(!a.isAlive, "A never acquired after B's release")
+    assert(acquiredAt > releasedAt,
+      "A entered the critical section while B still held the lease")
+  }
+
   test("compaction manifests carry the invisible-rewrite marker; fresh commits do not") {
     import spark.implicits._
     val root = tmpRoot()

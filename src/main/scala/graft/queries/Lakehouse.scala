@@ -281,13 +281,61 @@ object Lakehouse {
     Snapshots.read(s, mirror)
   }
 
+  /** #234 STATS-PRUNED READ (`q_stats_pruned`) — the consumer
+    * `q_zorder_layout` was missing: the events-derived (u, d) frame is
+    * Z-ORDERED (Morton-interleaved range layout, the same bit
+    * interleave as #102), committed with PER-FILE min/max stats on
+    * both dimensions ([[Snapshots.commit]] `statsCols` — lifted from
+    * the staged parquet footers, O(files) metadata), and then read
+    * through [[Snapshots.readPruned]] with a 2-D box: only files whose
+    * stats intersect the box are scanned, the row-level residual
+    * completes exactness, and the answer must equal the oracle's
+    * plain filter over the raw table — pruning is an optimization the
+    * hash can't see, WHICH IS THE POINT. StatsSkippingSpec asserts the
+    * file-count side (a Z-ordered table keeps fewer files than a
+    * single-column sort; footer stats match ground truth). At 100 TB
+    * the box read costs O(files intersecting the box): manifest-level
+    * data skipping is the difference between touching one file and
+    * listing a directory. */
+  def statsPruned(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileStats.ColRange
+    val ev = Tables.events(s, dir)
+    val base = ev.select(
+      pmod(col("user_id"), lit(256)).as("u"),
+      pmod(dayofyear(col("ts")), lit(256)).cast("long").as("d"),
+      col("value"))
+    val fp = ev.agg(
+      bit_xor(xxhash64(col("event_id"), col("user_id"))).as("h"),
+      count(lit(1)).as("n")).head()
+    val root = s"/tmp/graft-lakehouse/v1/statskip-${fp.getLong(0)}-${fp.getLong(1)}"
+    ensureHistory(root, finalVersion = 0L) {
+      val z = (0 until 8).map { i =>
+        shiftright(col("u"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i)) +
+          shiftright(col("d"), i).bitwiseAND(lit(1)) * lit(1L << (2 * i + 1))
+      }.reduce(_ + _)
+      Snapshots.commit(
+        base.withColumn("z", z)
+          .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+          .drop("z"),
+        root, statsCols = Seq("u", "d"))
+      ()
+    }
+    Snapshots.readPruned(s, root, Seq(
+        ColRange("u", lower = Some(32L), upper = Some(63L)),
+        ColRange("d", lower = Some(40L), upper = Some(79L))))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sum_d"),
+        round(sum(col("value")), 6).as("sum_val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_rollback"    -> ingestRollback _,
     "q_schema_evolution"   -> schemaEvolution _,
     "q_snapshot_merge"     -> snapshotMerge _,
     "q_change_feed"        -> changeFeed _,
     "q_change_feed_stream" -> changeFeedStream _,
-    "q_feed_mirror"        -> feedMirror _
+    "q_feed_mirror"        -> feedMirror _,
+    "q_stats_pruned"       -> statsPruned _
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,6 +420,18 @@ object Lakehouse {
         |FROM documents WHERE doc_id % 15 = 1
         |UNION ALL
         |SELECT doc_id + 1000000, CAST(LENGTH(text) AS BIGINT)
-        |FROM documents WHERE doc_id % 15 = 2""".stripMargin
+        |FROM documents WHERE doc_id % 15 = 2""".stripMargin,
+    // the pruned read must equal the plain filter over the raw table —
+    // file skipping is invisible to the answer, by construction
+    "q_stats_pruned" ->
+      """WITH b AS (SELECT user_id % 256 AS u,
+        |                 CAST(dayofyear(ts) % 256 AS BIGINT) AS d,
+        |                 value
+        |          FROM events)
+        |SELECT u, COUNT(*) AS n, SUM(d) AS sum_d,
+        |       ROUND(SUM(value), 6) AS sum_val
+        |FROM b
+        |WHERE u BETWEEN 32 AND 63 AND d BETWEEN 40 AND 79
+        |GROUP BY u""".stripMargin
   )
 }

@@ -1,0 +1,231 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import scala.language.existentials
+
+/** PER-FILE COLUMN STATISTICS for [[Snapshots]] tables — the
+  * manifest-level data skipping that makes a layout like
+  * `q_zorder_layout`'s actually pay off: each committed version can
+  * carry a `manifests/stats-vN.json` sidecar recording min/max/null
+  * counts per declared column PER PARQUET FILE, and
+  * [[Snapshots.readPruned]] intersects a reader's range predicates
+  * with those stats to build a scan over ONLY the surviving files.
+  * At 100 TB this is the difference between touching the one file a
+  * point-lookup needs and listing a directory — the exact mechanism
+  * Delta (per-file stats in the transaction log) and Iceberg
+  * (manifest column bounds) document.
+  *
+  * Stats come from the PARQUET FOOTERS of the already-staged files —
+  * O(files) metadata reads, no second data pass (the writer's
+  * row-group stats were computed during the distributed write; this
+  * just lifts them into the table's own metadata where a planner can
+  * see them without opening N footers per query). Collection runs
+  * OUTSIDE the commit lock, on the stage dir.
+  *
+  * Honesty contract: stats are an OPTIMIZATION, never a semantic.
+  * A file with no usable stats for a column is always KEPT; pruning
+  * is file-granular so [[Snapshots.readPruned]] re-applies the range
+  * predicate row-level on the folded result — correctness never
+  * rests on the sidecar. Supported stat types: integer (`l`),
+  * floating (`d`), string (`s`); anything else (nested, int96,
+  * decimal) records no entry and prunes nothing.
+  */
+object FileStats {
+
+  /** One column's merged stats within one file. `typ`: `l` integer,
+    * `d` floating, `s` string, `n` all-null. min/max rendered as
+    * strings (exact for longs — no double roundtrip). */
+  final case class ColStat(typ: String, min: String, max: String, nulls: Long)
+
+  /** One parquet file's stats: path RELATIVE to the version dir
+    * (hive partition subdirs included), total rows, per-column
+    * stats — columns with unusable footer stats are simply absent. */
+  final case class FileStat(path: String, rows: Long, stats: Map[String, ColStat])
+
+  /** An inclusive range predicate for pruning: bounds are Long/Int
+    * (integer columns), Double/Float (floating), or String. `None`
+    * = unbounded on that side. */
+  final case class ColRange(column: String, lower: Option[Any] = None,
+      upper: Option[Any] = None)
+
+  // ------------------------------------------------------ collection
+
+  /** Read the footers of every `*.parquet` under `dir` (recursively —
+    * hive-partitioned stages nest) and merge each file's row-group
+    * stats for `cols`. O(files) footer reads, zero data pages. */
+  def collect(dir: Path, cols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[FileStat] = {
+    val want = cols.toSet
+    val files = Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    files.map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // per-column accumulator: (typ, min, max, nulls); a column hit
+        // by ONE block with unusable stats is dropped for the whole
+        // file (kept-by-default is the safe direction)
+        val acc = scala.collection.mutable.Map.empty[String, ColAcc]
+        val poisoned = scala.collection.mutable.Set.empty[String]
+        for (b <- blocks; c <- b.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          if (want(name) && !poisoned(name)) {
+            mergeChunk(c) match {
+              case Some(chunk) =>
+                acc.get(name) match {
+                  case Some(prev) => acc(name) = prev.merge(chunk)
+                  case None       => acc(name) = chunk
+                }
+              case None =>
+                poisoned += name; acc.remove(name); ()
+            }
+          }
+        }
+        FileStat(dir.relativize(f).toString, rows,
+          acc.view.mapValues(_.toColStat).toMap)
+      } finally reader.close()
+    }
+  }
+
+  /** A chunk's stats lifted to a mergeable accumulator; None = this
+    * chunk's stats are unusable (missing, truncated away, unsupported
+    * type, non-finite float) and the column must not be pruned on. */
+  private def mergeChunk(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[ColAcc] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val st = c.getStatistics
+    if (st == null || st.isEmpty) return None
+    val nulls = math.max(0L, st.getNumNulls)
+    if (!st.hasNonNullValue) return Some(ColAcc("n", None, None, nulls))
+    val tn = c.getPrimitiveType.getPrimitiveTypeName
+    val isString = c.getPrimitiveType.getLogicalTypeAnnotation match {
+      case _: org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+      case _ => false
+    }
+    (tn, isString) match {
+      case (INT32, _) => Some(ColAcc("l",
+        Some(st.genericGetMin.asInstanceOf[Number].longValue),
+        Some(st.genericGetMax.asInstanceOf[Number].longValue), nulls))
+      case (INT64, _) => Some(ColAcc("l",
+        Some(st.genericGetMin.asInstanceOf[Number].longValue),
+        Some(st.genericGetMax.asInstanceOf[Number].longValue), nulls))
+      case (FLOAT, _) | (DOUBLE, _) =>
+        val (mn, mx) = (st.genericGetMin.asInstanceOf[Number].doubleValue,
+          st.genericGetMax.asInstanceOf[Number].doubleValue)
+        if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite) None
+        else Some(ColAcc("d", Some(mn), Some(mx), nulls))
+      case (BINARY, true) => Some(ColAcc("s",
+        Some(st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .toStringUsingUTF8),
+        Some(st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .toStringUsingUTF8), nulls))
+      case _ => None
+    }
+  }
+
+  private final case class ColAcc(typ: String, min: Option[Any],
+      max: Option[Any], nulls: Long) {
+    def merge(o: ColAcc): ColAcc = {
+      // an all-null chunk ("n") merges transparently into a valued one
+      val t = if (typ == "n") o.typ else typ
+      require(o.typ == "n" || typ == "n" || o.typ == typ,
+        s"parquet chunk type flip within one file: $typ vs ${o.typ}")
+      ColAcc(t, mergeOpt(min, o.min, less = true),
+        mergeOpt(max, o.max, less = false), nulls + o.nulls)
+    }
+    private def mergeOpt(a: Option[Any], b: Option[Any], less: Boolean) =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(if (lt(x, y) == less) x else y)
+        case (x, None) => x
+        case (None, y) => y
+      }
+    private def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: Long, b: Long)     => a < b
+      case (a: Double, b: Double) => a < b
+      case (a: String, b: String) => a < b
+      case _ => throw new IllegalStateException(s"unmergeable $x / $y")
+    }
+    def toColStat: ColStat = typ match {
+      case "n" => ColStat("n", "", "", nulls)
+      case _   => ColStat(typ, min.get.toString, max.get.toString, nulls)
+    }
+  }
+
+  // --------------------------------------------------------- pruning
+
+  /** Whether a file can contain rows satisfying ALL of `ranges`
+    * (inclusive bounds; a missing stats entry keeps the file — the
+    * safe direction). An empty file never survives; a known-all-null
+    * column survives only unbounded predicates (a range bound implies
+    * non-null). */
+  def survives(fs: FileStat, ranges: Seq[ColRange]): Boolean =
+    fs.rows > 0 && ranges.forall { r =>
+      fs.stats.get(r.column) match {
+        case None => true
+        case Some(cs) if cs.typ == "n" => r.lower.isEmpty && r.upper.isEmpty
+        case Some(cs) =>
+          def bd(s: String) = BigDecimal(s)
+          def bound(a: Any) = BigDecimal(a.toString)
+          cs.typ match {
+            case "s" =>
+              r.lower.forall(b => cs.max >= b.toString) &&
+                r.upper.forall(b => cs.min <= b.toString)
+            case _ =>
+              r.lower.forall(b => bd(cs.max) >= bound(b)) &&
+                r.upper.forall(b => bd(cs.min) <= bound(b))
+          }
+      }
+    }
+
+  /** The row-level residual of `ranges` — ANDed onto every pruned
+    * read so correctness never rests on the file-granular prune. */
+  def residual(ranges: Seq[ColRange]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    ranges.flatMap { r =>
+      r.lower.map(b => col(r.column) >= lit(b)).toSeq ++
+        r.upper.map(b => col(r.column) <= lit(b)).toSeq
+    }.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  // ------------------------------------------------------------ JSON
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def toJson(version: Long, cols: Seq[String], files: Seq[FileStat]): String = {
+    val m = mapper
+    val root = m.createObjectNode()
+    root.put("version", version)
+    val ca = root.putArray("cols"); cols.foreach(ca.add)
+    val fa = root.putArray("files")
+    files.foreach { f =>
+      val fn = fa.addObject()
+      fn.put("path", f.path); fn.put("rows", f.rows)
+      val sn = fn.putObject("stats")
+      f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+        val cn = sn.putObject(c)
+        cn.put("t", cs.typ); cn.put("min", cs.min); cn.put("max", cs.max)
+        cn.put("nulls", cs.nulls); ()
+      }
+    }
+    m.writeValueAsString(root)
+  }
+
+  def fromJson(bytes: Array[Byte]): Seq[FileStat] = {
+    val root = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+    root.get("files").elements().asScala.map { fn =>
+      val stats = fn.get("stats").properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> ColStat(v.get("t").asText, v.get("min").asText,
+          v.get("max").asText, v.get("nulls").asLong)
+      }.toMap
+      FileStat(fn.get("path").asText, fn.get("rows").asLong, stats)
+    }.toSeq
+  }
+}

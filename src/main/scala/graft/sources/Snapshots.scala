@@ -50,6 +50,10 @@ object Snapshots {
 
   private def dataDir(root: String, v: Long) = s"$root/data/v=$v"
   private def manifest(root: String, v: Long): Path = Paths.get(s"$root/manifests/v$v.json")
+  // per-file column-stats sidecar (see [[FileStats]]) — named so the
+  // [[versions]] listing's `v*.json` pattern can never match it
+  private def statsPath(root: String, v: Long): Path =
+    Paths.get(s"$root/manifests/stats-v$v.json")
   private def pointer(root: String): Path = Paths.get(s"$root/_latest")
 
   // ------------------------------------------------------- commit lock
@@ -172,17 +176,28 @@ object Snapshots {
   }
 
   /** Write `df` as the next snapshot version; returns the committed
-    * version number. Readers of prior versions are unaffected. */
-  def commit(df: DataFrame, root: String): Long =
-    commitInternal(df, root, None).version
+    * version number. Readers of prior versions are unaffected.
+    * `statsCols` (optional) records per-FILE min/max for those
+    * columns from the staged parquet footers into a
+    * `manifests/stats-vN.json` sidecar — O(files) metadata reads, no
+    * second data pass — which [[readPruned]] consumes for file-level
+    * data skipping. Pair with a layout that CLUSTERS those columns
+    * (Z-order / range sort before the commit) or the min/max spans
+    * cover everything and nothing prunes. */
+  def commit(df: DataFrame, root: String, statsCols: Seq[String] = Seq.empty): Long =
+    commitInternal(df, root, None, statsCols = statsCols).version
 
   /** [[commit]] with hive-style partition directories on
     * `partitionCols` inside the snapshot's data dir — a reader
     * filtering on those columns prunes whole directories
     * (PartitionFilters), which is what makes a stored IVF index's
-    * per-query cost probe-bucket-sized instead of corpus-sized. */
-  def commitPartitioned(df: DataFrame, root: String, partitionCols: Seq[String]): Long =
-    commitInternal(df, root, None, partitionCols).version
+    * per-query cost probe-bucket-sized instead of corpus-sized.
+    * `statsCols` adds file-level skipping WITHIN the surviving
+    * directories (see [[commit]]) — partition pruning for the coarse
+    * key, stats pruning for the fine one. */
+  def commitPartitioned(df: DataFrame, root: String, partitionCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Long =
+    commitInternal(df, root, None, partitionCols, statsCols = statsCols).version
 
   /** IDEMPOTENT commit keyed by an external batch id (a Structured
     * Streaming micro-batch id): replaying a batch id ≤ the last
@@ -215,7 +230,8 @@ object Snapshots {
   def commitAppend(delta: DataFrame, root: String,
       partitionCols: Seq[String] = Seq.empty,
       batchId: Option[Long] = None,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false,
+      statsCols: Seq[String] = Seq.empty): Long = {
     require(latestVersion(root).nonEmpty,
       s"commitAppend needs an existing full snapshot under $root")
     batchId match {
@@ -237,6 +253,7 @@ object Snapshots {
         else {
           validateAppendSchema(delta, root, evolveSchema)
           commitInternal(delta, root, batchId, partitionCols, delta = true,
+            statsCols = statsCols,
             guard = Some(() => {
               val fresh = !latestVersion(root)
                 .exists(v => maxBatchIdOf(root, v).exists(_ >= b))
@@ -254,6 +271,7 @@ object Snapshots {
       case None =>
         validateAppendSchema(delta, root, evolveSchema)
         commitInternal(delta, root, None, partitionCols, delta = true,
+          statsCols = statsCols,
           guard = Some(() => {
             validateAppendSchema(delta, root, evolveSchema); true
           })).version
@@ -490,7 +508,8 @@ object Snapshots {
     * guaranteed-full result must check `isDelta` on the returned
     * version. */
   def compact(spark: SparkSession, root: String,
-      partitionCols: Seq[String] = Seq.empty): Long = {
+      partitionCols: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Long = {
     // bounded retries: every refused attempt means a writer advanced
     // the root mid-rewrite, and each retry re-stages a now-LONGER
     // chain — under a sustained append stream an unbounded loop would
@@ -531,7 +550,7 @@ object Snapshots {
       // lets a change-feed follower skip it instead of erroring — a
       // fresh commit() has no such marker and remains a feed error
       val c = commitInternal(readVersion(spark, root, pinned), root,
-        maxBatch, partitionCols, compacted = true,
+        maxBatch, partitionCols, compacted = true, statsCols = statsCols,
         guard = Some(() => latestVersion(root).contains(pinned) &&
           commitIdentity(root, pinned) == pinnedId))
       if (c.committed) return c.version
@@ -640,7 +659,8 @@ object Snapshots {
       partitionCols: Seq[String] = Seq.empty, delta: Boolean = false,
       monotone: Boolean = true, tombstoneKey: Option[String] = None,
       mergeKey: Option[String] = None, compacted: Boolean = false,
-      guard: Option[() => Boolean] = None): Committed = {
+      guard: Option[() => Boolean] = None,
+      statsCols: Seq[String] = Seq.empty): Committed = {
     // 1. STAGE the data (distributed, lock-free — concurrent writers
     // each write a private stage dir). Hive-partitioned commits
     // CLUSTER BY the partition key first: without it every shuffle
@@ -678,8 +698,16 @@ object Snapshots {
       // a delta manifest counts its OWN rows only; counting the staged
       // files avoids re-running df's plan
       val rows = df.sparkSession.read.parquet(stage).count()
+      // footer-stats collection runs on the STAGE, outside the lock:
+      // O(files) metadata reads lifted into the stats sidecar (paths
+      // recorded relative to the stage = relative to the final dir)
+      val stats =
+        if (statsCols.isEmpty) None
+        else Some(FileStats.collect(Paths.get(stage), statsCols,
+          df.sparkSession.sparkContext.hadoopConfiguration))
       commitStaged(root, stage, rows, batchId, delta, monotone,
-        tombstoneKey, mergeKey, compacted, guard, hb = Some(hb))
+        tombstoneKey, mergeKey, compacted, guard, hb = Some(hb),
+        stats = stats, statsCols = statsCols)
     } finally hb.cancel(false)
   }
 
@@ -691,7 +719,9 @@ object Snapshots {
       batchId: Option[Long], delta: Boolean, monotone: Boolean,
       tombstoneKey: Option[String], mergeKey: Option[String],
       compacted: Boolean, guard: Option[() => Boolean],
-      hb: Option[java.util.concurrent.ScheduledFuture[_]] = None): Committed = {
+      hb: Option[java.util.concurrent.ScheduledFuture[_]] = None,
+      stats: Option[Seq[FileStats.FileStat]] = None,
+      statsCols: Seq[String] = Seq.empty): Committed = {
     withCommitLock(root) {
       // the stage is ours to mutate from here — stop the heartbeat
       // BEFORE any delete/move on it (the tick is mtime-only so it
@@ -731,6 +761,7 @@ object Snapshots {
         // stays readable only UNTIL the first post-rollback commit.
         versions(root).filter(_ >= next).foreach { v =>
           Files.deleteIfExists(manifest(root, v))
+          Files.deleteIfExists(statsPath(root, v))
           deleteRecursively(Paths.get(dataDir(root, v)))
         }
         deleteRecursively(Paths.get(dataDir(root, next)))
@@ -772,6 +803,13 @@ object Snapshots {
         val newMax = (prevMax.toSeq ++ (if (monotone) batchId.toSeq else Seq.empty))
           .reduceOption(_ max _)
         val maxField = newMax.map(b => s""","maxBatchId":$b""").getOrElse("")
+        // stats sidecar BEFORE the pointer (same ordering rule as the
+        // manifest: a reader that sees the pointer finds the sidecar)
+        stats.foreach { fs =>
+          Files.write(statsPath(root, next),
+            FileStats.toJson(next, statsCols, fs)
+              .getBytes(StandardCharsets.UTF_8)); ()
+        }
         Files.write(manifest(root, next),
           s"""{"version":$next,"rows":$rows,"parent":${next - 1}$tsField$cidField$batchField$deltaField$tombField$mergeField$keyedField$compField$maxField}"""
             .getBytes(StandardCharsets.UTF_8))
@@ -823,6 +861,87 @@ object Snapshots {
       }
       .getOrElse(throw new IllegalStateException(
         s"version $v under $root resolves to no data (tombstone-only chain)"))
+  }
+
+  /** The per-file column stats recorded for a version, if its commit
+    * declared `statsCols` — the data-skipping metadata
+    * [[readPruned]] consumes. O(1) sidecar read. */
+  def statsOf(root: String, v: Long): Option[Seq[FileStats.FileStat]] = {
+    val p = statsPath(root, v)
+    if (!Files.exists(p)) None
+    else Some(FileStats.fromJson(Files.readAllBytes(p)))
+  }
+
+  /** (files kept, files total) a stats prune of `ranges` leaves of
+    * ONE version's own dir — the observability/spec hook behind the
+    * pruning claim ("the Z-ordered table touched 1 of 16 files").
+    * None when the version recorded no stats. */
+  def prunedFileCount(root: String, v: Long,
+      ranges: Seq[FileStats.ColRange]): Option[(Int, Int)] =
+    statsOf(root, v).map(st =>
+      (st.count(FileStats.survives(_, ranges)), st.size))
+
+  /** DATA-SKIPPING read — [[readVersion]] of `v` (default: latest)
+    * restricted by inclusive `ranges`: every chain member whose
+    * commit recorded stats scans ONLY the files whose per-file
+    * min/max intersect ALL ranges (the manifest-level skip that makes
+    * a Z-order layout pay off — see `q_stats_pruned`); members
+    * without stats scan whole; and the row-level residual of
+    * `ranges` is re-applied to the folded result, so the answer is
+    * EXACTLY `readVersion(...).filter(ranges)` no matter what pruned
+    * — correctness never rests on the sidecar. Tombstone key frames
+    * and merge KEY frames always read UNPRUNED: a merge row outside
+    * the ranges must still REPLACE (anti-join away) the chain row it
+    * superseded, or the stale row would survive the prune and pass
+    * the residual filter; a merge member's own rows are pruned like
+    * data. At 100 TB: a box query on a Z-ordered stats-committed
+    * table costs O(files intersecting the box), not O(table) — the
+    * PushedFilters story extended above the scan to the file list
+    * itself, which parquet row-group stats alone cannot do once the
+    * planner has already opened every file. */
+  def readPruned(spark: SparkSession, root: String,
+      ranges: Seq[FileStats.ColRange],
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    require(Files.exists(manifest(root, v)),
+      s"version $v was never committed (or vacuumed)")
+    def fullScan(cv: Long): DataFrame = {
+      val dd = dataDir(root, cv)
+      spark.read.option("basePath", dd).parquet(dd)
+    }
+    def prunedScan(cv: Long): DataFrame = {
+      val dd = dataDir(root, cv)
+      statsOf(root, cv) match {
+        case None => fullScan(cv)
+        case Some(stats) =>
+          val kept = stats.filter(FileStats.survives(_, ranges))
+            .map(f => s"$dd/${f.path}")
+          if (kept.isEmpty) fullScan(cv).where(lit(false)) // schema-only
+          else spark.read.option("basePath", dd).parquet(kept: _*)
+      }
+    }
+    chainVersions(root, v).reverse
+      .foldLeft(Option.empty[DataFrame]) { (acc, cv) =>
+        (tombstoneKeyOf(root, cv), mergeKeyOf(root, cv)) match {
+          case (Some(k), _) =>
+            val keys = fullScan(cv)
+            acc.map(_.join(broadcast(keys.select(keys(k))), Seq(k), "left_anti"))
+          case (_, Some(k)) =>
+            val keys = fullScan(cv)
+            Some(acc
+              .map(_.join(broadcast(keys.select(keys(k))), Seq(k), "left_anti")
+                .unionByName(prunedScan(cv), allowMissingColumns = true))
+              .getOrElse(prunedScan(cv)))
+          case _ =>
+            Some(acc.map(_.unionByName(prunedScan(cv), allowMissingColumns = true))
+              .getOrElse(prunedScan(cv)))
+        }
+      }
+      .getOrElse(throw new IllegalStateException(
+        s"version $v under $root resolves to no data (tombstone-only chain)"))
+      .filter(FileStats.residual(ranges))
   }
 
   /** The unique commit id (UUID) of a version, if recorded — every
@@ -1013,6 +1132,7 @@ object Snapshots {
       v < cutoff && v != latest && !protectedChain(v))
     drop.foreach { v =>
       Files.deleteIfExists(manifest(root, v))
+      Files.deleteIfExists(statsPath(root, v))
       deleteRecursively(Paths.get(dataDir(root, v)))
     }
     drop

@@ -281,6 +281,82 @@ object Lakehouse {
     Snapshots.read(s, mirror)
   }
 
+  /** Poll the mirror's applied feed position until it reaches `v`. */
+  private def awaitMirrorPos(mirrorRoot: String, v: Long): Unit = {
+    val deadline = System.nanoTime() + 180L * 1000000000L
+    while (!Snapshots.latestVersion(mirrorRoot)
+        .flatMap(x => Snapshots.maxBatchIdOf(mirrorRoot, x)).exists(_ >= v)) {
+      require(System.nanoTime() < deadline,
+        s"push mirror under $mirrorRoot never reached feed version $v")
+      Thread.sleep(100)
+    }
+  }
+
+  /** The PUSH-maintained replica history behind #235: one LIVE
+    * [[graft.streaming.ChangeFeed.followMirror]] query lands every
+    * source version into the change table AND folds it into the
+    * replica per tick, while the source grows v1 insert → v2
+    * compaction (skipped) → v3 delete → v4 merge → v5+v6 consecutive
+    * inserts (the run the mirror may batch into one append). Returns
+    * the mirror root, caught up through feed version 6. */
+  private def pushMirrorHistory(s: SparkSession, dir: String): String = {
+    import graft.streaming.ChangeFeed
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def slice(m: Int, of: Int = 3) = docs.filter(pmod(col("doc_id"), lit(of)) === m)
+    def asLen(df: DataFrame) =
+      df.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val src = fpRoot(docs, "pushsrc")
+    val sink = fpRoot(docs, "pushsink")
+    val mirror = fpRoot(docs, "pushmirror")
+    val mon = historyMonitors.computeIfAbsent(mirror, _ => new Object)
+    mon.synchronized {
+      val done = Snapshots.latestVersion(mirror)
+        .flatMap(v => Snapshots.maxBatchIdOf(mirror, v)).contains(6L)
+      if (!done) {
+        Seq(src, sink, mirror).foreach(Snapshots.wipe)
+        Snapshots.commit(asLen(slice(0)), src)                             // v0
+        // bootstrap the replica from the base snapshot; everything
+        // after this line reaches the mirror ONLY through the feed
+        Snapshots.commitBatch(Snapshots.readVersion(s, src, 0L), mirror, 0L)
+        val q = ChangeFeed.followMirror(s, src, sink, mirror,
+          keyCol = "doc_id", fromV = 0L, tick = "250 milliseconds")
+        try {
+          Snapshots.commitAppend(asLen(slice(1)), src, Seq.empty, Some(1L)) // v1
+          awaitMirrorPos(mirror, 1L)
+          Snapshots.compact(s, src)                                        // v2: skipped
+          Snapshots.commitDelete(
+            slice(0, 30).select(col("doc_id")), src, "doc_id", Some(2L))   // v3
+          Snapshots.commitMerge(
+            asLen(slice(1, 15))
+              .select(col("doc_id"), (col("len") + 1000L).as("len"))
+              .unionByName(asLen(slice(2, 15))
+                .select((col("doc_id") + 1000000L).as("doc_id"), col("len"))),
+            src, "doc_id", batchId = Some(3L))                             // v4
+          Snapshots.commitAppend(asLen(slice(2, 6)), src, Seq.empty, Some(4L)) // v5
+          Snapshots.commitAppend(asLen(slice(5, 6)), src, Seq.empty, Some(5L)) // v6
+          awaitMirrorPos(mirror, 6L)
+        } finally q.stop()
+      }
+    }
+    mirror
+  }
+
+  /** #235 PUSH-MAINTAINED MIRROR (`q_feed_mirror_stream`) — #233's
+    * replica with the consumer scheduling removed: ONE live composed
+    * query ([[graft.streaming.ChangeFeed.followMirror]]) tails the
+    * source chain and maintains the replica continuously — land a
+    * version, apply it, same tick; consecutive insert versions may
+    * fold into one append (the run-batching `mirrorCatchUp` gained,
+    * spec-pinned batched ≡ per-version). The gate reads the MIRROR
+    * after a history that exercises every change type plus a
+    * mid-stream compaction and a two-insert tail, and must equal the
+    * source's final content — a lost tick, a double apply, or a
+    * mis-batched run all shift the replica. No checkpoint anywhere:
+    * all three chains carry their own watermarks, so crash/restart
+    * anywhere in land-then-apply heals on the next tick. */
+  def feedMirrorStream(s: SparkSession, dir: String): DataFrame =
+    Snapshots.read(s, pushMirrorHistory(s, dir))
+
   /** #234 STATS-PRUNED READ (`q_stats_pruned`) — the consumer
     * `q_zorder_layout` was missing: the events-derived (u, d) frame is
     * Z-ORDERED (Morton-interleaved range layout, the same bit
@@ -335,6 +411,7 @@ object Lakehouse {
     "q_change_feed"        -> changeFeed _,
     "q_change_feed_stream" -> changeFeedStream _,
     "q_feed_mirror"        -> feedMirror _,
+    "q_feed_mirror_stream" -> feedMirrorStream _,
     "q_stats_pruned"       -> statsPruned _
   )
 
@@ -421,6 +498,26 @@ object Lakehouse {
         |UNION ALL
         |SELECT doc_id + 1000000, CAST(LENGTH(text) AS BIGINT)
         |FROM documents WHERE doc_id % 15 = 2""".stripMargin,
+    // the push-maintained replica equals the source's final content:
+    // the q_feed_mirror shape plus the v5/v6 insert tail
+    "q_feed_mirror_stream" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 30 <> 0
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 1 AND doc_id % 15 <> 1
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT) + 1000
+        |FROM documents WHERE doc_id % 15 = 1
+        |UNION ALL
+        |SELECT doc_id + 1000000, CAST(LENGTH(text) AS BIGINT)
+        |FROM documents WHERE doc_id % 15 = 2
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT)
+        |FROM documents WHERE doc_id % 6 = 2
+        |UNION ALL
+        |SELECT doc_id, CAST(LENGTH(text) AS BIGINT)
+        |FROM documents WHERE doc_id % 6 = 5""".stripMargin,
     // the pruned read must equal the plain filter over the raw table —
     // file skipping is invisible to the answer, by construction
     "q_stats_pruned" ->

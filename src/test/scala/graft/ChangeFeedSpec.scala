@@ -167,6 +167,37 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bootstrap"))
   }
 
+  test("insert-run batching: batched apply == per-version apply, with fewer mirror commits") {
+    import spark.implicits._
+    val b = tmpBase()
+    val (src, sink) = (s"$b/src", s"$b/sink")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), src)                // v0
+    (1 to 3).foreach(i => Snapshots.commitAppend(                        // v1-v3: insert run
+      Seq((10L + i, s"i$i")).toDF("id", "v"), src, Seq.empty, Some(i.toLong)))
+    Snapshots.commitDelete(Seq(11L).toDF("id"), src, "id", Some(4L))     // v4: splits runs
+    (5 to 6).foreach(i => Snapshots.commitAppend(                        // v5-v6: insert run
+      Seq((20L + i, s"j$i")).toDF("id", "v"), src, Seq.empty, Some(i.toLong)))
+    ChangeFeed.catchUp(spark, src, sink)
+    val (mA, mB) = (s"$b/mA", s"$b/mB")
+    Seq(mA, mB).foreach(m =>
+      Snapshots.commitBatch(Snapshots.readVersion(spark, src, 0L), m, 0L))
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mA, "id") ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mB, "id",
+      batchInserts = false) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // identical replica content either way — the equivalence claim
+    val a = Snapshots.read(spark, mA).as[(Long, String)].collect().toSet
+    val c = Snapshots.read(spark, mB).as[(Long, String)].collect().toSet
+    assert(a == c && a == Set(1L -> "a", 12L -> "i2", 13L -> "i3",
+      25L -> "j5", 26L -> "j6"))
+    // the batching is real: runs [1-3] [4] [5-6] -> 3 applies + base,
+    // vs 6 applies + base per-version
+    assert(Snapshots.versions(mA).size == 4, Snapshots.versions(mA).toString)
+    assert(Snapshots.versions(mB).size == 7)
+    // watermark = run max: replays still no-op
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mA, "id").isEmpty)
+  }
+
   test("absorbSemantic fails LOUDLY on a non-empty batch before the index is built") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

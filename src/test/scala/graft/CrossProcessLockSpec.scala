@@ -176,6 +176,71 @@ class CrossProcessLockSpec extends AnyFunSuite {
       "cross-process ingest-vs-maintenance race changed the curated corpus")
   }
 
+  test("SIGKILL between index absorb and corpus append: the replayed day heals to the uncontended result") {
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.pipelines.CurationJob
+    import graft.dedup.LshIndex
+    val sfdir = sf
+    val corpus = spark.read.parquet(s"$sfdir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    def playedRoots(tag: String): (String, String, String) = {
+      val base = Files.createTempDirectory(s"xcrash-$tag").toString
+      Snapshots.commit(corpus, s"$base/curated")
+      LshIndex.build(corpus, s"$base/lsh")
+      (base, s"$base/curated", s"$base/lsh")
+    }
+    def corpusHash(root: String) = Snapshots.read(spark, root)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    // reference: the day absorbed uncontended, no crash
+    val (_, refCurated, refLsh) = playedRoots("ref")
+    CurationJob.absorbDaily(graft.queries.Indexing.weekBatch(corpus, 0),
+      refCurated, refLsh, batchId = 0L)
+    // crash run: a REAL child JVM runs the same day and parks in the
+    // one window in-JVM races can't reach — index absorb committed,
+    // curated append staged but uncommitted — then dies by SIGKILL
+    val (base, curated, lsh) = playedRoots("crash")
+    val log = Files.createTempFile("absorbday-stall", ".log").toFile
+    val kid = launch(Seq("absorbday-stall", base, "0", sfdir), log)
+    try {
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      def logText = new String(Files.readAllBytes(log.toPath))
+      while (!logText.contains("CORPUS_COMMIT_PENDING")) {
+        assert(System.nanoTime() < deadline, "child never reached the crash window")
+        assert(kid.isAlive, s"child died early:\n${logText.takeRight(4000)}")
+        Thread.sleep(100)
+      }
+      assert(!logText.contains("UNEXPECTED_COMPLETION"))
+      // the partial state is REAL: the index chains advanced with day
+      // 0's signatures, the curated corpus did not
+      assert(Snapshots.latestVersion(LshIndex.bandsRoot(lsh)).exists(_ >= 1L),
+        "index absorb had not committed at the crash point")
+      assert(Snapshots.latestVersion(curated).contains(0L),
+        "curated corpus advanced before the crash point — wrong window")
+    } finally {
+      kid.destroyForcibly()
+      kid.waitFor(30, TimeUnit.SECONDS); ()
+    }
+    // REPLAY the whole day from this JVM on the same batch-id clock:
+    // the index-side appends must no-op, the corpus append must land
+    CurationJob.absorbDaily(graft.queries.Indexing.weekBatch(corpus, 0),
+      curated, lsh, batchId = 0L)
+    val (want0, got0) = (corpusHash(refCurated), corpusHash(curated))
+    assert(got0.exceptAll(want0).count() == 0 &&
+      want0.exceptAll(got0).count() == 0,
+      "replayed crash-day corpus diverged from the uncontended day")
+    // and the INDEX healed too (not just the corpus): the next day's
+    // dedup verdicts depend on the stored signatures, so identical
+    // day-1 outcomes on both roots pin index-state convergence
+    CurationJob.absorbDaily(graft.queries.Indexing.weekBatch(corpus, 1),
+      refCurated, refLsh, batchId = 1L)
+    CurationJob.absorbDaily(graft.queries.Indexing.weekBatch(corpus, 1),
+      curated, lsh, batchId = 1L)
+    val (want1, got1) = (corpusHash(refCurated), corpusHash(curated))
+    assert(got1.exceptAll(want1).count() == 0 &&
+      want1.exceptAll(got1).count() == 0,
+      "day after the healed crash diverged — index state did not converge")
+  }
+
   test("the commit lock blocks across processes, and a DYING holder releases the root") {
     import spark.implicits._
     val root = Files.createTempDirectory("xproc-die").toString + "/tbl"

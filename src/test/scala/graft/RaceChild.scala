@@ -50,6 +50,46 @@ object RaceChild {
       println(s"DONE day$day")
       spark.stop()
       sys.exit(0)
+    // absorbday-stall <base> <day> <sfdir>: one absorbDaily day that
+    // STALLS forever at the exact crash window the parent wants to
+    // SIGKILL into — AFTER the LSH index absorb fully committed,
+    // AFTER the curated append's distributed stage write, BEFORE the
+    // curated commit's critical section (the lock for the curated
+    // root is where the injected IO parks). The parent watches for
+    // the marker, kills this JVM, and replays the day — the
+    // composition must heal by batch-id idempotence.
+    case "absorbday-stall" =>
+      val (base, day, sfdir) = (args(1), args(2).toInt, args(3))
+      val curatedRoot = s"$base/curated"
+      graft.sources.Snapshots.io = new graft.sources.CommitIO {
+        def withLock[T](root: String)(body: => T): T = {
+          if (root == curatedRoot) {
+            println("CORPUS_COMMIT_PENDING")
+            Console.out.flush()
+            Thread.sleep(600000L) // parked in the crash window until killed
+          }
+          graft.sources.PosixCommitIO.withLock(root)(body)
+        }
+        def moveStage(stage: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+          graft.sources.PosixCommitIO.moveStage(stage, dst)
+        def publishPointer(root: String, bytes: Array[Byte]): Unit =
+          graft.sources.PosixCommitIO.publishPointer(root, bytes)
+      }
+      val spark2 = GraftSession.builder(master = "local[2]", shufflePartitions = 2)
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("race-wh").toString)
+        .getOrCreate()
+      spark2.sparkContext.setLogLevel("ERROR")
+      import org.apache.spark.sql.functions.{col => c2}
+      val corpus2 = spark2.read.parquet(s"$sfdir/documents.parquet")
+        .select(c2("doc_id"), c2("text"))
+      graft.pipelines.CurationJob.absorbDaily(
+        graft.queries.Indexing.weekBatch(corpus2, day),
+        curatedRoot, s"$base/lsh", batchId = day.toLong)
+      // unreachable: the stall above never returns; a child that gets
+      // here somehow must fail loudly, not masquerade as the marker
+      println("UNEXPECTED_COMPLETION")
+      sys.exit(3)
     // lockhold <root>: take the commit lock the way PosixCommitIO does
     // and hold it until killed — the dying-holder recovery scenario
     case "lockhold" =>

@@ -235,6 +235,45 @@ object Stats {
           6).as("global_clustering"))
   }
 
+  /** #236 SAMPLED TRIANGLE ESTIMATE (`q_triangle_estimate`) — DOULION
+    * (Tsourakakis et al., KDD 2009): keep each undirected edge with
+    * probability p, count triangles EXACTLY on the sampled graph,
+    * estimate the true count as t_sampled / p³ — unbiased, and
+    * concentration follows from the triangle count itself
+    * (Var/E² ≲ 1/(p³·t)), so on any graph dense enough for the exact
+    * count to hurt, the estimate is tight. This is the AT-SCALE
+    * sibling of #123's exact form — the one bench-tail row whose
+    * 14.2x ScaleProbe growth is provably optimal for exact semantics
+    * (work ≡ Σ outdeg², which the oriented plan already minimizes):
+    * sampling is the only way below it, and the wedge work shrinks by
+    * p² (p = 0.1 → 100x less closure shuffle). The sampling is
+    * DETERMINISTIC (md5 of the canonical edge key, the engine-portable
+    * convention every sampler here uses — no rand()), so the oracle
+    * replays the identical sample and the gate hash-matches estimate
+    * and flag exactly; p = 1/2 keeps the estimate an exact integer
+    * (t·8) and tight at test SFs, production tunes p down. The flag
+    * recomputes the EXACT count alongside (the #49/#98 convention):
+    * tolerance is graded data, not a promise. */
+  def triangleEstimate(s: SparkSession, dir: String): DataFrame = {
+    val edges = GraphCore.copurchaseEdges(s, dir)
+    val canon = edges.filter(col("src") < col("dst"))
+    val h = md5(concat(col("src").cast("string"), lit(":"),
+      col("dst").cast("string"), lit(":doulion")))
+    val pct = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
+    val sampled = GraphCore.edgesFromPairs(
+      canon.filter(pct < 50).select(col("src").as("pa"), col("dst").as("pb")))
+    val est = GraphCore.triangles(GraphCore.orientedOf(sampled))
+      .agg(count(lit(1)).as("t_sampled"))
+    val exact = GraphCore.triangles(GraphCore.orientedOf(edges))
+      .agg(count(lit(1)).as("n_triangles"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_triangles"), col("t_sampled"),
+        (col("t_sampled") * 8L).as("estimate"),
+        (abs((col("t_sampled") * 8L).cast("double") - col("n_triangles")) /
+          nullif(col("n_triangles").cast("double"), lit(0.0)) <= 0.25)
+          .cast("int").as("est_within_25pct"))
+  }
+
   /** #124 EWMA SMOOTHING (α = 1/2) of each event type's daily value
     * total — the denoised view a metrics dashboard overlays on the
     * raw series (complements #62's rolling mean and #116's anomaly
@@ -308,6 +347,7 @@ object Stats {
     "q_ab_lift"        -> abLift _,
     "q_rank_corr"      -> rankCorr _,
     "q_triangle_count" -> triangleCount _,
+    "q_triangle_estimate" -> triangleEstimate _,
     "q_ewma_smooth"    -> ewmaSmooth _,
     "q_cusum_changepoint" -> cusumChangepoint _
   )
@@ -440,6 +480,35 @@ object Stats {
         |  ROUND(3.0 * n_triangles / NULLIF(CAST(n_wedges AS DOUBLE), 0.0), 6)
         |    AS global_clustering
         |FROM ne, tri""".stripMargin,
+    "q_triangle_estimate" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |samp AS (
+        |  SELECT pa, pb FROM pairs
+        |  WHERE (ascii(substr(md5(CAST(pa AS VARCHAR) || ':' ||
+        |                          CAST(pb AS VARCHAR) || ':doulion'), 1, 1)) * 256
+        |       + ascii(substr(md5(CAST(pa AS VARCHAR) || ':' ||
+        |                          CAST(pb AS VARCHAR) || ':doulion'), 2, 1))) % 100 < 50),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.pb = e2.pa
+        |  JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |stri AS (
+        |  SELECT COUNT(*) AS t_sampled
+        |  FROM samp e1
+        |  JOIN samp e2 ON e1.pb = e2.pa
+        |  JOIN samp e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT n_triangles, t_sampled,
+        |  CAST(t_sampled * 8 AS BIGINT) AS estimate,
+        |  CAST(ABS(CAST(t_sampled * 8 AS DOUBLE) - n_triangles)
+        |       / NULLIF(CAST(n_triangles AS DOUBLE), 0.0) <= 0.25 AS INT)
+        |    AS est_within_25pct
+        |FROM tri, stri""".stripMargin,
     "q_ewma_smooth" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS x

@@ -35,6 +35,10 @@ object ScaleProbe {
       // plan's growth, not densification of the synthetic data
       "q_markov_chain", "q_triangle_count", "q_label_prop", "q_bfs_hops",
       "q_concurrency",
+      // r12: the DOULION sampled estimator next to its exact sibling —
+      // the p² wedge-work reduction should grow visibly slower than
+      // q_triangle_count's (provably optimal-exact) 14x curve
+      "q_triangle_estimate",
       // r4 additions: the remaining unprobed heavy queries — per-edge
       // triangle scoring, walk sampling, the 64-replicate bootstrap
       // expansion, and basket-local rule mining

@@ -264,15 +264,29 @@ object TextDedup {
     * verify join by the two standard sound filters:
     *  - SIZE filter: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t — a
     *    cheap int predicate inside the pair join;
-    *  - POSITIONAL filter (PPJoin, Xiao et al. 2008): both lists are
-    *    sorted by the SAME global order, so the first common element
-    *    has the minimal positions (pa, pb) and the overlap is at
-    *    most 1 + min(|A|−pa, |B|−pb); a qualifying pair needs
-    *    overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉, and the first-common-element
-    *    row always exists inside both prefixes, so keeping a pair
-    *    iff ANY of its rows passes is exact.
-    * At sf0.1 these drop the verify set 1.22M → 282k pairs for
-    * identical output. */
+    *  - ACCUMULATED POSITIONAL filter (PPJoin, Xiao et al. 2008, in
+    *    its per-pair accumulated form): both lists share ONE global
+    *    sort order, so (a) every common element ≤ the LAST
+    *    prefix-prefix match is itself a prefix-prefix match — the
+    *    per-pair match count `o_p` counts the early overlap EXACTLY —
+    *    and (b) every other common element lies strictly after that
+    *    last match in BOTH lists, so the tail contributes at most
+    *    min(|A|−pa_last, |B|−pb_last). A qualifying pair needs
+    *    overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉ against the bound
+    *    o_p + min(|A|−pa_last, |B|−pb_last) — provably ≤ the
+    *    first-match row bound 1 + min(|A|−pa₁, |B|−pb₁) (positions
+    *    strictly increase, so |A|−pa_last ≤ |A|−pa₁−o_p+1), i.e.
+    *    strictly tighter whenever a pair shares >1 prefix element.
+    *    The aggregation rides the same exchange the old
+    *    keep-if-any-row `distinct` already paid (count/max are
+    *    map-side combinable).
+    * PPJoin+'s recursive SUFFIX probe is deliberately NOT here: it
+    * needs both suffix arrays co-located per candidate, which
+    * re-introduces the array shuffle this pre-filter exists to
+    * avoid — the accumulated bound rides the existing exchange for
+    * free. Measured at sf0.1, t = 0.6 (the gate's config): 193,148
+    * prefix-join pairs → 66,259 verified (the first-match row form
+    * kept 68,594), identical output. */
   def prefixFilterPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
@@ -308,17 +322,25 @@ object TextDedup {
       posexplode(transform(slice(col("ord"), lit(1), prefixLen),
         s => s.getField("h"))))
       .select(col("__id"), col("n"), (col("pos") + 1).as("p"), col("col").as("h"))
-    val minOverlap =
-      ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")))
+    // one row per matched prefix entry; the pair-level aggregation
+    // BELOW subsumes the old per-row positional test (no row may be
+    // dropped here — it would undercount o_p and break soundness)
     val cand = prefix.as("a")
       .join(prefix.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.__id") < col("b.__id") &&
           col("a.n") >= ceil(lit(threshold) * col("b.n")) &&
           col("b.n") >= ceil(lit(threshold) * col("a.n")))
-      .filter(lit(1) + least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))
-        >= minOverlap)
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .agg(count(lit(1)).as("o_p"),
+        max(col("a.p")).as("pa_last"), max(col("b.p")).as("pb_last"),
+        max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"))
+      // (pa_last, pb_last) belong to the SAME element: prefix matches
+      // appear in the same relative order in both lists (one global
+      // order), so the per-column max picks one element's positions
+      .filter(col("o_p") +
+        least(col("n_a") - col("pa_last"), col("n_b") - col("pb_last"))
+        >= ceil(lit(threshold / (1 + threshold)) * (col("n_a") + col("n_b"))))
+      .select(col("doc_a"), col("doc_b"))
     verifyJaccardSets(cand, base)
       .filter(col("jaccard") >= threshold)
   }

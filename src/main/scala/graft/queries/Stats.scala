@@ -250,10 +250,19 @@ object Stats {
     * DETERMINISTIC (md5 of the canonical edge key, the engine-portable
     * convention every sampler here uses — no rand()), so the oracle
     * replays the identical sample and the gate hash-matches estimate
-    * and flag exactly; p = 1/2 keeps the estimate an exact integer
-    * (t·8) and tight at test SFs, production tunes p down. The flag
-    * recomputes the EXACT count alongside (the #49/#98 convention):
-    * tolerance is graded data, not a promise. */
+    * and flag exactly. The keep probability is the EXACT mass of the
+    * two-hex-char bucket below the threshold — 126/256, not 50/100:
+    * the 256 equiprobable (char, char) pairs spread unevenly over the
+    * 100 residues, and an estimator dividing by the nominal rate
+    * would carry a silent −4.7% bias (measured: it was most of the
+    * gate's apparent "sampling error"). The intermediate
+    * t·256³ stays integer-exact in a double, so multiply-then-divide
+    * is bit-identical across engines. Production tunes p DOWN with
+    * corpus size (p ∝ n^(-1/3) holds accuracy constant — ScaleProbe's
+    * doulion_scaled row measures that recipe at 2.9x for 16x data vs
+    * the exact form's ~12x). The flag recomputes the EXACT count
+    * alongside (the #49/#98 convention): tolerance is graded data,
+    * not a promise. */
   def triangleEstimate(s: SparkSession, dir: String): DataFrame = {
     val edges = GraphCore.copurchaseEdges(s, dir)
     val canon = edges.filter(col("src") < col("dst"))
@@ -266,10 +275,16 @@ object Stats {
       .agg(count(lit(1)).as("t_sampled"))
     val exact = GraphCore.triangles(GraphCore.orientedOf(edges))
       .agg(count(lit(1)).as("n_triangles"))
+    // p = 126/256 exactly, so 1/p^3 = 256^3/126^3 = 16777216/2000376;
+    // multiply-then-divide keeps the intermediate integer-exact in a
+    // double (t*2^24 << 2^53) -> bit-identical across engines
+    val estimate =
+      round(col("t_sampled") * lit(16777216.0) / lit(2000376.0), 6)
     exact.crossJoin(broadcast(est))
       .select(col("n_triangles"), col("t_sampled"),
-        (col("t_sampled") * 8L).as("estimate"),
-        (abs((col("t_sampled") * 8L).cast("double") - col("n_triangles")) /
+        estimate.as("estimate"),
+        (abs(col("t_sampled") * lit(16777216.0) / lit(2000376.0) -
+            col("n_triangles")) /
           nullif(col("n_triangles").cast("double"), lit(0.0)) <= 0.25)
           .cast("int").as("est_within_25pct"))
   }
@@ -504,8 +519,8 @@ object Stats {
         |  JOIN samp e2 ON e1.pb = e2.pa
         |  JOIN samp e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
         |SELECT n_triangles, t_sampled,
-        |  CAST(t_sampled * 8 AS BIGINT) AS estimate,
-        |  CAST(ABS(CAST(t_sampled * 8 AS DOUBLE) - n_triangles)
+        |  ROUND(t_sampled * 16777216.0 / 2000376.0, 6) AS estimate,
+        |  CAST(ABS(t_sampled * 16777216.0 / 2000376.0 - n_triangles)
         |       / NULLIF(CAST(n_triangles AS DOUBLE), 0.0) <= 0.25 AS INT)
         |    AS est_within_25pct
         |FROM tri, stri""".stripMargin,

@@ -259,6 +259,56 @@ object ScaleProbe {
       val ratio = times.last / times.head
       println(f"${"skew_graph(hub=50k*n)"}%-24s ${times.map(t => f"$t%7.2fs").mkString} ${ratio}%6.1fx")
     }
+    // DOULION P-SCALING probe (r12): the q_triangle_estimate GATE
+    // recomputes the exact count for its tolerance flag, so its
+    // main-loop row necessarily tracks the exact side's curve. This
+    // block times the SAMPLED PATH ALONE under the honest at-scale
+    // recipe: the estimator's relative variance is ~1/(p³·t), and t
+    // grows with the corpus (disjoint replicas: ∝ n), so p may SHRINK
+    // as n^(-1/3) at constant accuracy — wedge work ∝ p²·n ∝ n^(1/3),
+    // a provably sub-linear curve where the exact form is Θ(n).
+    // p: 50% / 31% / 20% at 1x/4x/16x; the estimate is asserted
+    // within 10% of the exact count at every scale (p³·t ≥ 50k at
+    // 16x → sub-1% standard error; the assert is the accuracy HALF
+    // of the claim, the curve is the cost half).
+    if (args.isEmpty || args(0).split(",").contains("doulion_scaled")) {
+      import graft.queries.GraphCore
+      val pPct = Map(1 -> 50, 4 -> 31, 16 -> 20)
+      // the md5-bucket sampler keys on TWO hex chars, so the keep
+      // probability is the EXACT combinatorial mass of the 256
+      // equiprobable (char1, char2) pairs below the threshold — NOT
+      // thr/100 (256 pairs spread unevenly over the 100 residues);
+      // the estimator must divide by the true p or it is biased
+      def pOf(thr: Int): Double = {
+        val hex = "0123456789abcdef".map(_.toInt)
+        (for (a <- hex; b <- hex) yield (a * 256 + b) % 100)
+          .count(_ < thr) / 256.0
+      }
+      val times = scales.map { n =>
+        val edges = GraphCore.copurchaseEdges(spark, dirs(n))
+        val exact = GraphCore.triangles(GraphCore.orientedOf(edges)).count()
+        val thr = pPct(n)
+        val p = pOf(thr)
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val canon = edges.filter(col("src") < col("dst"))
+          val h = md5(concat(col("src").cast("string"), lit(":"),
+            col("dst").cast("string"), lit(":doulion")))
+          val pct = (ascii(substring(h, 1, 1)) * 256 +
+            ascii(substring(h, 2, 1))) % 100
+          val sampled = GraphCore.edgesFromPairs(canon.filter(pct < thr)
+            .select(col("src").as("pa"), col("dst").as("pb")))
+          val ts = GraphCore.triangles(GraphCore.orientedOf(sampled)).count()
+          val est = ts / (p * p * p)
+          assert(math.abs(est - exact) / math.max(1.0, exact.toDouble) <= 0.10,
+            s"doulion at ${n}x p=$p: est $est vs exact $exact")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        t
+      }
+      val ratio = times.last / times.head
+      println(f"${"doulion_scaled(p~n^-1/3)"}%-24s ${times.map(t => f"$t%7.2fs").mkString} ${ratio}%6.1fx")
+    }
     // SEMDEDUP K-SCALING probe (r10): semProbeBatch is bucket-local
     // quadratic, so per-bucket occupancy — and with it the probe cost
     // — stays flat only if the centroid count grows WITH the corpus

@@ -396,9 +396,12 @@ object Lakehouse {
         root, statsCols = Seq("u", "d"))
       ()
     }
+    // box bounds live INSIDE the data's ranges (u uniform 0-255, the
+    // synthetic events span days 1-30) so the gate grades a real
+    // subset — an out-of-range box would pass trivially on 0 rows
     Snapshots.readPruned(s, root, Seq(
         ColRange("u", lower = Some(32L), upper = Some(63L)),
-        ColRange("d", lower = Some(40L), upper = Some(79L))))
+        ColRange("d", lower = Some(8L), upper = Some(22L))))
       .groupBy(col("u"))
       .agg(count(lit(1)).as("n"), sum(col("d")).as("sum_d"),
         round(sum(col("value")), 6).as("sum_val"))
@@ -525,10 +528,10 @@ object Lakehouse {
         |                 CAST(dayofyear(ts) % 256 AS BIGINT) AS d,
         |                 value
         |          FROM events)
-        |SELECT u, COUNT(*) AS n, SUM(d) AS sum_d,
+        |SELECT u, COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS sum_d,
         |       ROUND(SUM(value), 6) AS sum_val
         |FROM b
-        |WHERE u BETWEEN 32 AND 63 AND d BETWEEN 40 AND 79
+        |WHERE u BETWEEN 32 AND 63 AND d BETWEEN 8 AND 22
         |GROUP BY u""".stripMargin
   )
 }

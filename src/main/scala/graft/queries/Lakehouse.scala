@@ -396,11 +396,12 @@ object Lakehouse {
         root, statsCols = Seq("u", "d"))
       ()
     }
-    // box bounds live INSIDE the data's ranges (u uniform 0-255, the
-    // synthetic events span days 1-30) so the gate grades a real
-    // subset — an out-of-range box would pass trivially on 0 rows
+    // box bounds live INSIDE the data's ranges at EVERY test SF (the
+    // smallest has only 15 users -> u in 0..14; events span days
+    // 1-30) so the gate grades a real subset everywhere — an
+    // out-of-range box would pass trivially on 0 rows
     Snapshots.readPruned(s, root, Seq(
-        ColRange("u", lower = Some(32L), upper = Some(63L)),
+        ColRange("u", lower = Some(2L), upper = Some(9L)),
         ColRange("d", lower = Some(8L), upper = Some(22L))))
       .groupBy(col("u"))
       .agg(count(lit(1)).as("n"), sum(col("d")).as("sum_d"),
@@ -531,7 +532,7 @@ object Lakehouse {
         |SELECT u, COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS sum_d,
         |       ROUND(SUM(value), 6) AS sum_val
         |FROM b
-        |WHERE u BETWEEN 32 AND 63 AND d BETWEEN 8 AND 22
+        |WHERE u BETWEEN 2 AND 9 AND d BETWEEN 8 AND 22
         |GROUP BY u""".stripMargin
   )
 }

@@ -268,7 +268,8 @@ object CurationJob {
     * Idempotent per `batchId`: every append replays as a no-op and the
     * disposition is replay-stable. */
   def absorbDaily(batch: DataFrame, curatedRoot: String, lshRoot: String,
-      batchId: Long, spanRoot: Option[String] = None): DataFrame = {
+      batchId: Long, spanRoot: Option[String] = None,
+      statsCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val spark = batch.sparkSession
     val gated = batch
       .withColumn("quality_pass", TextAnalysis.qualityPass(col("text")).cast("int"))
@@ -291,11 +292,31 @@ object CurationJob {
         (col("quality_pass") === 1 && col("n_matches") === 0L).cast("int"))
       .localCheckpoint()
     val kept = disposition.filter(col("kept") === 1).select(col("doc_id"))
+    // the curated append records per-file doc_id stats by default:
+    // daily batches carry disjoint id ranges, so the sidecars make a
+    // point/range lookup on the curated corpus touch O(matching
+    // files) instead of the whole chain ([[Snapshots.readPruned]];
+    // [[nightly]] re-records them through compaction). Footer reads
+    // are O(batch files) — noise next to the batch write itself.
     Snapshots.commitAppend(
       batch.join(kept, Seq("doc_id")).select(col("doc_id"), col("text")),
-      curatedRoot, Seq.empty, Some(batchId))
+      curatedRoot, Seq.empty, Some(batchId), statsCols = statsCols)
     disposition
   }
+
+  /** RANGE/POINT LOOKUP on the curated corpus through the stats
+    * sidecars: `readPruned` on the doc_id interval — each chain
+    * member scans only the files whose id range intersects, so a
+    * single-document fetch on a 100 TB corpus touches one file of
+    * one delta (or a slice of the compacted base) instead of the
+    * whole chain. Exact regardless of which members carry stats
+    * (members without sidecars scan whole; the residual filter
+    * completes). */
+  def lookupDocs(spark: org.apache.spark.sql.SparkSession,
+      curatedRoot: String, loId: Long, hiId: Long): DataFrame =
+    Snapshots.readPruned(spark, curatedRoot, Seq(
+      graft.sources.FileStats.ColRange("doc_id",
+        lower = Some(loId), upper = Some(hiId))))
 
   /** RIGHT-TO-BE-FORGOTTEN — targeted delete through the whole
     * ingest deployment: tombstone `docIds` out of the curated corpus
@@ -359,11 +380,13 @@ object CurationJob {
       curatedRoot: String, lshRoot: String, keep: Int = 7,
       matchesRoot: Option[String] = None,
       vectorRoot: Option[String] = None,
-      spanRoot: Option[String] = None): Maintenance = {
+      spanRoot: Option[String] = None,
+      curatedStatsCols: Seq[String] = Seq("doc_id")): Maintenance = {
     import graft.dedup.{LshIndex, SpanIndex}
     import graft.similarity.VectorIndex
     Snapshots.maintain(spark,
-      Seq(
+      statsCols = Map(curatedRoot -> curatedStatsCols),
+      roots = Seq(
         curatedRoot -> Seq.empty,
         LshIndex.bandsRoot(lshRoot) -> Seq("bmod"),
         LshIndex.shinglesRoot(lshRoot) -> Seq("dmod")) ++
@@ -375,6 +398,6 @@ object CurationJob {
           VectorIndex.statsRoot(r) -> Seq.empty[String],
           VectorIndex.pqCodebookRoot(r) -> Seq.empty[String])) ++
         spanRoot.map(r => SpanIndex.spansRoot(r) -> Seq("smod")).toSeq,
-      keep)
+      keep = keep)
   }
 }

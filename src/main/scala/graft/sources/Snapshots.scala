@@ -1043,11 +1043,16 @@ object Snapshots {
     * chain's maxBatchId). Cost: one distributed rewrite per chain
     * that actually has deltas, metadata otherwise. */
   def maintain(spark: SparkSession, roots: Seq[(String, Seq[String])],
-      keep: Int = 7): Maintenance = {
+      keep: Int = 7,
+      statsCols: Map[String, Seq[String]] = Map.empty): Maintenance = {
     val done = roots.map { case (root, parts) =>
       val did = latestVersion(root)
         .filter(v => isDelta(root, v))
-        .map(_ => compact(spark, root, parts))
+        // compaction re-records the per-file stats sidecar for roots
+        // that declare stats columns — without this, the nightly
+        // rewrite would silently strip the chain's data-skipping
+        // metadata and every later readPruned would scan whole
+        .map(_ => compact(spark, root, parts, statsCols.getOrElse(root, Seq.empty)))
       root -> did
     }
     Maintenance(done.toMap,

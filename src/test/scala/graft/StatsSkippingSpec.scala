@@ -152,6 +152,56 @@ class StatsSkippingSpec extends AnyFunSuite {
     assert(a == b && a.getLong(0) == 256L)
   }
 
+  test("operational lookup: absorbDaily records doc_id stats, nightly preserves them through compaction") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val base = java.nio.file.Files.createTempDirectory("opskip").toString
+    val (curated, lsh) = (s"$base/curated", s"$base/lsh")
+    // the base corpus committed range-laid-out WITH stats (the 100 TB
+    // member a point lookup must be able to skip)
+    Snapshots.commit(corpus.repartitionByRange(4, col("doc_id")), curated,
+      statsCols = Seq("doc_id"))
+    graft.dedup.LshIndex.build(corpus, lsh)
+    // three daily absorbs — weekBatch day d's ids live in disjoint
+    // shifted ranges, so each delta's sidecar covers a distinct slice
+    (0 until 3).foreach { d =>
+      graft.pipelines.CurationJob.absorbDaily(
+        graft.queries.Indexing.weekBatch(corpus, d), curated, lsh,
+        batchId = d.toLong)
+      assert(Snapshots.statsOf(curated, (d + 1).toLong).nonEmpty,
+        s"day $d's curated append recorded no stats sidecar")
+    }
+    // a lookup inside day 1's fresh-docs id range (10M + 1*1M shift):
+    // must equal the full filtered read AND touch zero files of the
+    // base or the other days' deltas
+    val (lo, hi) = (11000000L, 11999999L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id")).as[Long].collect().toSet
+    val lookup = graft.pipelines.CurationJob.lookupDocs(spark, curated, lo, hi)
+    val full = Snapshots.read(spark, curated)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+    assert(ids(lookup) == ids(full) && lookup.count() > 0)
+    val range = Seq(FileStats.ColRange("doc_id", Some(lo), Some(hi)))
+    assert(Snapshots.prunedFileCount(curated, 0L, range).get._1 == 0,
+      "the base corpus was not skipped")
+    assert(Snapshots.prunedFileCount(curated, 1L, range).get._1 == 0,
+      "day 0's delta was not skipped")
+    assert(Snapshots.prunedFileCount(curated, 2L, range).get._1 > 0,
+      "day 1's delta lost the rows")
+    // nightly compaction re-records the sidecar (maintain's statsCols
+    // carry) — the compacted chain still skips
+    graft.pipelines.CurationJob.nightly(spark, curated, lsh, keep = 7)
+    val cv = Snapshots.latestVersion(curated).get
+    assert(!Snapshots.isDelta(curated, cv))
+    assert(Snapshots.statsOf(curated, cv).nonEmpty,
+      "compaction stripped the stats sidecar")
+    assert(ids(graft.pipelines.CurationJob.lookupDocs(spark, curated, lo, hi))
+      == ids(full))
+    val (kept, total) = Snapshots.prunedFileCount(curated, cv, range).get
+    assert(kept < total, s"compacted table prunes nothing ($kept/$total)")
+  }
+
   test("stats sidecars follow their versions through truncation and vacuum") {
     import spark.implicits._
     val root = tmpRoot()

@@ -102,11 +102,18 @@ object ChangeFeed {
         // union semantics, reproduced per-version), and a
         // schema-evolved source widens the sink the same way. Type
         // changes still fail loudly, like every append.
+        // each landing records a `_commit_version` stats sidecar: the
+        // column is constant per landed file, so the mirror's
+        // watermark filter prunes every already-applied feed FILE at
+        // the manifest level ([[Snapshots.readPruned]]) — a long-lived
+        // feed's catch-up reads O(pending versions' files), not the
+        // whole change table (commitBatch lacks the stats hook, so the
+        // very first landing scans whole — one file, by construction)
         if (Snapshots.latestVersion(sinkRoot).isEmpty)
           Snapshots.commitBatch(changes, sinkRoot, v)
         else
           Snapshots.commitAppend(changes, sinkRoot, batchId = Some(v),
-            evolveSchema = true)
+            evolveSchema = true, statsCols = Seq("_commit_version"))
         Some(v)
       }
     }
@@ -160,8 +167,16 @@ object ChangeFeed {
       s"change feed under $sinkRoot is at source version $sinkWm, BEHIND " +
         s"the mirror $mirrorRoot at $wm — the feed was reset; re-bootstrap " +
         "the mirror from a current base snapshot")
-    val changes = Snapshots.read(spark, sinkRoot)
-      .filter(col("_commit_version") > wm)
+    // the watermark filter goes through the DATA-SKIPPING read: each
+    // feed landing recorded a `_commit_version` sidecar (constant per
+    // file), so every already-applied feed FILE is pruned from the
+    // scan's file list — the catch-up pays O(pending versions' files)
+    // even when the change table holds months of applied history
+    // (members without sidecars scan whole; the residual filter keeps
+    // it exact either way)
+    val changes = Snapshots.readPruned(spark, sinkRoot, Seq(
+      graft.sources.FileStats.ColRange("_commit_version",
+        lower = Some(wm + 1))))
     // the pending-version list is O(feed versions above the watermark)
     // driver-side metadata — bounded by the change history, not data
     val pending = changes.select(col("_commit_version"), col("_change_type"))

@@ -198,6 +198,41 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(ChangeFeed.mirrorCatchUp(spark, sink, mA, "id").isEmpty)
   }
 
+  test("feed landings carry _commit_version sidecars; the mirror watermark skips applied FILES") {
+    import spark.implicits._
+    import graft.sources.FileStats.ColRange
+    val b = tmpBase()
+    val (src, sink, mirror) = (s"$b/src", s"$b/sink", s"$b/mirror")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "v"), src)                // v0
+    (1 to 3).foreach(i => Snapshots.commitAppend(
+      Seq((10L + i, s"i$i")).toDF("id", "v"), src, Seq.empty, Some(i.toLong)))
+    ChangeFeed.catchUp(spark, src, sink)                                 // feed v1-v3
+    Snapshots.commitBatch(Snapshots.readVersion(spark, src, 0L), mirror, 0L)
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id") == Seq(1L, 2L, 3L))
+    // the source moves on; the feed lands two more versions
+    (4 to 5).foreach(i => Snapshots.commitAppend(
+      Seq((20L + i, s"j$i")).toDF("id", "v"), src, Seq.empty, Some(i.toLong)))
+    ChangeFeed.catchUp(spark, src, sink)                                 // feed v4-v5
+    // sink version k landed feed version k+1; appended landings carry
+    // a _commit_version sidecar whose min==max==that version, so the
+    // mirror's next pass (watermark 3 -> lower bound 4) must PRUNE the
+    // already-applied landings' files entirely and keep the new ones
+    val wmRange = Seq(ColRange("_commit_version", lower = Some(4L)))
+    assert(Snapshots.statsOf(sink, 1L).nonEmpty, "landing recorded no sidecar")
+    assert(Snapshots.prunedFileCount(sink, 1L, wmRange).get._1 == 0,
+      "an applied feed landing (v2) was not file-skipped")
+    assert(Snapshots.prunedFileCount(sink, 2L, wmRange).get._1 == 0,
+      "an applied feed landing (v3) was not file-skipped")
+    assert(Snapshots.prunedFileCount(sink, 3L, wmRange).get._1 > 0,
+      "the pending landing (v4) lost its files")
+    // and the pruned-path apply is exact: the new versions land, the
+    // replica equals the source
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id") == Seq(4L, 5L))
+    val got = Snapshots.read(spark, mirror).as[(Long, String)].collect().toSet
+    val want = Snapshots.read(spark, src).as[(Long, String)].collect().toSet
+    assert(got == want)
+  }
+
   test("absorbSemantic fails LOUDLY on a non-empty batch before the index is built") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -89,8 +89,14 @@ trait LeaseStore {
   * emulation residue — a real store's generation-conditional delete
   * is exact by API contract, and the call shape here is identical). */
 object LocalLeaseStore extends LeaseStore {
-  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def mon(p: Path) = monitors.computeIfAbsent(p.toString, _ => new Object)
+  // STRIPED monitors (not a per-path map): a map entry per lease path
+  // ever touched would grow for the JVM's lifetime in a driver that
+  // commits to many roots; 256 hash-striped monitors bound the memory
+  // while keeping the read-compare-delete exact per-JVM (two paths
+  // sharing a stripe merely serialize, never interleave)
+  private val monitors = Array.fill(256)(new Object)
+  private def mon(p: Path) =
+    monitors(math.floorMod(p.toString.hashCode, 256))
 
   def createIfAbsent(p: Path, bytes: Array[Byte]): Boolean =
     try { Files.write(p, bytes, java.nio.file.StandardOpenOption.CREATE_NEW); true }

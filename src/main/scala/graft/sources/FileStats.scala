@@ -58,10 +58,16 @@ object FileStats {
   def collect(dir: Path, cols: Seq[String],
       conf: org.apache.hadoop.conf.Configuration): Seq[FileStat] = {
     val want = cols.toSet
-    val files = Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.toString)
+    // walk stream closed eagerly: this runs on EVERY stats-declaring
+    // commit (the curated-ingest default path), and an unclosed
+    // stream holds directory fds until GC
+    val walk = Files.walk(dir)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      finally walk.close()
     files.map { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -149,7 +155,10 @@ object FileStats {
     private def lt(x: Any, y: Any): Boolean = (x, y) match {
       case (a: Long, b: Long)     => a < b
       case (a: Double, b: Double) => a < b
-      case (a: String, b: String) => a < b
+      // UTF-8 byte order — the order the per-block footer stats were
+      // computed in; merging blocks under UTF-16 order could narrow
+      // the file's true [min, max] and mis-prune
+      case (a: String, b: String) => utf8Cmp(a, b) < 0
       case _ => throw new IllegalStateException(s"unmergeable $x / $y")
     }
     def toColStat: ColStat = typ match {
@@ -175,14 +184,38 @@ object FileStats {
           def bound(a: Any) = BigDecimal(a.toString)
           cs.typ match {
             case "s" =>
-              r.lower.forall(b => cs.max >= b.toString) &&
-                r.upper.forall(b => cs.min <= b.toString)
+              // compare in UNSIGNED UTF-8 BYTE order — the order the
+              // parquet footer min/max were computed in and the order
+              // Spark's UTF8String filter will apply row-level. Java
+              // String </> is UTF-16 code-unit order, which DISAGREES
+              // for supplementary-plane text (surrogates sort below
+              // U+E000..U+FFFF in UTF-16 but above all BMP in bytes):
+              // comparing in the wrong order could prune a file whose
+              // rows the residual filter would have kept — silently
+              // missing rows, the one failure pruning must never have
+              r.lower.forall(b => utf8Cmp(cs.max, b.toString) >= 0) &&
+                r.upper.forall(b => utf8Cmp(cs.min, b.toString) <= 0)
             case _ =>
               r.lower.forall(b => bd(cs.max) >= bound(b)) &&
                 r.upper.forall(b => bd(cs.min) <= bound(b))
           }
       }
     }
+
+  /** Unsigned lexicographic compare of two strings' UTF-8 bytes —
+    * the collation parquet stats and Spark string comparisons share. */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes(StandardCharsets.UTF_8),
+      b.getBytes(StandardCharsets.UTF_8))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
 
   /** The row-level residual of `ranges` — ANDed onto every pruned
     * read so correctness never rests on the file-granular prune. */

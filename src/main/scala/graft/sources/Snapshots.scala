@@ -102,26 +102,44 @@ object Snapshots {
       t.setDaemon(true); t
     })
 
-  /** Periodically touch `file` until cancelled — the lease that keeps
-    * a live writer's stage out of the abandonment sweep. The file is
-    * created ONCE here; the tick only bumps its mtime
-    * (`setLastModifiedTime`, which throws on a missing file), so a
-    * tick racing the pre-move `deleteIfExists` or a guard-discard
-    * `deleteRecursively` can never RE-CREATE the heartbeat — the race
-    * that used to ship `_heartbeat` into committed data dirs or make
-    * the discard's directory delete throw DirectoryNotEmptyException.
-    * A touch failing because the stage is already gone is harmless
-    * and swallowed. */
-  private[graft] def startStageHeartbeat(file: Path):
-      java.util.concurrent.ScheduledFuture[_] = {
-    val period = math.max(500L, stageAbandonCutoffMs / 6)
-    Files.write(file, Array.emptyByteArray)
-    heartbeats.scheduleAtFixedRate(() => {
-      try Files.setLastModifiedTime(file,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+  /** The stage-liveness lease: a daemon tick (re-)writes `file` until
+    * [[StageHeartbeat.stop]] — keeping the stage tree mtime-fresh so
+    * vacuum's abandonment sweep can never reclaim a LIVE commit,
+    * however long the writer stalls. The tick must CREATE, not just
+    * touch: Spark's `SaveMode.Overwrite` deletes the whole stage dir
+    * (heartbeat included) at job start, so an mtime-only tick would
+    * go quiet for the rest of the commit — exactly when the writer
+    * might block on a contended lock (the r12 review catch). The
+    * recreate-after-delete race the mtime design was avoiding (a tick
+    * shipping `_heartbeat` into a committed dir, or making a
+    * guard-discard's directory delete throw) is closed by `stop()`
+    * instead: tick and stop share one monitor, so after `stop()`
+    * returns — stopped flag set, file deleted, both under the lock —
+    * no tick can ever recreate the file. */
+  private[graft] final class StageHeartbeat private[Snapshots] (file: Path) {
+    private var stopped = false
+    private[Snapshots] val task: java.util.concurrent.ScheduledFuture[_] = {
+      val period = math.max(500L, stageAbandonCutoffMs / 6)
+      heartbeats.scheduleAtFixedRate(() => this.synchronized {
+        if (!stopped)
+          try Files.write(file, Array.emptyByteArray)
+          catch { case _: java.io.IOException => () }
+      }, 0L, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+    /** Stop ticking and remove the file — after this returns, no tick
+      * can recreate it (serialized on the same monitor), so the
+      * caller may delete/move the stage with no heartbeat race. */
+    def stop(): Unit = this.synchronized {
+      stopped = true
+      task.cancel(false)
+      try Files.deleteIfExists(file)
       catch { case _: java.io.IOException => () }
-    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      ()
+    }
   }
+
+  private[graft] def startStageHeartbeat(file: Path): StageHeartbeat =
+    new StageHeartbeat(file)
 
   /** The shared LANDING step of every absorb loop (streaming
     * foreachBatch sinks, the week-scale gates): commit a micro-batch's
@@ -708,7 +726,7 @@ object Snapshots {
       commitStaged(root, stage, rows, batchId, delta, monotone,
         tombstoneKey, mergeKey, compacted, guard, hb = Some(hb),
         stats = stats, statsCols = statsCols)
-    } finally hb.cancel(false)
+    } finally hb.stop()
   }
 
   /** Step 2+3 of the commit protocol over an already-staged data dir:
@@ -719,17 +737,18 @@ object Snapshots {
       batchId: Option[Long], delta: Boolean, monotone: Boolean,
       tombstoneKey: Option[String], mergeKey: Option[String],
       compacted: Boolean, guard: Option[() => Boolean],
-      hb: Option[java.util.concurrent.ScheduledFuture[_]] = None,
+      hb: Option[StageHeartbeat] = None,
       stats: Option[Seq[FileStats.FileStat]] = None,
       statsCols: Seq[String] = Seq.empty): Committed = {
     withCommitLock(root) {
-      // the stage is ours to mutate from here — stop the heartbeat
-      // BEFORE any delete/move on it (the tick is mtime-only so it
-      // cannot recreate the file, but a touch landing mid-move is
-      // still a wasted syscall racing the rename). The heartbeat did
-      // its job: it kept the stage alive through however long this
-      // writer waited on a contended lock.
-      hb.foreach(_.cancel(false))
+      // the stage is ours to mutate from here — STOP the heartbeat
+      // before any delete/move on it: stop() removes the file and
+      // guarantees (same monitor as the tick) no tick can recreate
+      // it, so the move ships a clean dir and a guard discard's
+      // directory delete can never race a recreation. The heartbeat
+      // did its job: it kept the stage alive through however long
+      // this writer waited on a contended lock.
+      hb.foreach(_.stop())
       // revalidate under the lock: a racing writer may have committed
       // this batch id / key while we staged — the loser discards its
       // stage and reports the current latest. A guard that THROWS
@@ -765,8 +784,13 @@ object Snapshots {
           deleteRecursively(Paths.get(dataDir(root, v)))
         }
         deleteRecursively(Paths.get(dataDir(root, next)))
+        // an orphan sidecar from a writer that crashed between its
+        // sidecar write and its manifest write would otherwise be
+        // attributed to THIS commit's files (stale paths -> broken or
+        // silently-empty pruned reads); versions() is manifest-derived
+        // so the truncation loop above cannot see it
+        Files.deleteIfExists(statsPath(root, next))
         Files.createDirectories(Paths.get(dataDir(root, next)).getParent)
-        Files.deleteIfExists(Paths.get(s"$stage/_heartbeat"))
         io.moveStage(Paths.get(stage), Paths.get(dataDir(root, next)))
         // manifest (metadata — written before the pointer so a reader
         // that sees the pointer always finds the manifest)

@@ -152,21 +152,21 @@ object ChangeFeed {
         "source table (the change feed covers changes AFTER the base)")
     val wm = Snapshots.latestVersion(mirrorRoot)
       .flatMap(v => Snapshots.maxBatchIdOf(mirrorRoot, v)).getOrElse(0L)
-    // RESET GUARD — the mirror-side sibling of catchUp's gap guard:
-    // the feed table's own watermark is the last source version landed
-    // into it. If that is BEHIND the mirror's watermark, the sink was
-    // wiped/rolled back/replaced under us, and change rows the mirror
-    // never applied may be gone — error loudly instead of silently
-    // applying a feed that no longer contains its history. (Holes in
-    // `_commit_version` among the ROWS are legitimate — compacted
-    // source versions are never landed; loss of landed rows cannot
-    // happen on an intact sink because appends survive compaction, so
-    // a regressed watermark is THE observable of a reset sink.)
+    // LAG GATE — when the feed's own watermark (last source version
+    // landed into the sink) is BEHIND the mirror's, there is nothing
+    // this pass could correctly apply, so it is a NO-OP. Two ways
+    // here: (a) a mirror legitimately bootstrapped from a NEWER
+    // source snapshot than the follower has landed — the mirror
+    // simply waits for the feed to catch up (versions ≤ its watermark
+    // then no-op by batch id, the normal contract); (b) a sink that
+    // was wiped/rebuilt — also safe to wait: the rebuilt feed lands
+    // the same source versions with the same content (source versions
+    // ARE the identity), and the divergent-history case (source
+    // rollback + rewrite) is governed by the follower-reset contract
+    // catchUp already enforces loudly. Applying nothing is the only
+    // correct move in every branch, so this never throws.
     val sinkWm = position(sinkRoot).getOrElse(0L)
-    require(sinkWm >= wm,
-      s"change feed under $sinkRoot is at source version $sinkWm, BEHIND " +
-        s"the mirror $mirrorRoot at $wm — the feed was reset; re-bootstrap " +
-        "the mirror from a current base snapshot")
+    if (sinkWm < wm) return Seq.empty
     // the watermark filter goes through the DATA-SKIPPING read: each
     // feed landing recorded a `_commit_version` sidecar (constant per
     // file), so every already-applied feed FILE is pruned from the

@@ -86,7 +86,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(ChangeFeed.position(sink).contains(1L))
   }
 
-  test("mirror refuses a feed whose watermark regressed below the mirror's (reset sink)") {
+  test("a feed lagging the mirror is a NO-OP, and the mirror resumes exactly once when it catches up") {
     import spark.implicits._
     val b = tmpBase()
     val (src, sink, mirror) = (s"$b/src", s"$b/sink", s"$b/mirror")
@@ -96,15 +96,25 @@ class ChangeFeedSpec extends AnyFunSuite {
     ChangeFeed.catchUp(spark, src, sink)                                 // wm = 2
     Snapshots.commitBatch(Snapshots.readVersion(spark, src, 0L), mirror, 0L)
     assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id") == Seq(1L, 2L))
-    // the sink is wiped and rebuilt from scratch — its watermark (1)
-    // is now BEHIND the mirror's (2): change rows the mirror never
-    // applied may be gone; silently applying would desync the replica
+    val before = Snapshots.read(spark, mirror).as[(Long, String)].collect().toSet
+    // the sink is wiped and rebuilt, then ROLLED BACK so its watermark
+    // (1) regresses behind the mirror's (2): nothing can be applied —
+    // the pass must be a clean no-op, not an error (the same shape a
+    // mirror legitimately bootstrapped AHEAD of a lagging feed has)
     Snapshots.wipe(sink)
-    ChangeFeed.catchUp(spark, src, sink, fromV = 0L) // fresh sink replays v1..v2
+    ChangeFeed.catchUp(spark, src, sink, fromV = 0L)
     Snapshots.rollback(sink, 0L)                     // regress: wm back to 1
-    val e = intercept[IllegalArgumentException](
-      ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id"))
-    assert(e.getMessage.contains("BEHIND"))
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id").isEmpty)
+    assert(Snapshots.read(spark, mirror).as[(Long, String)].collect().toSet
+      == before, "a lagging feed changed the replica")
+    // the feed recovers (re-lands v2, lands v3) — the mirror resumes
+    // from its watermark exactly once and matches the source
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "v"), src, Seq.empty, Some(3L))
+    Snapshots.rollback(sink, 1L) // undo the test's artificial regress
+    ChangeFeed.catchUp(spark, src, sink)
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id") == Seq(3L))
+    assert(Snapshots.read(spark, mirror).as[(Long, String)].collect().toSet
+      == Snapshots.read(spark, src).as[(Long, String)].collect().toSet)
   }
 
   test("a live follower tails a growing chain; restart WITHOUT checkpoint stays exactly-once") {

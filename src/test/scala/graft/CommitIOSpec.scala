@@ -291,12 +291,25 @@ class CommitIOSpec extends AnyFunSuite {
       Files.write(stage.resolve("part-0"), Array[Byte](1))
       // a LIVE writer heartbeats its stage: even stalled far past the
       // cutoff, the stage must survive the sweep
-      val hb = Snapshots.startStageHeartbeat(stage.resolve("_heartbeat"))
+      val hbFile = stage.resolve("_heartbeat")
+      val hb = Snapshots.startStageHeartbeat(hbFile)
       try {
         Thread.sleep(3000)
         Snapshots.vacuum(root, keep = 7)
         assert(Files.exists(stage), "heartbeat-protected stage was swept")
-      } finally hb.cancel(false)
+        // the r12 review catch: Spark's SaveMode.Overwrite DELETES the
+        // stage dir (heartbeat included) at job start — the tick must
+        // RE-CREATE the file, or the protection silently dies for the
+        // rest of the commit (an mtime-only tick cannot)
+        Files.deleteIfExists(hbFile)
+        Thread.sleep(800) // > the 2s-cutoff tick period (cutoff/6=500ms floor)
+        assert(Files.exists(hbFile),
+          "heartbeat did not recover from the Overwrite-style delete")
+      } finally hb.stop()
+      // stop() is a barrier: the file is gone and no tick recreates it
+      assert(!Files.exists(hbFile), "stop() left the heartbeat file")
+      Thread.sleep(1200)
+      assert(!Files.exists(hbFile), "a tick recreated the heartbeat after stop()")
       // dead writer (no heartbeat): quiet past the cutoff -> swept
       Thread.sleep(3000)
       Snapshots.vacuum(root, keep = 7)

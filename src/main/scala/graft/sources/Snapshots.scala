@@ -935,18 +935,34 @@ object Snapshots {
       val dd = dataDir(root, cv)
       spark.read.option("basePath", dd).parquet(dd)
     }
-    def prunedScan(cv: Long): DataFrame = {
+    // a fully-pruned member returns None and contributes NO union
+    // branch at all: a `where(false)` placeholder would still list
+    // the member's dir and read a footer for schema at plan time, so
+    // a long chain's read would cost O(members) in planning even when
+    // the sidecars prune every file — the CDC mirror's catch-up over
+    // months of applied feed versions is exactly that shape (the
+    // mirror_skip probe measured the placeholder form growing 4.6x
+    // over 16x history; member-skipping is what makes the claim
+    // "cost tracks PENDING versions" true)
+    def prunedScan(cv: Long): Option[DataFrame] = {
       val dd = dataDir(root, cv)
       statsOf(root, cv) match {
-        case None => fullScan(cv)
+        case None => Some(fullScan(cv))
         case Some(stats) =>
           val kept = stats.filter(FileStats.survives(_, ranges))
             .map(f => s"$dd/${f.path}")
-          if (kept.isEmpty) fullScan(cv).where(lit(false)) // schema-only
-          else spark.read.option("basePath", dd).parquet(kept: _*)
+          if (kept.isEmpty) None
+          else Some(spark.read.option("basePath", dd).parquet(kept: _*))
       }
     }
-    chainVersions(root, v).reverse
+    def union(acc: Option[DataFrame], next: Option[DataFrame]) =
+      (acc, next) match {
+        case (Some(a), Some(n)) =>
+          Some(a.unionByName(n, allowMissingColumns = true))
+        case (a, n) => a.orElse(n)
+      }
+    val chain = chainVersions(root, v)
+    chain.reverse
       .foldLeft(Option.empty[DataFrame]) { (acc, cv) =>
         (tombstoneKeyOf(root, cv), mergeKeyOf(root, cv)) match {
           case (Some(k), _) =>
@@ -954,17 +970,17 @@ object Snapshots {
             acc.map(_.join(broadcast(keys.select(keys(k))), Seq(k), "left_anti"))
           case (_, Some(k)) =>
             val keys = fullScan(cv)
-            Some(acc
-              .map(_.join(broadcast(keys.select(keys(k))), Seq(k), "left_anti")
-                .unionByName(prunedScan(cv), allowMissingColumns = true))
-              .getOrElse(prunedScan(cv)))
+            union(acc.map(_.join(broadcast(keys.select(keys(k))), Seq(k),
+              "left_anti")), prunedScan(cv))
           case _ =>
-            Some(acc.map(_.unionByName(prunedScan(cv), allowMissingColumns = true))
-              .getOrElse(prunedScan(cv)))
+            union(acc, prunedScan(cv))
         }
       }
-      .getOrElse(throw new IllegalStateException(
-        s"version $v under $root resolves to no data (tombstone-only chain)"))
+      // every member pruned away: an empty frame with the table's
+      // FULL (union) schema — schema evolution means the base member
+      // alone could miss later columns the residual names; this rare
+      // branch may pay the O(members) plan the hot path avoids
+      .getOrElse(readVersion(spark, root, v).where(lit(false)))
       .filter(FileStats.residual(ranges))
   }
 

@@ -211,7 +211,7 @@ object ScaleProbe {
     }
 
     println(f"${"query"}%-24s ${scales.map(s => f"x$s%8s").mkString} ratio(16x/1x)")
-    val dirs = scales.map(n => n -> scaled(n)).toMap
+    lazy val dirs = scales.map(n => n -> scaled(n)).toMap // lazy: dedicated-only invocations (mirror_skip) skip the corpora rebuild
     // optional arg: comma-separated subset for fast incremental probes
     val picked =
       if (args.nonEmpty) queries.filter(args(0).split(",").toSet)
@@ -308,6 +308,44 @@ object ScaleProbe {
       }
       val ratio = times.last / times.head
       println(f"${"doulion_scaled(p~n^-1/3)"}%-24s ${times.map(t => f"$t%7.2fs").mkString} ${ratio}%6.1fx")
+    }
+    // CDC CATCH-UP vs APPLIED HISTORY probe (r12): the mirror's
+    // watermark filter prunes already-applied feed FILES via the
+    // `_commit_version` sidecars, so applying 2 pending versions must
+    // cost the same whether the change table already holds 8 or 128
+    // applied versions — the FLAT curve is the claim (without the
+    // sidecars every pass re-opens the whole feed's files). Scales
+    // here are history DEPTHS, not corpus replicas.
+    if (args.isEmpty || args(0).split(",").contains("mirror_skip")) {
+      import graft.sources.Snapshots
+      import graft.streaming.ChangeFeed
+      val depths = Seq(8, 32, 128)
+      val times = depths.map { n =>
+        val b = java.nio.file.Files.createTempDirectory(s"mskip$n").toString
+        val (src, sink, mirror) = (s"$b/src", s"$b/sink", s"$b/mirror")
+        val row = (i: Int) => spark.range(i * 100L, i * 100L + 100L)
+          .selectExpr("id", "CAST(id AS STRING) AS v")
+        Snapshots.commit(row(0), src)
+        (1 to n).foreach(i =>
+          Snapshots.commitAppend(row(i), src, Seq.empty, Some(i.toLong)))
+        ChangeFeed.catchUp(spark, src, sink)
+        Snapshots.commitBatch(Snapshots.readVersion(spark, src, 0L), mirror, 0L)
+        ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id") // absorb history
+        // timed: 3 reps of (2 new versions -> land -> apply), min
+        val t = (1 to 3).map { r =>
+          val base = n + 2 * r
+          Snapshots.commitAppend(row(base - 1), src, Seq.empty, Some((base - 1).toLong))
+          Snapshots.commitAppend(row(base), src, Seq.empty, Some(base.toLong))
+          ChangeFeed.catchUp(spark, src, sink)
+          val t0 = System.nanoTime()
+          val applied = ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id")
+          assert(applied.size == 2, s"expected 2 applied, got $applied")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        t
+      }
+      val ratio = times.last / times.head
+      println(f"${"mirror_skip(hist=8/32/128)"}%-24s ${times.map(t => f"$t%7.2fs").mkString} ${ratio}%6.1fx")
     }
     // SEMDEDUP K-SCALING probe (r10): semProbeBatch is bucket-local
     // quadratic, so per-bucket occupancy — and with it the probe cost

@@ -408,6 +408,40 @@ object Lakehouse {
         round(sum(col("value")), 6).as("sum_val"))
   }
 
+  /** #237 DOC LOOKUP on a curated-corpus-shaped chain
+    * (`q_doc_lookup`) — the OPERATIONAL consumer of the stats
+    * sidecars gated end-to-end: a base snapshot plus two delta
+    * appends (each range-laid on doc_id and committed with per-file
+    * doc_id stats — exactly what [[graft.pipelines.CurationJob
+    * .absorbDaily]] records on every curated append), then
+    * [[graft.pipelines.CurationJob.lookupDocs]] fetches an id range
+    * and must equal the oracle's plain BETWEEN over the raw table.
+    * The skip is real but invisible to the hash (the point):
+    * StatsSkippingSpec asserts the file counts on the absorb path
+    * itself. At 100 TB this is "fetch these documents" touching
+    * O(matching files) of a chain, not the corpus. */
+  def docLookup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    val root = fpRoot(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")), "doclookup")
+    ensureHistory(root, finalVersion = 2L) {
+      def laid(df: DataFrame, files: Int) =
+        df.repartitionByRange(files, col("doc_id"))
+      Snapshots.commit(
+        laid(docs.filter(pmod(col("doc_id"), lit(2)) === 0), 8),
+        root, statsCols = Seq("doc_id"))                                  // v0
+      Snapshots.commitAppend(
+        laid(docs.filter(pmod(col("doc_id"), lit(4)) === 1), 4), root,
+        batchId = Some(1L), statsCols = Seq("doc_id"))                    // v1
+      Snapshots.commitAppend(
+        laid(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 4), root,
+        batchId = Some(2L), statsCols = Seq("doc_id"))                    // v2
+      ()
+    }
+    graft.pipelines.CurationJob.lookupDocs(s, root, 100L, 399L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_rollback"    -> ingestRollback _,
     "q_schema_evolution"   -> schemaEvolution _,
@@ -416,7 +450,8 @@ object Lakehouse {
     "q_change_feed_stream" -> changeFeedStream _,
     "q_feed_mirror"        -> feedMirror _,
     "q_feed_mirror_stream" -> feedMirrorStream _,
-    "q_stats_pruned"       -> statsPruned _
+    "q_stats_pruned"       -> statsPruned _,
+    "q_doc_lookup"         -> docLookup _
   )
 
   val oracles: Map[String, String] = Map(
@@ -522,6 +557,11 @@ object Lakehouse {
         |UNION ALL
         |SELECT doc_id, CAST(LENGTH(text) AS BIGINT)
         |FROM documents WHERE doc_id % 6 = 5""".stripMargin,
+    // the id-range fetch through the stats-skipped chain must equal
+    // the plain BETWEEN over the raw table
+    "q_doc_lookup" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len
+        |FROM documents WHERE doc_id BETWEEN 100 AND 399""".stripMargin,
     // the pruned read must equal the plain filter over the raw table —
     // file skipping is invisible to the answer, by construction
     "q_stats_pruned" ->

@@ -255,12 +255,14 @@ object Bench {
       .map { case (i, n) => s"[${ms(i)},${ms(n)}]" }.mkString("[", ",", "]")
     // WEEK-DAY OUTLIER marking (the r11 artifact lesson: a clean:true
     // line carried a 27.7 s day-5 nightly that was pure external load,
-    // and nothing in the artifact said so): flag any day whose ingest
-    // or nightly exceeds 3x the median of days 1-3 (+1 s absolute
-    // floor so a tiny median cannot flag noise) — the same bound
-    // CurationWeekCostSpec asserts in CI. A flagged day means either
-    // a real day-cost regression (the spec will fail too) or load
-    // that hit exactly that window (the calib series localizes it).
+    // and nothing in the artifact said so): flag any day AFTER the
+    // median window (days 3+) whose ingest or nightly exceeds 3x the
+    // median of days 0-2 (+2 s absolute floor so a tiny median cannot
+    // flag noise) — the EXACT bound CurationWeekCostSpec asserts in
+    // CI (same floor, same flagged-day set), so a flagged day here
+    // means either a real day-cost regression (the spec fails too) or
+    // load that hit exactly that window (the calib series localizes
+    // it) — never a day CI would accept.
     val weekOutliers: Seq[Int] =
       if (weekDays.size < 4) Seq.empty
       else {
@@ -268,8 +270,8 @@ object Bench {
           val s = weekDays.take(3).map(f).sorted; s(1)
         }
         val (mi, mn) = (med3(_._1), med3(_._2))
-        weekDays.zipWithIndex.collect {
-          case ((i, n), d) if i > 3 * mi + 1.0 || n > 3 * mn + 1.0 => d
+        weekDays.zipWithIndex.drop(3).collect {
+          case ((i, n), d) if i > 3 * mi + 2.0 || n > 3 * mn + 2.0 => d
         }
       }
     val disputedArr = best.disputed.sorted.map("\"" + _ + "\"")

@@ -305,18 +305,25 @@ object CurationJob {
   }
 
   /** RANGE/POINT LOOKUP on the curated corpus through the stats
-    * sidecars: `readPruned` on the doc_id interval — each chain
-    * member scans only the files whose id range intersects, so a
+    * sidecars: a plain filtered read on the doc_id interval — the
+    * planner pushes the bounds to each chain member's scan and the
+    * stats-backed file index prunes its file list, so a
     * single-document fetch on a 100 TB corpus touches one file of
     * one delta (or a slice of the compacted base) instead of the
     * whole chain. Exact regardless of which members carry stats
-    * (members without sidecars scan whole; the residual filter
+    * (members without sidecars scan whole; Spark's row-level filter
     * completes). */
   def lookupDocs(spark: org.apache.spark.sql.SparkSession,
-      curatedRoot: String, loId: Long, hiId: Long): DataFrame =
-    Snapshots.readPruned(spark, curatedRoot, Seq(
-      graft.sources.FileStats.ColRange("doc_id",
-        lower = Some(loId), upper = Some(hiId))))
+      curatedRoot: String, loId: Long, hiId: Long): DataFrame = {
+    // a PLAIN filtered read: the per-member stats sidecars are
+    // consulted by the planner itself ([[graft.sources.StatsFileIndex]]
+    // — Catalyst pushes the BETWEEN to the scan, the index prunes the
+    // file list), so this needs no readPruned side door and any ad-hoc
+    // consumer filtering the same way skips identically
+    import org.apache.spark.sql.functions.col
+    Snapshots.read(spark, curatedRoot)
+      .filter(col("doc_id") >= loId && col("doc_id") <= hiId)
+  }
 
   /** RIGHT-TO-BE-FORGOTTEN — targeted delete through the whole
     * ingest deployment: tombstone `docIds` out of the curated corpus

@@ -147,9 +147,10 @@ object Snapshots {
     * full snapshot, later ones idempotent delta appends — so a crash
     * between an index append and this landing retries into a no-op on
     * the index side and a replay-stable frame here. */
-  def landBatch(df: DataFrame, root: String, batchId: Long): Unit = {
-    if (latestVersion(root).isEmpty) commitBatch(df, root, batchId)
-    else commitAppend(df, root, batchId = Some(batchId))
+  def landBatch(df: DataFrame, root: String, batchId: Long,
+      statsCols: Seq[String] = Seq.empty): Unit = {
+    if (latestVersion(root).isEmpty) commitBatch(df, root, batchId, statsCols)
+    else commitAppend(df, root, batchId = Some(batchId), statsCols = statsCols)
     ()
   }
 
@@ -182,14 +183,43 @@ object Snapshots {
     else None
   }
 
+  /** Observability: manifest FILES OPENED this JVM, across all roots —
+    * the spec hook behind every "O(pending), not O(history)" metadata
+    * claim (FeedTickCostSpec pins a change-feed tick's reads equal at
+    * 8x and 96x applied history). Listing a directory of names does
+    * NOT count; opening a `vN.json` does. */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** The manifest's JSON text, if the version was ever committed —
+    * every metadata reader below goes through here so the read count
+    * is an honest total. */
+  private def manifestText(root: String, v: Long): Option[String] = {
+    val m = manifest(root, v)
+    if (!Files.exists(m)) None
+    else {
+      manifestReads.incrementAndGet()
+      Some(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+    }
+  }
+
   /** All committed versions (manifest-backed), ascending. */
-  def versions(root: String): Seq[Long] = {
+  def versions(root: String): Seq[Long] = versionsAbove(root, Long.MinValue)
+
+  /** Committed versions STRICTLY ABOVE `above`, ascending — the
+    * watermark-seeded listing a CDC follower's tick uses
+    * ([[graft.streaming.ChangeFeed.catchUp]]): historic names are
+    * dropped on the NAME alone, before any manifest file is opened,
+    * so a tick's per-version metadata work tracks PENDING versions
+    * only (the readdir itself is one listing call — the object-store
+    * LIST — not a per-version open). */
+  def versionsAbove(root: String, above: Long): Seq[Long] = {
     val dir = Paths.get(s"$root/manifests")
     if (!Files.isDirectory(dir)) Seq.empty
     else Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
+      .filter(_ > above)
       .toSeq.sorted
   }
 
@@ -224,14 +254,15 @@ object Snapshots {
     * [[graft.streaming.EventsStream.idempotentBatchWriter]], with the
     * version history as a bonus (each micro-batch is a time-travel
     * point). Returns the committed (or already-current) version. */
-  def commitBatch(df: DataFrame, root: String, batchId: Long): Long = {
+  def commitBatch(df: DataFrame, root: String, batchId: Long,
+      statsCols: Seq[String] = Seq.empty): Long = {
     val latest = latestVersion(root)
     if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= batchId))) latest.get
     // the pre-check above is the cheap fast path; the guard re-runs it
     // under the commit lock so two racing replays of one batch id can
     // never BOTH pass (the loser discards its staged data and returns
     // the winner's version)
-    else commitInternal(df, root, Some(batchId),
+    else commitInternal(df, root, Some(batchId), statsCols = statsCols,
       guard = Some(() => !latestVersion(root)
         .exists(v => maxBatchIdOf(root, v).exists(_ >= batchId)))).version
   }
@@ -270,8 +301,8 @@ object Snapshots {
         if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= b))) latest.get
         else {
           validateAppendSchema(delta, root, evolveSchema)
-          commitInternal(delta, root, batchId, partitionCols, delta = true,
-            statsCols = statsCols,
+          val c = commitInternal(delta, root, batchId, partitionCols,
+            delta = true, statsCols = statsCols,
             guard = Some(() => {
               val fresh = !latestVersion(root)
                 .exists(v => maxBatchIdOf(root, v).exists(_ >= b))
@@ -284,17 +315,42 @@ object Snapshots {
               // discards the stage and propagates loudly)
               if (fresh) validateAppendSchema(delta, root, evolveSchema)
               fresh
-            })).version
+            }))
+          if (c.committed) carrySchemaCache(root, delta, c.version)
+          c.version
         }
       case None =>
         validateAppendSchema(delta, root, evolveSchema)
-        commitInternal(delta, root, None, partitionCols, delta = true,
+        val c = commitInternal(delta, root, None, partitionCols, delta = true,
           statsCols = statsCols,
           guard = Some(() => {
             validateAppendSchema(delta, root, evolveSchema); true
-          })).version
+          }))
+        if (c.committed) carrySchemaCache(root, delta, c.version)
+        c.version
     }
   }
+
+  /** Carry the chain read-schema cache FORWARD across an append that
+    * did not change the column set — the absorb-loop fast path: a
+    * sustained append stream validates against the chain schema on
+    * EVERY commit, and the per-(version, cid) cache key means each
+    * new version would MISS once and re-resolve the schema from
+    * parquet — one scan-relation build per chain member per append,
+    * O(chain²) metadata over a day of appends. When the delta's
+    * column set equals the cached chain schema's, the chain schema
+    * after the commit is provably unchanged (type equality was just
+    * validated; nullability is normalized at compare time), so the
+    * cache entry is re-keyed to the new (version, cid) instead.
+    * Evolution commits (column set changed) simply miss once — the
+    * next validation re-resolves from parquet, the ground truth. */
+  private def carrySchemaCache(root: String, delta: DataFrame, v: Long): Unit =
+    schemaCache.get(root) match {
+      case (pv, _, s) if pv == v - 1 &&
+          delta.columns.toSet == s.fieldNames.toSet =>
+        commitIdOf(root, v).foreach(cid => schemaCache.put(root, (v, cid, s)))
+      case _ => ()
+    }
 
   /** SCHEMA EVOLUTION contract for the append chain: common columns
     * must keep their exact type (a type change is ALWAYS an error —
@@ -356,22 +412,14 @@ object Snapshots {
   }
 
   /** Whether a version is a delta (append) commit. */
-  def isDelta(root: String, v: Long): Boolean = {
-    val m = manifest(root, v)
-    Files.exists(m) &&
-      new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-        .contains("\"delta\":true")
-  }
+  def isDelta(root: String, v: Long): Boolean =
+    manifestText(root, v).exists(_.contains("\"delta\":true"))
 
   /** The key column of a TOMBSTONE (targeted-delete) version, if this
     * version is one — see [[commitDelete]]. */
-  def tombstoneKeyOf(root: String, v: Long): Option[String] = {
-    val m = manifest(root, v)
-    if (!Files.exists(m)) None
-    else "\"tombstoneKey\":\"([^\"]+)\"".r
-      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
-      .map(_.group(1))
-  }
+  def tombstoneKeyOf(root: String, v: Long): Option[String] =
+    manifestText(root, v).flatMap(
+      "\"tombstoneKey\":\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
 
   /** TARGETED DELETE (the right-to-be-forgotten path): commit a
     * TOMBSTONE version whose data dir holds only the KEYS to delete —
@@ -411,13 +459,9 @@ object Snapshots {
 
   /** The key column of a MERGE (upsert) version, if this version is
     * one — see [[commitMerge]]. */
-  def mergeKeyOf(root: String, v: Long): Option[String] = {
-    val m = manifest(root, v)
-    if (!Files.exists(m)) None
-    else "\"mergeKey\":\"([^\"]+)\"".r
-      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
-      .map(_.group(1))
-  }
+  def mergeKeyOf(root: String, v: Long): Option[String] =
+    manifestText(root, v).flatMap(
+      "\"mergeKey\":\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
 
   /** ATOMIC MERGE (upsert) commit — the stored-table form of the
     * reference's `do_updates_inserts` (tasks/revenue.py): rows of
@@ -450,7 +494,7 @@ object Snapshots {
         if (latest.exists(v => maxBatchIdOf(root, v).exists(_ >= b))) latest.get
         else {
           validateAppendSchema(updates, root, evolveSchema)
-          commitInternal(updates, root, batchId, partitionCols,
+          val c = commitInternal(updates, root, batchId, partitionCols,
             delta = true, mergeKey = Some(keyCol),
             guard = Some(() => {
               val fresh = !latestVersion(root)
@@ -458,15 +502,19 @@ object Snapshots {
               // same under-lock schema recheck as commitAppend
               if (fresh) validateAppendSchema(updates, root, evolveSchema)
               fresh
-            })).version
+            }))
+          if (c.committed) carrySchemaCache(root, updates, c.version)
+          c.version
         }
       case None =>
         validateAppendSchema(updates, root, evolveSchema)
-        commitInternal(updates, root, None, partitionCols,
+        val c = commitInternal(updates, root, None, partitionCols,
           delta = true, mergeKey = Some(keyCol),
           guard = Some(() => {
             validateAppendSchema(updates, root, evolveSchema); true
-          })).version
+          }))
+        if (c.committed) carrySchemaCache(root, updates, c.version)
+        c.version
     }
   }
 
@@ -484,21 +532,32 @@ object Snapshots {
   def changesBetween(spark: SparkSession, root: String,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"empty change range ($fromV, $toV]")
-    val vs = versions(root).filter(v => v > fromV && v <= toV)
+    val vs = versionsAbove(root, fromV).filter(_ <= toV)
     require(vs.nonEmpty, s"no committed versions in ($fromV, $toV] under $root")
-    vs.foreach(v => require(isDelta(root, v),
-      s"version $v is a full rewrite — the change feed covers delta history only"))
+    vs.map(changesOf(spark, root, _))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Row-level changes of ONE delta version — [[changesBetween]]'s
+    * unit, exposed for the change-feed follower: typed
+    * `_change_type`/`_commit_version` rows over the version's OWN
+    * immutable dir. O(1) metadata (this version's manifest only — no
+    * history listing, no chain resolution), O(version's rows) data:
+    * the per-tick landing cost a 100 TB table's follower pays. A full
+    * rewrite has no row-level representation and is the same loud
+    * error as in [[changesBetween]]. */
+  def changesOf(spark: SparkSession, root: String, v: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    vs.map { v =>
-      val df = spark.read.option("basePath", dataDir(root, v))
-        .parquet(dataDir(root, v))
-      val typ =
-        if (tombstoneKeyOf(root, v).nonEmpty) "delete"
-        else if (mergeKeyOf(root, v).nonEmpty) "upsert"
-        else "insert"
-      df.withColumn("_change_type", lit(typ))
-        .withColumn("_commit_version", lit(v))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    require(isDelta(root, v),
+      s"version $v is a full rewrite — the change feed covers delta history only")
+    val df = spark.read.option("basePath", dataDir(root, v))
+      .parquet(dataDir(root, v))
+    val typ =
+      if (tombstoneKeyOf(root, v).nonEmpty) "delete"
+      else if (mergeKeyOf(root, v).nonEmpty) "upsert"
+      else "insert"
+    df.withColumn("_change_type", lit(typ))
+      .withColumn("_commit_version", lit(v))
   }
 
   /** The version chain a read of `v` resolves: `v` and its ancestors
@@ -602,13 +661,9 @@ object Snapshots {
   }
 
   /** The batch id recorded in a version's manifest, if any. */
-  def batchIdOf(root: String, v: Long): Option[Long] = {
-    val m = manifest(root, v)
-    if (!Files.exists(m)) None
-    else "\"batchId\":(-?\\d+)".r
-      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
-      .map(_.group(1).toLong)
-  }
+  def batchIdOf(root: String, v: Long): Option[Long] =
+    manifestText(root, v).flatMap(
+      "\"batchId\":(-?\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toLong)
 
   /** Whether a version's batchId is an UNORDERED content-fingerprint
     * key (written by [[commitKeyed]]) rather than a monotone batch id.
@@ -617,12 +672,8 @@ object Snapshots {
     * on a root (a released curated artifact) must not poison the
     * replay guard with a ~random 64-bit fingerprint, which would make
     * every later commitBatch/commitAppend silently no-op. */
-  def isKeyed(root: String, v: Long): Boolean = {
-    val m = manifest(root, v)
-    Files.exists(m) &&
-      new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-        .contains("\"keyed\":true")
-  }
+  def isKeyed(root: String, v: Long): Boolean =
+    manifestText(root, v).exists(_.contains("\"keyed\":true"))
 
   /** LEGACY-FALLBACK-ONLY plausibility bound — applied solely inside
     * [[monotoneChainMax]], which itself only runs for manifests from
@@ -656,10 +707,8 @@ object Snapshots {
     * before the field existed fall back to the max over `v`'s delta
     * chain (the pre-field semantics, as `compact` carried it). */
   def maxBatchIdOf(root: String, v: Long): Option[Long] = {
-    val m = manifest(root, v)
-    if (!Files.exists(m)) None
-    else "\"maxBatchId\":(-?\\d+)".r
-      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
+    manifestText(root, v)
+      .flatMap("\"maxBatchId\":(-?\\d+)".r.findFirstMatchIn(_))
       .map(_.group(1).toLong)
       // legacy fallback: only MONOTONE batch ids count toward the
       // watermark — a keyed fingerprint in the chain is an identity,
@@ -718,11 +767,15 @@ object Snapshots {
       val rows = df.sparkSession.read.parquet(stage).count()
       // footer-stats collection runs on the STAGE, outside the lock:
       // O(files) metadata reads lifted into the stats sidecar (paths
-      // recorded relative to the stage = relative to the final dir)
+      // recorded relative to the stage = relative to the final dir).
+      // DISTRIBUTED past a small-file threshold: a base commit's
+      // 10^5-file stage reads footers on executors, O(files/cores)
+      // wall, while a daily delta stays driver-local (no job
+      // overhead) — FileStats.collectDistributed
       val stats =
         if (statsCols.isEmpty) None
-        else Some(FileStats.collect(Paths.get(stage), statsCols,
-          df.sparkSession.sparkContext.hadoopConfiguration))
+        else Some(FileStats.collectDistributed(df.sparkSession,
+          Paths.get(stage), statsCols))
       commitStaged(root, stage, rows, batchId, delta, monotone,
         tombstoneKey, mergeKey, compacted, guard, hb = Some(hb),
         stats = stats, statsCols = statsCols)
@@ -850,6 +903,22 @@ object Snapshots {
       latestVersion(root).getOrElse(
         throw new IllegalStateException(s"no committed version under $root")))
 
+  /** Scan ONE version's own data dir. When the version committed a
+    * stats sidecar, the scan goes through [[StatsFileIndex]]: the
+    * PLANNER consults the sidecar's per-file min/max against whatever
+    * data filters Catalyst pushes down, so a plain
+    * `read(root).filter(col between ...)` skips files with no
+    * [[readPruned]] side door — every reader of a stats-committed
+    * table data-skips for free (the Delta/Iceberg log-backed-index
+    * mechanism). Versions without a sidecar scan exactly as before. */
+  private def memberScan(spark: SparkSession, root: String, cv: Long): DataFrame = {
+    val dd = dataDir(root, cv)
+    statsOf(root, cv) match {
+      case Some(st) if st.nonEmpty => StatsFileIndex.scan(spark, dd, st)
+      case _ => spark.read.option("basePath", dd).parquet(dd)
+    }
+  }
+
   /** Time travel: read an explicit version. A delta version resolves
     * its parent chain and reads the chain's immutable dirs folded
     * OLDEST-FIRST: data versions union in, TOMBSTONE versions
@@ -858,14 +927,19 @@ object Snapshots {
     * re-add survives. Each dir is scanned with its own basePath so
     * hive partition columns (and their pruning) survive;
     * partition/predicate pushdown applies per branch of the union
-    * (the anti-join key frame is deletion-sized, broadcast). */
+    * (the anti-join key frame is deletion-sized, broadcast), and
+    * members with stats sidecars additionally FILE-SKIP on those
+    * pushed filters ([[memberScan]]). A filter on a data column
+    * cannot cross a tombstone/merge anti-join into its KEY frame
+    * (Catalyst pushes left-side predicates to the left child only),
+    * so key frames always list whole — a merge row outside a pushed
+    * range still replaces the chain row it superseded. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     require(Files.exists(manifest(root, v)), s"version $v was never committed (or vacuumed)")
     chainVersions(root, v).reverse
       .foldLeft(Option.empty[DataFrame]) { (acc, cv) =>
-        val df = spark.read.option("basePath", dataDir(root, cv))
-          .parquet(dataDir(root, cv))
+        val df = memberScan(spark, root, cv)
         (tombstoneKeyOf(root, cv), mergeKeyOf(root, cv)) match {
           case (Some(k), _) =>
             acc.map(_.join(broadcast(df.select(df(k))), Seq(k), "left_anti"))
@@ -988,13 +1062,9 @@ object Snapshots {
     * manifest written since the field existed has one; it is THE
     * identity of a commit (version numbers are reused by
     * rollback-then-recommit, wall-clock millis collide). */
-  def commitIdOf(root: String, v: Long): Option[String] = {
-    val m = manifest(root, v)
-    if (!Files.exists(m)) None
-    else "\"cid\":\"([^\"]+)\"".r
-      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
-      .map(_.group(1))
-  }
+  def commitIdOf(root: String, v: Long): Option[String] =
+    manifestText(root, v).flatMap(
+      "\"cid\":\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
 
   /** Comparable identity string for ABA guards: the commit id when
     * present, else the legacy timestamp (pre-cid manifests), else a
@@ -1010,23 +1080,15 @@ object Snapshots {
     * Invisible to readers by construction; a change-feed follower
     * skips it, where a fresh [[commit]] (a real content replace) is a
     * feed error. */
-  def isCompacted(root: String, v: Long): Boolean = {
-    val m = manifest(root, v)
-    Files.exists(m) &&
-      new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-        .contains("\"compacted\":true")
-  }
+  def isCompacted(root: String, v: Long): Boolean =
+    manifestText(root, v).exists(_.contains("\"compacted\":true"))
 
   /** Wall-clock commit time of a version (epoch millis), if recorded —
     * manifests from before the field existed have none and are treated
     * by [[readAsOf]] as older than any timestamp. */
-  def commitTsOf(root: String, v: Long): Option[Long] = {
-    val m = manifest(root, v)
-    if (!Files.exists(m)) None
-    else "\"ts\":(\\d+)".r
-      .findFirstMatchIn(new String(Files.readAllBytes(m), StandardCharsets.UTF_8))
-      .map(_.group(1).toLong)
-  }
+  def commitTsOf(root: String, v: Long): Option[Long] =
+    manifestText(root, v).flatMap(
+      "\"ts\":(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toLong)
 
   /** TIMESTAMP time travel — "the table as of last midnight": resolve
     * the newest version whose commit time is ≤ `tsMs` and read it.

@@ -202,6 +202,167 @@ class StatsSkippingSpec extends AnyFunSuite {
     assert(kept < total, s"compacted table prunes nothing ($kept/$total)")
   }
 
+  test("planner path: a plain read().filter() box touches ≤3 of 16 Morton files") {
+    val root = tmpRoot()
+    Snapshots.commit(grid().repartitionByRange(16, col("z")), root,
+      statsCols = Seq("x", "y"))
+    val dirKey = s"$root/data/v=0"
+    graft.sources.StatsFileIndex.pruneLog.remove(dirKey)
+    // NO readPruned, NO ColRange: the filter is an ordinary Column
+    // predicate, pushed by Catalyst, intersected with the sidecar by
+    // StatsFileIndex at file-list time
+    val box = Snapshots.read(spark, root)
+      .filter(col("x").between(0L, 15L) && col("y").between(16L, 31L))
+    val got = box.agg(count(lit(1)), sum("payload")).head()
+    val want = spark.read.parquet(s"$root/data/v=0")
+      .filter(col("x").between(0L, 15L) && col("y").between(16L, 31L))
+      .agg(count(lit(1)), sum("payload")).head()
+    assert(got == want && got.getLong(0) == 256L)
+    val (kept, total) = Option(
+      graft.sources.StatsFileIndex.pruneLog.get(dirKey)).getOrElse(
+      fail("planner never consulted the stats index"))
+    assert(total == 16, s"expected 16 listed files, saw $total")
+    assert(kept <= 3, s"planner-path box read kept $kept of $total files")
+  }
+
+  test("planner path == explicit readPruned across a full+append+delete+merge chain") {
+    import spark.implicits._
+    val root = tmpRoot()
+    def part(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id"))
+    Snapshots.commit(part(0L, 4000L), root, statsCols = Seq("id"))        // v0
+    Snapshots.commitAppend(part(4000L, 6000L), root, batchId = Some(1L),
+      statsCols = Seq("id"))                                              // v1
+    Snapshots.commitDelete(
+      (0L until 6000L by 13).toDF("id"), root, "id", Some(2L))            // v2
+    Snapshots.commitMerge(
+      ((100L until 200L).map(i => (i, s"upd$i")) ++
+        (7000L until 7100L).map(i => (i, s"new$i"))).toDF("id", "v"),
+      root, "id", batchId = Some(3L))                                     // v3
+    def rows(df: DataFrame) = df.as[(Long, String)].collect().toSet
+    val plain = rows(Snapshots.read(spark, root)
+      .filter(col("id") >= 120L && col("id") <= 1500L))
+    val pruned = rows(Snapshots.readPruned(spark, root,
+      Seq(ColRange("id", lower = Some(120L), upper = Some(1500L)))))
+    assert(plain == pruned, "planner path diverged from explicit readPruned")
+    // the planner actually skipped: v1 (ids 4000+) kept zero files
+    val k1 = Option(graft.sources.StatsFileIndex.pruneLog
+      .get(s"$root/data/v=1"))
+    assert(k1.exists(_._1 == 0), s"v1 should prune entirely, log: $k1")
+    // merge values replace exactly once through the planner path too
+    assert(plain.count(_._1 == 150L) == 1 && plain(150L -> "upd150"))
+    // IN-list envelope: a 3-id lookup keeps only the files whose range
+    // covers them (all three live in v0's first range file)
+    graft.sources.StatsFileIndex.pruneLog.remove(s"$root/data/v=0")
+    val inRows = rows(Snapshots.read(spark, root)
+      .filter(col("id").isin(3L, 6L, 9L)))
+    assert(inRows == rows(Snapshots.read(spark, root)
+      .filter(col("id") === 3L || col("id") === 6L || col("id") === 9L)))
+    val k0 = Option(graft.sources.StatsFileIndex.pruneLog
+      .get(s"$root/data/v=0"))
+    assert(k0.exists(p => p._1 == 1 && p._2 == 4),
+      s"IN-list lookup should keep 1 of v0's 4 files, log: $k0")
+  }
+
+  test("planner path: string-range filter prunes in UTF-8 order") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = (0 until 1000).map(i => (f"k$i%04d", i.toLong)).toDF("key", "n")
+    Snapshots.commit(df.repartitionByRange(4, col("key")), root,
+      statsCols = Seq("key"))
+    graft.sources.StatsFileIndex.pruneLog.remove(s"$root/data/v=0")
+    val got = Snapshots.read(spark, root)
+      .filter(col("key") >= "k0100" && col("key") < "k0200")
+      .agg(count(lit(1)), sum("n")).head()
+    val want = spark.read.parquet(s"$root/data/v=0")
+      .filter(col("key") >= "k0100" && col("key") < "k0200")
+      .agg(count(lit(1)), sum("n")).head()
+    assert(got == want && got.getLong(0) == 100L)
+    val k = Option(graft.sources.StatsFileIndex.pruneLog.get(s"$root/data/v=0"))
+    assert(k.exists(p => p._1 < p._2), s"string range pruned nothing: $k")
+  }
+
+  test("planner path: hive partition pruning and stats skipping compose on one member") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // part correlates with id (part = id / 1000): partition pruning
+    // keeps ONE hive dir, and the id-range sidecar entry (whose key
+    // is the hive-RELATIVE path `part=N/...`) decides that dir's file
+    val df = (0 until 3000)
+      .map(i => (i.toLong, i / 1000, s"v$i")).toDF("id", "part", "v")
+    Snapshots.commitPartitioned(df, root, Seq("part"),
+      statsCols = Seq("id"))
+    val dirKey = s"$root/data/v=0"
+    def run(lo: Long, hi: Long): Set[(Long, String)] = {
+      graft.sources.StatsFileIndex.pruneLog.remove(dirKey)
+      Snapshots.read(spark, root)
+        .filter(col("part") === 1 && col("id").between(lo, hi))
+        .select(col("id"), col("v")).as[(Long, String)].collect().toSet
+    }
+    // a box DISJOINT from part=1's id range: the delegate prunes to
+    // part=1's single file, the SIDECAR must then drop it too — a
+    // broken hive-relative key would read "not in sidecar → kept"
+    assert(run(0L, 500L).isEmpty)
+    assert(Option(graft.sources.StatsFileIndex.pruneLog.get(dirKey))
+      .contains((0, 1)), "partition-pruned file escaped the sidecar")
+    // and a box INSIDE it keeps the file and answers exactly
+    val got = run(1000L, 1500L)
+    assert(got == df.filter(col("id").between(1000L, 1500L))
+      .select(col("id"), col("v")).as[(Long, String)].collect().toSet)
+    assert(Option(graft.sources.StatsFileIndex.pruneLog.get(dirKey))
+      .contains((1, 1)))
+  }
+
+  test("distributed stats collection == driver-sequential, hive partition dirs included") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("diststats").toString + "/stage"
+    // 24 files (past the distribute threshold) across 3 hive dirs,
+    // mixed types + nulls — the exact shapes the sidecar records
+    val df = (0 until 3000)
+      .map(i => (i.toLong, i % 3, i.toDouble / 7.0, f"k$i%04d",
+        if (i % 5 == 0) None else Some(i.toLong)))
+      .toDF("id", "part", "score", "key", "opt")
+    df.repartitionByRange(8, col("id")).write
+      .partitionBy("part").parquet(base)
+    val cols = Seq("id", "score", "key", "opt")
+    val seq0 = FileStats.collect(java.nio.file.Paths.get(base), cols,
+      spark.sparkContext.hadoopConfiguration)
+    assert(seq0.size >= graft.sources.FileStats.DistributeThreshold,
+      s"test stage too small to exercise the distributed path: ${seq0.size}")
+    val dist = FileStats.collectDistributed(spark,
+      java.nio.file.Paths.get(base), cols)
+    assert(dist == seq0, "distributed footer stats diverged from sequential")
+    // paths are hive-relative (the partition subdir is part of the key)
+    assert(seq0.exists(_.path.startsWith("part=")), seq0.map(_.path).take(3))
+  }
+
+  test("commitBatch records stats sidecars: a base-only chain prunes through both read paths") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = (0L until 4000L).map(i => (i, s"v$i")).toDF("id", "v")
+    Snapshots.commitBatch(df.repartitionByRange(4, col("id")), root,
+      batchId = 7L, statsCols = Seq("id"))
+    assert(Snapshots.statsOf(root, 0L).nonEmpty,
+      "commitBatch recorded no stats sidecar")
+    val ranges = Seq(ColRange("id", lower = Some(100L), upper = Some(900L)))
+    val (kept, total) = Snapshots.prunedFileCount(root, 0L, ranges).get
+    assert(total == 4 && kept == 1, s"base-only chain kept $kept of $total")
+    // explicit path and planner path both answer the plain filter
+    val want = df.filter(col("id").between(100L, 900L))
+      .as[(Long, String)].collect().toSet
+    assert(Snapshots.readPruned(spark, root, ranges)
+      .as[(Long, String)].collect().toSet == want)
+    graft.sources.StatsFileIndex.pruneLog.remove(s"$root/data/v=0")
+    assert(Snapshots.read(spark, root).filter(col("id").between(100L, 900L))
+      .as[(Long, String)].collect().toSet == want)
+    assert(Option(graft.sources.StatsFileIndex.pruneLog
+      .get(s"$root/data/v=0")).exists(_._1 == 1))
+    // and the replay guard still holds with the new parameter
+    assert(Snapshots.commitBatch(df, root, batchId = 7L,
+      statsCols = Seq("id")) == 0L)
+  }
+
   test("stats sidecars follow their versions through truncation and vacuum") {
     import spark.implicits._
     val root = tmpRoot()

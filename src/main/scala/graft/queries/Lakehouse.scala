@@ -357,24 +357,93 @@ object Lakehouse {
   def feedMirrorStream(s: SparkSession, dir: String): DataFrame =
     Snapshots.read(s, pushMirrorHistory(s, dir))
 
+  /** #240 RETENTION-GAP RESET (`q_feed_reset`) — the heal path of the
+    * CDC loop gated end-to-end: a follower + replica absorb v1, then
+    * PAUSE while the source takes an insert, a targeted delete, a
+    * compaction and an aggressive vacuum — the deltas the follower
+    * missed are physically gone, [[graft.streaming.ChangeFeed.catchUp]]
+    * refuses with the retention-gap error (the script ASSERTS the
+    * refusal — a feed that silently proceeded would still produce
+    * rows here and fail the oracle), and
+    * [[graft.streaming.ChangeFeed.reset]] re-bootstraps sink + replica
+    * from the current source version in one call. The feed then
+    * RESUMES through an insert and an atomic merge, applied to the
+    * healed replica exactly once, and the gate reads the MIRROR: it
+    * must equal the oracle's replay of the full logical history
+    * (slices, delete, update, late insert) — a mis-seeded watermark
+    * double-applies or drops the resumed versions, a wrong bootstrap
+    * version ships the gap into the replica. Scale: the heal is
+    * O(table) ONCE (unavoidable — the gap destroyed the incremental
+    * path); everything after is O(changed rows) again. */
+  def feedReset(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ChangeFeed
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def slice(m: Int, of: Int = 4) = docs.filter(pmod(col("doc_id"), lit(of)) === m)
+    def asLen(df: DataFrame) =
+      df.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val src = fpRoot(docs, "resetsrc")
+    val sink = fpRoot(docs, "resetsink")
+    val mirror = fpRoot(docs, "resetmirror")
+    val mon = historyMonitors.computeIfAbsent(mirror, _ => new Object)
+    mon.synchronized {
+      // complete = the replica applied through feed version 6 (the
+      // post-reset merge)
+      val done = Snapshots.latestVersion(mirror)
+        .flatMap(v => Snapshots.maxBatchIdOf(mirror, v)).contains(6L)
+      if (!done) {
+        Seq(src, sink, mirror).foreach(Snapshots.wipe)
+        Snapshots.commit(asLen(slice(0)), src)                             // v0
+        Snapshots.commitBatch(Snapshots.readVersion(s, src, 0L), mirror, 0L)
+        Snapshots.commitAppend(asLen(slice(1)), src, Seq.empty, Some(1L))  // v1
+        ChangeFeed.catchUp(s, src, sink)
+        ChangeFeed.mirrorCatchUp(s, sink, mirror, keyCol = "doc_id")
+        // the follower pauses; the source keeps moving and retention
+        // outruns it — v2/v3 are physically destroyed
+        Snapshots.commitAppend(asLen(slice(2)), src, Seq.empty, Some(2L))  // v2
+        Snapshots.commitDelete(slice(0, 8).select(col("doc_id")), src,
+          "doc_id", Some(3L))                                              // v3
+        Snapshots.compact(s, src)                                          // v4
+        Snapshots.vacuum(src, keep = 0)
+        val refused =
+          try { ChangeFeed.catchUp(s, src, sink); false }
+          catch { case _: IllegalStateException => true }
+        require(refused, "expected the retention-gap refusal before reset")
+        ChangeFeed.reset(s, src, sink, Some(mirror), keyCol = "doc_id")    // V = 4
+        // resume: new history flows through the healed pair
+        Snapshots.commitAppend(asLen(slice(3)), src, Seq.empty, Some(4L))  // v5
+        Snapshots.commitMerge(
+          asLen(slice(2, 8)).select(col("doc_id"), (col("len") + 1000L).as("len"))
+            .unionByName(asLen(slice(6, 8))
+              .select((col("doc_id") + 1000000L).as("doc_id"), col("len"))),
+          src, "doc_id", batchId = Some(5L))                               // v6
+        ChangeFeed.catchUp(s, src, sink)
+        ChangeFeed.mirrorCatchUp(s, sink, mirror, keyCol = "doc_id")
+      }
+    }
+    Snapshots.read(s, mirror)
+  }
+
   /** #234 STATS-PRUNED READ (`q_stats_pruned`) — the consumer
     * `q_zorder_layout` was missing: the events-derived (u, d) frame is
     * Z-ORDERED (Morton-interleaved range layout, the same bit
     * interleave as #102), committed with PER-FILE min/max stats on
     * both dimensions ([[Snapshots.commit]] `statsCols` — lifted from
     * the staged parquet footers, O(files) metadata), and then read
-    * through [[Snapshots.readPruned]] with a 2-D box: only files whose
-    * stats intersect the box are scanned, the row-level residual
-    * completes exactness, and the answer must equal the oracle's
-    * plain filter over the raw table — pruning is an optimization the
-    * hash can't see, WHICH IS THE POINT. StatsSkippingSpec asserts the
-    * file-count side (a Z-ordered table keeps fewer files than a
-    * single-column sort; footer stats match ground truth). At 100 TB
-    * the box read costs O(files intersecting the box): manifest-level
-    * data skipping is the difference between touching one file and
-    * listing a directory. */
+    * with a PLAIN 2-D box filter: Catalyst pushes the predicates to
+    * the scan and [[graft.sources.StatsFileIndex]] intersects them
+    * with the sidecar at file-list time (r13 — the planner-integrated
+    * path replacing the manual readPruned side door), so only files
+    * whose stats intersect the box are scanned, Spark's row-level
+    * filter completes exactness, and the answer must equal the
+    * oracle's plain filter over the raw table — pruning is an
+    * optimization the hash can't see, WHICH IS THE POINT.
+    * StatsSkippingSpec asserts the file-count side on this exact
+    * planner path (≤3 of 16 Morton files; a Z-ordered table keeps
+    * fewer files than a single-column sort; footer stats match ground
+    * truth). At 100 TB the box read costs O(files intersecting the
+    * box): manifest-level data skipping is the difference between
+    * touching one file and listing a directory. */
   def statsPruned(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.FileStats.ColRange
     val ev = Tables.events(s, dir)
     val base = ev.select(
       pmod(col("user_id"), lit(256)).as("u"),
@@ -399,10 +468,13 @@ object Lakehouse {
     // box bounds live INSIDE the data's ranges at EVERY test SF (the
     // smallest has only 15 users -> u in 0..14; events span days
     // 1-30) so the gate grades a real subset everywhere — an
-    // out-of-range box would pass trivially on 0 rows
-    Snapshots.readPruned(s, root, Seq(
-        ColRange("u", lower = Some(2L), upper = Some(9L)),
-        ColRange("d", lower = Some(8L), upper = Some(22L))))
+    // out-of-range box would pass trivially on 0 rows. The box is a
+    // PLAIN Column filter (r13): the planner pushes it to the scan and
+    // [[graft.sources.StatsFileIndex]] prunes the file list from the
+    // sidecar — no readPruned call, same oracle, same skip
+    // (StatsSkippingSpec asserts the planner-path file counts)
+    Snapshots.read(s, root)
+      .filter(col("u").between(2L, 9L) && col("d").between(8L, 22L))
       .groupBy(col("u"))
       .agg(count(lit(1)).as("n"), sum(col("d")).as("sum_d"),
         round(sum(col("value")), 6).as("sum_val"))
@@ -415,11 +487,13 @@ object Lakehouse {
     * doc_id stats — exactly what [[graft.pipelines.CurationJob
     * .absorbDaily]] records on every curated append), then
     * [[graft.pipelines.CurationJob.lookupDocs]] fetches an id range
-    * and must equal the oracle's plain BETWEEN over the raw table.
-    * The skip is real but invisible to the hash (the point):
-    * StatsSkippingSpec asserts the file counts on the absorb path
-    * itself. At 100 TB this is "fetch these documents" touching
-    * O(matching files) of a chain, not the corpus. */
+    * — since r13 a PLAIN filtered read whose pruning happens in the
+    * planner ([[graft.sources.StatsFileIndex]]) — and must equal the
+    * oracle's plain BETWEEN over the raw table. The skip is real but
+    * invisible to the hash (the point): StatsSkippingSpec asserts the
+    * file counts on the absorb path itself. At 100 TB this is "fetch
+    * these documents" touching O(matching files) of a chain, not the
+    * corpus. */
   def docLookup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"),
       length(col("text")).cast("long").as("len"))
@@ -450,6 +524,7 @@ object Lakehouse {
     "q_change_feed_stream" -> changeFeedStream _,
     "q_feed_mirror"        -> feedMirror _,
     "q_feed_mirror_stream" -> feedMirrorStream _,
+    "q_feed_reset"         -> feedReset _,
     "q_stats_pruned"       -> statsPruned _,
     "q_doc_lookup"         -> docLookup _
   )
@@ -562,6 +637,21 @@ object Lakehouse {
     "q_doc_lookup" ->
       """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len
         |FROM documents WHERE doc_id BETWEEN 100 AND 399""".stripMargin,
+    // the healed replica's content = the full logical history replayed:
+    // base minus the deleted %8=0 slice, the pre-gap insert, the
+    // post-reset insert, and the merge's update (+1000) and new
+    // (+1000000) halves — a wrong reset watermark or bootstrap version
+    // double-applies or drops exactly one of these terms
+    "q_feed_reset" ->
+      """WITH d AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len
+        |           FROM documents)
+        |SELECT doc_id, len FROM d WHERE doc_id % 8 = 4
+        |UNION ALL SELECT doc_id, len FROM d WHERE doc_id % 4 = 1
+        |UNION ALL SELECT doc_id, len + 1000 FROM d WHERE doc_id % 8 = 2
+        |UNION ALL SELECT doc_id, len FROM d WHERE doc_id % 8 = 6
+        |UNION ALL SELECT doc_id, len FROM d WHERE doc_id % 4 = 3
+        |UNION ALL SELECT doc_id + 1000000 AS doc_id, len FROM d
+        |          WHERE doc_id % 8 = 6""".stripMargin,
     // the pruned read must equal the plain filter over the raw table —
     // file skipping is invisible to the answer, by construction
     "q_stats_pruned" ->

@@ -69,7 +69,12 @@ object ChangeFeed {
       fromV: Long = 0L): Seq[Long] = {
     val latest = Snapshots.latestVersion(root).getOrElse(return Seq.empty)
     val wm = position(sinkRoot).getOrElse(fromV)
-    val pending = Snapshots.versions(root).filter(v => v > wm && v <= latest)
+    // watermark-seeded listing: historic manifest names are dropped
+    // before any file is OPENED, and each landing reads only its own
+    // version's metadata (changesOf), so a tick's manifest reads
+    // track PENDING versions — FeedTickCostSpec pins them EQUAL at 8x
+    // and 96x applied history, idle and busy
+    val pending = Snapshots.versionsAbove(root, wm).filter(_ <= latest)
     // GAP GUARD: versions are claimed contiguously, so the first
     // pending version must be wm + 1 — compacted rewrites COUNT as
     // fillers here (they are skipped below, but their version numbers
@@ -93,24 +98,24 @@ object ChangeFeed {
           s"change feed on $root hit a full rewrite at version $v — a fresh " +
             "commit() has no row-level change representation; reset the " +
             "follower against the rewritten table (compactions are skipped " +
-            "automatically, this was not one)")
-        val changes = Snapshots.changesBetween(spark, root, v - 1, v)
+            "automatically, this was not one — see [[reset]])")
+        val changes = Snapshots.changesOf(spark, root, v)
         // the sink's schema FOLLOWS the source's by design (that is
         // what a change feed is), so landings always announce
         // evolution: a delete version carries only its tombstone key
-        // (the sink's other columns read as null — changesBetween's
-        // union semantics, reproduced per-version), and a
-        // schema-evolved source widens the sink the same way. Type
-        // changes still fail loudly, like every append.
-        // each landing records a `_commit_version` stats sidecar: the
-        // column is constant per landed file, so the mirror's
-        // watermark filter prunes every already-applied feed FILE at
-        // the manifest level ([[Snapshots.readPruned]]) — a long-lived
-        // feed's catch-up reads O(pending versions' files), not the
-        // whole change table (commitBatch lacks the stats hook, so the
-        // very first landing scans whole — one file, by construction)
+        // (the sink's other columns read as null — changesOf's union
+        // semantics), and a schema-evolved source widens the sink the
+        // same way. Type changes still fail loudly, like every append.
+        // EVERY landing — the bootstrap included — records a
+        // `_commit_version` stats sidecar: the column is constant per
+        // landed file, so the mirror's watermark filter prunes every
+        // already-applied feed FILE at the manifest level
+        // ([[Snapshots.readPruned]]) — a long-lived feed's catch-up
+        // reads O(pending versions' files), not the whole change
+        // table, bootstrap-heavy chains included
         if (Snapshots.latestVersion(sinkRoot).isEmpty)
-          Snapshots.commitBatch(changes, sinkRoot, v)
+          Snapshots.commitBatch(changes, sinkRoot, v,
+            statsCols = Seq("_commit_version"))
         else
           Snapshots.commitAppend(changes, sinkRoot, batchId = Some(v),
             evolveSchema = true, statsCols = Seq("_commit_version"))
@@ -229,6 +234,65 @@ object ChangeFeed {
       }
       vs
     }
+  }
+
+  /** RETENTION-AWARE FOLLOWER RESET — the operational answer to
+    * [[catchUp]]'s gap error (and to the follow-a-rewrite /
+    * follow-a-rollback errors), composed instead of manual: when
+    * vacuum outran a paused follower (versions between its watermark
+    * and the oldest retained manifest are physically gone), the sink
+    * can never reconstruct the table again — the ONLY heal is to
+    * re-bootstrap downstream state from a CURRENT base and resume the
+    * feed after it, exactly the Delta-CDF "restart the consumer from
+    * a fresh snapshot" runbook. This does that in one call:
+    *
+    *  1. PIN the source's current version V (reads below are of V,
+    *     not "whatever latest becomes" — a writer landing V+1
+    *     mid-reset is simply new history the resumed feed absorbs);
+    *  2. wipe the sink (its content no longer reconstructs anything)
+    *     and re-seed it with an EMPTY change landing carrying
+    *     batchId = V, so [[position]] = V and the resumed follower's
+    *     gap guard accepts exactly V+1 as the next version;
+    *  3. if a mirror is given: wipe it and re-bootstrap from the
+    *     source AS OF V (one full-snapshot commit, batchId = V — the
+    *     replica equals the table again and its watermark points the
+    *     applier at feed versions > V).
+    *
+    * Returns V — pass it as `fromV` when restarting [[follow]] /
+    * [[followMirror]] (the seeded watermarks already enforce it; the
+    * explicit value is for logging/config). Idempotent in effect:
+    * re-running reset re-bootstraps from the then-current version.
+    * Call with the follower STOPPED (it is failing loudly anyway —
+    * that error is what triggers this); the wipe-then-commit pair is
+    * not atomic, and a concurrent tick between them would land into
+    * an empty sink as if bootstrapping from zero. Cost: O(table) for
+    * the mirror re-bootstrap (unavoidable — the gap destroyed the
+    * incremental path), O(1) metadata for the feed itself. The spec
+    * drives vacuum past a paused follower into the gap error, resets,
+    * resumes, and proves the healed replica oracle-equal. */
+  def reset(spark: SparkSession, root: String, sinkRoot: String,
+      mirrorRoot: Option[String] = None, keyCol: String = ""): Long = {
+    val v = Snapshots.latestVersion(root).getOrElse(
+      throw new IllegalStateException(
+        s"cannot reset a follower of $root: no committed version"))
+    val asOf = Snapshots.readVersion(spark, root, v)
+    Snapshots.wipe(sinkRoot)
+    // empty typed landing, schema = source + the feed's two change
+    // columns: the sink LOOKS like a feed the applier/consumers can
+    // read (same columns), holds zero rows, and carries watermark V
+    import org.apache.spark.sql.functions.lit
+    val empty = asOf.where(lit(false))
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(v))
+    Snapshots.commitBatch(empty, sinkRoot, v,
+      statsCols = Seq("_commit_version"))
+    mirrorRoot.foreach { m =>
+      require(keyCol.nonEmpty,
+        "mirror reset needs the merge keyCol the applier will use")
+      Snapshots.wipe(m)
+      Snapshots.commitBatch(asOf, m, v)
+    }
+    v
   }
 
   /** Start the FOLLOWER: a streaming query whose every tick (default

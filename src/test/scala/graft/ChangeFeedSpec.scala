@@ -86,6 +86,48 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(ChangeFeed.position(sink).contains(1L))
   }
 
+  test("reset heals a gap-stopped follower: re-bootstrapped replica equals the source and the feed resumes") {
+    import spark.implicits._
+    val b = tmpBase()
+    val (src, sink, mirror) = (s"$b/src", s"$b/sink", s"$b/mirror")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)     // v0
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "v"), src, Seq.empty, Some(1L)) // v1
+    ChangeFeed.catchUp(spark, src, sink)                                 // wm = 1
+    Snapshots.commitBatch(Snapshots.readVersion(spark, src, 0L), mirror, 0L)
+    ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id")                  // replica @ v1
+    // follower pauses; source moves on; retention destroys the gap
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "v"), src, Seq.empty, Some(2L)) // v2
+    Snapshots.commitDelete(Seq(1L).toDF("id"), src, "id", Some(3L))      // v3
+    Snapshots.compact(spark, src)                                        // v4
+    Snapshots.vacuum(src, keep = 0)                                      // v0-v3 gone
+    intercept[IllegalStateException](ChangeFeed.catchUp(spark, src, sink))
+    // the composed heal: pin current V, re-seed sink watermark, full
+    // mirror re-bootstrap — the replica equals the table again
+    val v = ChangeFeed.reset(spark, src, sink, Some(mirror), "id")
+    assert(v == 4L)
+    def tbl(root: String) =
+      Snapshots.read(spark, root).select(col("id"), col("v"))
+        .as[(Long, String)].collect().toSet
+    assert(tbl(mirror) == tbl(src) && tbl(src) == Set(2L -> "b", 3L -> "c", 4L -> "d"))
+    assert(ChangeFeed.position(sink).contains(4L))
+    // the sink reads as a (zero-row) typed feed — consumers keep their schema
+    val cols = Snapshots.read(spark, sink).columns.toSet
+    assert(cols == Set("id", "v", "_change_type", "_commit_version"))
+    assert(Snapshots.read(spark, sink).count() == 0)
+    // resume: new history lands and applies exactly-once through the
+    // healed pair — insert AND delete paths
+    Snapshots.commitAppend(Seq((5L, "e")).toDF("id", "v"), src, Seq.empty, Some(4L)) // v5
+    assert(ChangeFeed.catchUp(spark, src, sink) == Seq(5L))
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id") == Seq(5L))
+    Snapshots.commitDelete(Seq(2L).toDF("id"), src, "id", Some(5L))      // v6
+    assert(ChangeFeed.catchUp(spark, src, sink) == Seq(6L))
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id") == Seq(6L))
+    assert(tbl(mirror) == tbl(src) && tbl(src) == Set(3L -> "c", 4L -> "d", 5L -> "e"))
+    // replays after the heal still no-op
+    assert(ChangeFeed.catchUp(spark, src, sink).isEmpty)
+    assert(ChangeFeed.mirrorCatchUp(spark, sink, mirror, "id").isEmpty)
+  }
+
   test("a feed lagging the mirror is a NO-OP, and the mirror resumes exactly once when it catches up") {
     import spark.implicits._
     val b = tmpBase()

@@ -198,6 +198,92 @@ object GraphB {
           (col("dsum") - col("common_neighbors")), 6).as("jaccard"))
   }
 
+  /** #239 SAMPLED EDGE JACCARD (`q_edge_jaccard_estimate`) — the
+    * DOULION discipline (#236/#238) applied to #138's per-edge scores,
+    * the at-scale sibling of the one remaining provably-steep exact
+    * row: common-neighbor counts are computed on a DETERMINISTICALLY
+    * p-sampled edge set (md5 bucket, exact keep mass 126/256 — the
+    * #236 convention), so the wedge/closure work — the Θ(Σ outdeg²)
+    * term that makes the exact form track data growth quadratically
+    * per hub — shrinks by p². A sampled edge's common count scales by
+    * 1/p² (conditioned on the edge's own presence, each common
+    * neighbor survives iff its TWO wedge edges did; summed over edges
+    * this is the judge's /p³ identity: Σ sampled counts = 3·T_sampled,
+    * E[T_sampled] = p³·T). Denominator degrees are EXACT — the degree
+    * agg is O(E), noise-free, and only joined back onto the
+    * triangle-closing (scored) edges, never the full edge set.
+    *
+    * The gate follows the #49/#98 graded-tolerance convention with an
+    * EDGE-LOCAL exact side: the top-20 sampled edges by estimated
+    * score are re-scored exactly via two adjacency joins against the
+    * broadcast 20-edge frame — O(Σ deg of 40 nodes), NOT a full
+    * exact enumeration — so unlike #236 this bench row's cost stays
+    * estimator-shaped end-to-end. `est_ok` grades each reported edge
+    * within ±50% + 3 absolute (per-edge binomial noise at p² ≈ 0.24
+    * is ~1.8/√c relative). Sampling, arithmetic (exact-rational
+    * 65536/15876 scale, integer-exact intermediates) and the
+    * round-then-tie-break top-20 cut replay identically in the
+    * oracle. ScaleProbe's `ejacc_scaled` row measures the p ∝
+    * n^(-1/3) recipe on this path vs the exact form's curve. */
+  def edgeJaccardEstimate(s: SparkSession, dir: String): DataFrame = {
+    val edges = GraphCore.copurchaseEdges(s, dir)
+    val canon = edges.filter(col("src") < col("dst"))
+    val h = md5(concat(col("src").cast("string"), lit(":"),
+      col("dst").cast("string"), lit(":ejacc")))
+    val pct = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
+    val sampled = GraphCore.edgesFromPairs(
+      canon.filter(pct < 50).select(col("src").as("pa"), col("dst").as("pb")))
+    // sampled per-edge common counts through the SHARED degree-
+    // oriented enumerator (#123's plan: row-local wedges, one
+    // shuffle_hash closure probe — on p² of the exact wedge volume)
+    def edge(x: Column, y: Column) =
+      struct(least(x, y).as("pa"), greatest(x, y).as("pb"))
+    val cnS = GraphCore.triangles(GraphCore.orientedOf(sampled))
+      .select(explode(array(
+        edge(col("a"), col("b")), edge(col("b"), col("c")),
+        edge(col("a"), col("c")))).as("e"))
+      .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .agg(count(lit(1)).as("cn_s"))
+    // exact degrees: one map-side-combined agg over the edge frame,
+    // joined only onto the scored (triangle-closing) edges
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // 1/p² scale (p = 126/256), TRUNCATED at the estimate's support
+    // bound: true common ≤ min(deg_u, deg_v), so the clamp is a
+    // strict refinement — and it keeps the Jaccard denominator
+    // dsum − ce ≥ max(deg) > 0 (an unclamped small-degree edge could
+    // scale past its own neighborhood size)
+    val ce = least(col("cn_s") * lit(65536.0) / lit(15876.0),
+      least(col("dega"), col("degb")).cast("double"))
+    val top = cnS
+      .join(deg.select(col("node"), col("deg").as("dega")),
+        col("pa") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("deg").as("degb")),
+        col("pb") === col("node")).drop("node")
+      .select(col("pa"), col("pb"), col("cn_s"),
+        ce.as("ce"), (col("dega") + col("degb")).as("dsum"))
+      .withColumn("je", col("ce") / (col("dsum") - col("ce")))
+      .orderBy(round(col("je"), 6).desc, col("pa"), col("pb"))
+      .limit(20)
+      .localCheckpoint() // two consumers below; the cut is 20 rows
+    // edge-local exact side: adjacency of the 20 reported edges only
+    val t20 = broadcast(top.select(col("pa"), col("pb")))
+    val wedges = edges.join(t20, col("src") === col("pa"))
+      .select(col("pa"), col("pb"), col("dst").as("w"))
+    val cnX = wedges.join(
+        edges.select(col("src").as("s2"), col("dst").as("d2")),
+        col("s2") === col("pb") && col("d2") === col("w"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cn"))
+    top.join(cnX, Seq("pa", "pb"))
+      .select(col("pa"), col("pb"), col("cn_s"),
+        round(col("ce"), 6).as("common_est"),
+        col("cn").as("common_exact"),
+        round(col("je"), 6).as("jaccard_est"),
+        round(col("cn").cast("double") / (col("dsum") - col("cn")), 6)
+          .as("jaccard"),
+        (abs(col("ce") - col("cn")) <= lit(0.5) * col("cn") + lit(3.0))
+          .cast("int").as("est_ok"))
+  }
+
   /** #139 SEQUENCE MINING — the 20 most frequent contiguous
     * event-type trigrams across per-user timelines ("what do users do
     * next"): the n-gram cut of sequential pattern mining, which is
@@ -345,6 +431,7 @@ object GraphB {
     "q_label_prop"    -> labelProp _,
     "q_bfs_hops"      -> bfsHops _,
     "q_edge_jaccard"  -> edgeJaccard _,
+    "q_edge_jaccard_estimate" -> edgeJaccardEstimate _,
     "q_seq_trigrams"  -> seqTrigrams _,
     "q_kmv_intersect" -> kmvIntersect _,
     "q_random_walk"   -> randomWalk _
@@ -427,6 +514,48 @@ object GraphB {
          |JOIN deg da ON da.node = c.pa
          |JOIN deg db ON db.node = c.pb
          |ORDER BY jaccard DESC, c.pa, c.pb LIMIT 50""".stripMargin,
+    "q_edge_jaccard_estimate" ->
+      s"""WITH $graphCtes,
+         |samp AS (
+         |  SELECT pa, pb FROM pr
+         |  WHERE (ascii(substr(md5(CAST(pa AS VARCHAR) || ':' ||
+         |                          CAST(pb AS VARCHAR) || ':ejacc'), 1, 1)) * 256
+         |       + ascii(substr(md5(CAST(pa AS VARCHAR) || ':' ||
+         |                          CAST(pb AS VARCHAR) || ':ejacc'), 2, 1))) % 100 < 50),
+         |sed AS (SELECT pa AS src, pb AS dst FROM samp
+         |        UNION ALL SELECT pb, pa FROM samp),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM ed GROUP BY 1),
+         |scn AS (
+         |  SELECT p.pa, p.pb, COUNT(*) AS cn_s
+         |  FROM samp p
+         |  JOIN sed e1 ON e1.src = p.pa
+         |  JOIN sed e2 ON e2.src = p.pb AND e2.dst = e1.dst
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT s.pa, s.pb, s.cn_s,
+         |    LEAST(s.cn_s * 65536.0 / 15876.0,
+         |          CAST(LEAST(da.deg, db.deg) AS DOUBLE)) AS ce,
+         |    da.deg + db.deg AS dsum
+         |  FROM scn s
+         |  JOIN deg da ON da.node = s.pa
+         |  JOIN deg db ON db.node = s.pb),
+         |top AS (
+         |  SELECT pa, pb, cn_s, ce, dsum, ce / (dsum - ce) AS je
+         |  FROM scored
+         |  ORDER BY ROUND(ce / (dsum - ce), 6) DESC, pa, pb LIMIT 20),
+         |cnx AS (
+         |  SELECT t.pa, t.pb, COUNT(*) AS cn
+         |  FROM top t
+         |  JOIN ed e1 ON e1.src = t.pa
+         |  JOIN ed e2 ON e2.src = t.pb AND e2.dst = e1.dst
+         |  GROUP BY 1, 2)
+         |SELECT t.pa, t.pb, t.cn_s,
+         |  ROUND(t.ce, 6) AS common_est,
+         |  c.cn AS common_exact,
+         |  ROUND(t.je, 6) AS jaccard_est,
+         |  ROUND(CAST(c.cn AS DOUBLE) / (t.dsum - c.cn), 6) AS jaccard,
+         |  CAST(ABS(t.ce - c.cn) <= 0.5 * c.cn + 3 AS INT) AS est_ok
+         |FROM top t JOIN cnx c ON c.pa = t.pa AND c.pb = t.pb""".stripMargin,
     "q_seq_trigrams" ->
       """WITH s AS (
         |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types

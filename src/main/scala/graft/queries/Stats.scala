@@ -289,6 +289,35 @@ object Stats {
           .cast("int").as("est_within_25pct"))
   }
 
+  /** #238 ESTIMATOR-ONLY DOULION (`q_triangle_doulion`) — the
+    * PRODUCTION identity of #236, published as its own bench row: the
+    * gate above deliberately recomputes the exact triangle count for
+    * its tolerance flag (the #49/#98 graded-data convention), so its
+    * timing necessarily tracks the EXACT side's Θ(Σ outdeg²) curve —
+    * it was the one disputed row in BENCH_r12. This query is the path
+    * a deployment actually runs: sample, count on the sample, scale by
+    * 1/p³ — nothing exact anywhere, so its bench row measures the
+    * estimator's own cost (wedge work ∝ p² of the exact form's; the
+    * at-scale p ∝ n^(-1/3) recipe is ScaleProbe's `doulion_scaled`
+    * row, measured 2.9x under 16x data vs the exact ~12x). Same
+    * deterministic md5 sample and exact-rational 126/256 mass as
+    * #236, so the oracle replays it hash-exactly; accuracy is graded
+    * by #236's own flag on the identical sample. */
+  def triangleDoulion(s: SparkSession, dir: String): DataFrame = {
+    val edges = GraphCore.copurchaseEdges(s, dir)
+    val canon = edges.filter(col("src") < col("dst"))
+    val h = md5(concat(col("src").cast("string"), lit(":"),
+      col("dst").cast("string"), lit(":doulion")))
+    val pct = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
+    val sampled = GraphCore.edgesFromPairs(
+      canon.filter(pct < 50).select(col("src").as("pa"), col("dst").as("pb")))
+    GraphCore.triangles(GraphCore.orientedOf(sampled))
+      .agg(count(lit(1)).as("t_sampled"))
+      .select(col("t_sampled"),
+        round(col("t_sampled") * lit(16777216.0) / lit(2000376.0), 6)
+          .as("estimate"))
+  }
+
   /** #124 EWMA SMOOTHING (α = 1/2) of each event type's daily value
     * total — the denoised view a metrics dashboard overlays on the
     * raw series (complements #62's rolling mean and #116's anomaly
@@ -363,6 +392,7 @@ object Stats {
     "q_rank_corr"      -> rankCorr _,
     "q_triangle_count" -> triangleCount _,
     "q_triangle_estimate" -> triangleEstimate _,
+    "q_triangle_doulion" -> triangleDoulion _,
     "q_ewma_smooth"    -> ewmaSmooth _,
     "q_cusum_changepoint" -> cusumChangepoint _
   )
@@ -524,6 +554,27 @@ object Stats {
         |       / NULLIF(CAST(n_triangles AS DOUBLE), 0.0) <= 0.25 AS INT)
         |    AS est_within_25pct
         |FROM tri, stri""".stripMargin,
+    "q_triangle_doulion" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |samp AS (
+        |  SELECT pa, pb FROM pairs
+        |  WHERE (ascii(substr(md5(CAST(pa AS VARCHAR) || ':' ||
+        |                          CAST(pb AS VARCHAR) || ':doulion'), 1, 1)) * 256
+        |       + ascii(substr(md5(CAST(pa AS VARCHAR) || ':' ||
+        |                          CAST(pb AS VARCHAR) || ':doulion'), 2, 1))) % 100 < 50),
+        |stri AS (
+        |  SELECT COUNT(*) AS t_sampled
+        |  FROM samp e1
+        |  JOIN samp e2 ON e1.pb = e2.pa
+        |  JOIN samp e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT t_sampled,
+        |  ROUND(t_sampled * 16777216.0 / 2000376.0, 6) AS estimate
+        |FROM stri""".stripMargin,
     "q_ewma_smooth" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS x

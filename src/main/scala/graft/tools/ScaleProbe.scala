@@ -39,6 +39,11 @@ object ScaleProbe {
       // the p² wedge-work reduction should grow visibly slower than
       // q_triangle_count's (provably optimal-exact) 14x curve
       "q_triangle_estimate",
+      // r13: the estimator-only identities — no exact recompute in
+      // q_triangle_doulion at all; q_edge_jaccard_estimate's exact
+      // side is edge-local (O(deg of the 40 reported nodes)), so both
+      // rows should track the SAMPLED wedge volume, not Σ outdeg²
+      "q_triangle_doulion", "q_edge_jaccard_estimate",
       // r4 additions: the remaining unprobed heavy queries — per-edge
       // triangle scoring, walk sampling, the 64-replicate bootstrap
       // expansion, and basket-local rule mining
@@ -308,6 +313,118 @@ object ScaleProbe {
       }
       val ratio = times.last / times.head
       println(f"${"doulion_scaled(p~n^-1/3)"}%-24s ${times.map(t => f"$t%7.2fs").mkString} ${ratio}%6.1fx")
+    }
+    // PER-EDGE SAMPLED JACCARD probe (r13): q_edge_jaccard's estimator
+    // sibling (q_edge_jaccard_estimate) under the same p ∝ n^(-1/3)
+    // recipe — the sampled enumeration + per-edge count + exact-degree
+    // join-back + top-20 cut, with NO exact wedge work anywhere (the
+    // gate's edge-local exact side is O(deg of 40 nodes) and rides
+    // along here as it does in production). The exact form's work is
+    // ≡ Σ outdeg² (q_edge_jaccard measured ~12x under 16x disjoint
+    // replicas); the sampled path's wedge volume shrinks by p², so
+    // the curve must sit well below it. Accuracy asserted on the
+    // aggregate identity Σ_e cn_s = 3·T_sampled (E = p³·3T): the
+    // per-edge estimates are individually noisy at small counts by
+    // design — the gate's ±50%+3 band grades those — but the mass
+    // must land within 10% of 3T at every scale.
+    if (args.isEmpty || args(0).split(",").contains("ejacc_scaled")) {
+      import graft.queries.GraphCore
+      val pPct = Map(1 -> 50, 4 -> 31, 16 -> 20)
+      def pOf(thr: Int): Double = {
+        val hex = "0123456789abcdef".map(_.toInt)
+        (for (a <- hex; b <- hex) yield (a * 256 + b) % 100)
+          .count(_ < thr) / 256.0
+      }
+      val times = scales.map { n =>
+        val edges = GraphCore.copurchaseEdges(spark, dirs(n))
+        val exact3T =
+          GraphCore.triangles(GraphCore.orientedOf(edges)).count() * 3.0
+        val thr = pPct(n)
+        val p = pOf(thr)
+        def cnSOf = {
+          val canon = edges.filter(col("src") < col("dst"))
+          val h = md5(concat(col("src").cast("string"), lit(":"),
+            col("dst").cast("string"), lit(":ejacc")))
+          val pct = (ascii(substring(h, 1, 1)) * 256 +
+            ascii(substring(h, 2, 1))) % 100
+          val sampled = GraphCore.edgesFromPairs(canon.filter(pct < thr)
+            .select(col("src").as("pa"), col("dst").as("pb")))
+          GraphCore.triangles(GraphCore.orientedOf(sampled))
+            .select(explode(array(
+              struct(least(col("a"), col("b")).as("pa"),
+                greatest(col("a"), col("b")).as("pb")),
+              struct(least(col("b"), col("c")).as("pa"),
+                greatest(col("b"), col("c")).as("pb")),
+              struct(least(col("a"), col("c")).as("pa"),
+                greatest(col("a"), col("c")).as("pb")))).as("e"))
+            .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
+            .agg(count(lit(1)).as("cn_s"))
+        }
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val deg = edges.groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("deg"))
+          val scored = cnSOf
+            .join(deg.select(col("node"), col("deg").as("dega")),
+              col("pa") === col("node")).drop("node")
+            .join(deg.select(col("node"), col("deg").as("degb")),
+              col("pb") === col("node")).drop("node")
+            .withColumn("ce", least(col("cn_s") / (p * p),
+              least(col("dega"), col("degb")).cast("double")))
+            .withColumn("je",
+              col("ce") / (col("dega") + col("degb") - col("ce")))
+          val top = scored.orderBy(round(col("je"), 6).desc,
+            col("pa"), col("pb")).limit(20).collect()
+          assert(top.nonEmpty, s"ejacc at ${n}x: no scored edges")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        // accuracy (outside the timed window): sampled mass vs 3T
+        val sumCn = cnSOf.agg(sum(col("cn_s"))).head().getLong(0)
+        val est = sumCn / (p * p * p)
+        assert(math.abs(est - exact3T) / math.max(1.0, exact3T) <= 0.10,
+          s"ejacc at ${n}x p=$p: mass est $est vs exact $exact3T")
+        t
+      }
+      val ratio = times.last / times.head
+      println(f"${"ejacc_scaled(p~n^-1/3)"}%-24s ${times.map(t => f"$t%7.2fs").mkString} ${ratio}%6.1fx")
+    }
+    // STATS-COLLECTION FAN-OUT probe (r13): commit-time footer-stats
+    // collection was driver-sequential — fine for a daily delta's
+    // handful of files, hours for a 100 TB base commit's 10^5-10^6
+    // footers (r12 verdict Missing #2). collectDistributed reads the
+    // footers on EXECUTORS, so wall time at 16x the file count must
+    // grow far sub-16x (files/cores waves); the sequential path at the
+    // same counts is printed as the contrast, and both paths' results
+    // are asserted identical at every count (the correctness half —
+    // StatsSkippingSpec pins it once, this re-pins it at probe scale).
+    if (args.isEmpty || args(0).split(",").contains("stats_collect")) {
+      import graft.sources.FileStats
+      val counts = Seq(16, 64, 256)
+      val rows = counts.map { nf =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"statsc$nf").toString + "/stage"
+        spark.range(0, 400000L * nf / 16)
+          .select(col("id"), (col("id") % 97).as("k"),
+            (col("id") * 31 % 1000).cast("double").as("s"))
+          .repartitionByRange(nf, col("id")).write.parquet(dir)
+        val p = java.nio.file.Paths.get(dir)
+        val cols = Seq("id", "k", "s")
+        def t1(body: => Seq[FileStats.FileStat]): (Double, Seq[FileStats.FileStat]) = {
+          val t0 = System.nanoTime()
+          val r = body
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        val (tSeq, rSeq) = t1(FileStats.collect(p, cols,
+          spark.sparkContext.hadoopConfiguration))
+        val (tDist, rDist) = t1(FileStats.collectDistributed(spark, p, cols))
+        assert(rDist == rSeq, s"stats_collect at $nf files: paths diverge")
+        assert(rSeq.size == nf)
+        (tSeq, tDist)
+      }
+      val seqRatio = rows.last._1 / rows.head._1
+      val distRatio = rows.last._2 / rows.head._2
+      println(f"${"stats_collect(seq)"}%-24s ${rows.map(r => f"${r._1}%7.2fs").mkString} ${seqRatio}%6.1fx")
+      println(f"${"stats_collect(dist)"}%-24s ${rows.map(r => f"${r._2}%7.2fs").mkString} ${distRatio}%6.1fx")
     }
     // CDC CATCH-UP vs APPLIED HISTORY probe (r12): the mirror's
     // watermark filter prunes already-applied feed FILES via the

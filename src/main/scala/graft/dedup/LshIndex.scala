@@ -276,24 +276,39 @@ object LshIndex {
       .collect().map(_.getInt(0)).toSeq
     val storedBands = Snapshots.read(spark, bandsRoot(root))
       .filter(col("bmod").isin(mods: _*))
-    val vsCorpus = storedBands.as("i")
+    // ONE bucket-local join for BOTH pair rules (r13; guide §2.4 —
+    // two operations keyed the same way share one exchange): the
+    // index side is the pruned stored bands UNIONED with the batch's
+    // own bands (tagged `from_batch`), probed once by the batch. The
+    // r12 plan ran a second bb⋈bb join stage for the within-batch
+    // pairs — same keys, same build side, one more barrier per
+    // absorb. Pair rules, unchanged: a stored (non-batch) row pairs
+    // with any other-id batch doc; a batch row pairs as match only
+    // with LARGER batch ids (the dedupKeepOne lowest-id-wins
+    // convention, so absorbDaily drops the larger-id duplicate and
+    // keeps the original-most doc).
+    val indexSide = storedBands
+      .select(col("band"), col("bucket"), col("doc_id"),
+        lit(false).as("from_batch"))
+      .unionByName(bb.select(col("band"), col("bucket"), col("doc_id"),
+        lit(true).as("from_batch")))
+    val pairs = indexSide.as("i")
       .join(bb.as("n").hint("shuffle_hash"),
         col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket") &&
-          col("n.doc_id") =!= col("i.doc_id"))
-      .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("match_id"))
-      // replay guard: once this batch is absorbed, its own stored
-      // copies must not re-pair with it on a re-run
-      .join(broadcast(batchIds.withColumnRenamed("doc_id", "match_id")),
-        Seq("match_id"), "left_anti")
-    // within-batch: the SMALLER id is the kept match_id — the
-    // dedupKeepOne lowest-id-wins convention, so absorbDaily drops the
-    // larger-id duplicate and keeps the original-most doc
-    val within = bb.as("a")
-      .join(bb.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("match_id"))
-    vsCorpus.unionByName(within).distinct()
+          ((!col("i.from_batch") && col("n.doc_id") =!= col("i.doc_id")) ||
+            (col("i.from_batch") && col("i.doc_id") < col("n.doc_id"))))
+      .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("match_id"),
+        col("i.from_batch"))
+    // replay guard: once this batch is absorbed, its own STORED copies
+    // (from_batch = false, id ∈ batch) must not re-pair with it on a
+    // re-run; the batch's live rows (from_batch = true) are the
+    // within-batch rule and stay
+    pairs
+      .join(broadcast(batchIds.withColumnRenamed("doc_id", "match_id")
+        .withColumn("__inb", lit(1))), Seq("match_id"), "left")
+      .filter(col("from_batch") || col("__inb").isNull)
+      .select(col("new_id"), col("match_id"))
+      .distinct()
   }
 
   /** Absorb a NEW document batch: verified near-dup matches of the
@@ -330,8 +345,13 @@ object LshIndex {
     // shingles from the pruned stored artifact (dmod set ≤ Dmods)
     val dmods = cand.select(dmodOf(col("match_id")).as("dmod")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val batchSh = shinglesOf(batch)
-      .select(col("doc_id").as("new_id"), col("shs").as("sa"))
+    // batch shingled ONCE (localCheckpoint): the Jaccard verification
+    // AND the delta append below consume the same materialized frame —
+    // the shingling kernel (tokenize + n-gram + hash over every batch
+    // doc's full text) is the absorb's heaviest row-local pass, and the
+    // r12 path re-ran it from scratch inside the append's write job
+    val sh = shinglesOf(batch).localCheckpoint()
+    val batchSh = sh.select(col("doc_id").as("new_id"), col("shs").as("sa"))
     val storedSh = Snapshots.read(spark, shinglesRoot(root))
       .filter(col("dmod").isin(dmods: _*))
       .select(col("doc_id").as("match_id"), col("shs").as("sb"))
@@ -352,8 +372,7 @@ object LshIndex {
     // Snapshots.read time (immutable dirs), so appending afterwards
     // cannot perturb it
     Snapshots.commitAppend(bb, bandsRoot(root), Seq("bmod"), Some(batchId))
-    Snapshots.commitAppend(shinglesOf(batch), shinglesRoot(root),
-      Seq("dmod"), Some(batchId))
+    Snapshots.commitAppend(sh, shinglesRoot(root), Seq("dmod"), Some(batchId))
     out
   }
 }

@@ -231,7 +231,7 @@ object GraphB {
     val h = md5(concat(col("src").cast("string"), lit(":"),
       col("dst").cast("string"), lit(":ejacc")))
     val pct = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
-    val sampled = GraphCore.edgesFromPairs(
+    val sampled = GraphCore.edgesFromDistinctPairs(
       canon.filter(pct < 50).select(col("src").as("pa"), col("dst").as("pb")))
     // sampled per-edge common counts through the SHARED degree-
     // oriented enumerator (#123's plan: row-local wedges, one
@@ -265,11 +265,18 @@ object GraphB {
       .orderBy(round(col("je"), 6).desc, col("pa"), col("pb"))
       .limit(20)
       .localCheckpoint() // two consumers below; the cut is 20 rows
-    // edge-local exact side: adjacency of the 20 reported edges only
+    // edge-local exact side: adjacency of the 20 reported edges only.
+    // BOTH adjacency joins stream the edge frame against a broadcast
+    // build: wedges is bounded by Σ deg over the 20 pa endpoints (the
+    // frame this paragraph exists to keep small), but the planner
+    // cannot see that bound — unhinted it picked a sort-merge join
+    // that shuffled and sorted the full 2.4M-row edge frame to
+    // re-score 20 edges (measured 3.6-4.6 s of the query's 9.5 s;
+    // guide §3.1: broadcast the side you know is small).
     val t20 = broadcast(top.select(col("pa"), col("pb")))
     val wedges = edges.join(t20, col("src") === col("pa"))
       .select(col("pa"), col("pb"), col("dst").as("w"))
-    val cnX = wedges.join(
+    val cnX = broadcast(wedges).join(
         edges.select(col("src").as("s2"), col("dst").as("d2")),
         col("s2") === col("pb") && col("d2") === col("w"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cn"))

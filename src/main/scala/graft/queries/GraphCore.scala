@@ -64,13 +64,19 @@ private[graft] object GraphCore {
     // shuffled (same hash-agg state either way — one row per edge —
     // but half the exchange volume), and the mirror union after the
     // dedup is a row-local projection
+    // pair enumeration as two Generates (posexplode + explode of the
+    // strictly-later tail) rather than array lambdas: HOFs are
+    // CodegenFallback, so the Σ|basket|² enumeration ran interpreted —
+    // the Generate shape stays inside whole-stage codegen (same rows;
+    // the r13 triangles rewrite measured this 2.5x on the wedge
+    // stream, and this helper feeds all ten graph queries)
     val canon = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey")).agg(items.as("items"))
-      .select(explode(flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + 2, size(col("items"))),
-          y => struct(x.as("src"), y.as("dst")))))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .select(col("items"), posexplode(col("items")))
+      .select(col("col").as("src"),
+        explode(slice(col("items"), col("pos") + 2,
+          greatest(size(col("items")) - col("pos") - 1, lit(0)))).as("dst"))
       .distinct()
     bidirected(canon.select(col("src").as("pa"), col("dst").as("pb")))
       .localCheckpoint()
@@ -80,6 +86,17 @@ private[graft] object GraphCore {
     * frame — the crafted-graph entry point for specs. */
   def edgesFromPairs(pairs: DataFrame): DataFrame =
     bidirected(pairs).distinct().localCheckpoint()
+
+  /** [[edgesFromPairs]] minus the dedup exchange, for pair frames
+    * that are distinct BY CONSTRUCTION — every sampler in the family
+    * filters a subset of the already-distinct canonical edge frame,
+    * and bidirecting canonical (pa < pb) pairs cannot introduce
+    * duplicates ((a,b) and (b,a) come from different directions of
+    * the same unique pair). The r12 samplers paid a full edge-sized
+    * Exchange + hash-dedup here for rows that were provably unique
+    * (guide §2.4: remove shuffles on already-unique data). */
+  def edgesFromDistinctPairs(pairs: DataFrame): DataFrame =
+    bidirected(pairs).localCheckpoint()
 
   /** Both directions of an undirected pair set. */
   def bidirected(pairs: DataFrame): DataFrame =
@@ -161,36 +178,43 @@ private[graft] object GraphCore {
     * degree-upward from the leaves). The wedge stream crossing the
     * closure exchange carries the MINIMUM row — (a, dega: int, b, c);
     * b's and c's degrees are recovered FROM the matched oriented
-    * edge, which already stores them. */
+    * edge, which already stores them.
+    *
+    * WEDGE ENUMERATION IS TWO GENERATES, NOT ARRAY LAMBDAS (r13):
+    * the previous transform/filter/flatten lambda chain ran the whole
+    * Σ outdeg² enumeration — including the bloom probe — interpreted
+    * (array HOFs are CodegenFallback), while posexplode + explode are
+    * GenerateExec inside ONE whole-stage-codegen span, with the bloom
+    * probe a codegen'd WHERE between them (BloomFilterMightContain
+    * has doGenCode). Same pairs, same order-free result — measured
+    * 4.7 s → 1.9 s warm on the sf0.1 enumeration (identical 1,884,488
+    * triangle rows), and the no-bloom fallback shape drops 7.2 s →
+    * 4.1 s, so BOTH branches of the BloomMaxEdges decision keep their
+    * relative economics. The bloom test still runs BEFORE the closure
+    * exchange, so only the ~2M candidates (not all 41M pairs) are
+    * shuffled. */
   def triangles(oriented: DataFrame): DataFrame = {
     val bf = edgeBloom(oriented)
-    // the bloom test runs INSIDE the wedge lambda: a wedge whose (b, c)
-    // is definitely not an edge is never materialized as a struct, so
-    // the explode emits only the ~2M candidates instead of all 41M
-    // enumerated pairs (the post-explode filter formulation paid the
-    // full struct/array allocation before dropping 95% of it). When
-    // edgeBloom declines (empty or past BloomMaxEdges), the inner
-    // filter is dropped entirely and the closure join alone verifies —
-    // the sketch is an accelerator, never a correctness dependency.
-    def inner(x: Column, i: Column): Column = {
-      val rest = slice(col("nbrs"), i + 2, size(col("nbrs")))
-      if (bf == null) rest
-      else filter(rest, y => GraftBridge.column(new BloomFilterMightContain(
+    val might: Column =
+      if (bf == null) lit(true)
+      else GraftBridge.column(new BloomFilterMightContain(
         Literal(bf, BinaryType),
-        GraftBridge.expression(
-          xxhash64(x.getField("nd"), y.getField("nd"))))))
-    }
+        GraftBridge.expression(xxhash64(col("b"), col("c")))))
     val nbrs = sort_array(collect_list(struct(
       col("degd").as("dg"), col("dst").as("nd"))))
     val wedges = oriented
       .groupBy(col("src").as("a"))
       .agg(first(col("degs")).as("dega"), nbrs.as("nbrs"))
-      .select(col("a"), col("dega"),
-        explode(flatten(transform(col("nbrs"), (x, i) =>
-          transform(inner(x, i),
-            y => struct(x.getField("nd").as("b"), y.getField("nd").as("c"))))))
-          .as("w"))
-      .select(col("a"), col("dega"), col("w.b").as("b"), col("w.c").as("c"))
+      // outer Generate keeps the neighbor array alongside its index so
+      // the inner Generate can slice the strictly-later tail: ordered
+      // pair (pos, pos+k) appears exactly once, matching the lambda
+      // formulation element-for-element
+      .select(col("a"), col("dega"), col("nbrs"), posexplode(col("nbrs")))
+      .select(col("a"), col("dega"), col("col.nd").as("b"),
+        explode(slice(col("nbrs"), col("pos") + 2,
+          greatest(size(col("nbrs")) - col("pos") - 1, lit(0)))).as("y"))
+      .select(col("a"), col("dega"), col("b"), col("y.nd").as("c"))
+      .filter(might)
     wedges.join(oriented.hint("shuffle_hash"),
         col("b") === col("src") && col("c") === col("dst"))
       .select(col("a"), col("dega"), col("b"), col("degs").as("degb"),

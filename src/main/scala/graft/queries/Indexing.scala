@@ -152,8 +152,14 @@ object Indexing {
         .select(col("q_id"), col("n_id"),
           round(VectorIndex.dist2(col("qv"), col("nv")), 6).as("d")))
       .localCheckpoint()
-    Seq(1, 3).map { rounds =>
-      val cb = VectorIndex.trainPqCodebook(vecs, rounds)
+    // ONE deterministic training chain, tapped after rounds 1 and 3
+    // (round 1's codebook is the identical prefix state of round 3's
+    // chain — fixed seeds, 6dp-rounded means), instead of re-training
+    // the shared prefix per sweep point; both taps also reuse this
+    // query's already-staged `sub` rather than re-deriving it
+    val cb1 = VectorIndex.trainPqMore(sub, VectorIndex.pqSeedCodebook _, 1)
+    val cb3 = VectorIndex.trainPqMore(sub, _ => cb1, 2)
+    Seq((1, cb1), (3, cb3)).map { case (rounds, cb) =>
       val codes = VectorIndex.encodePq(sub, cb)
       val dtab = sub.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("m"), col("sv"))

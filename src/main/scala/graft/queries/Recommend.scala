@@ -45,11 +45,17 @@ object Recommend {
     val nOrders = b.agg(count(lit(1)).as("n_orders"))
     val itemCnt = b.select(explode(col("items")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("item_cnt"))
+    // pair enumeration as two Generates (posexplode + explode of the
+    // strictly-later tail): array-lambda HOFs run interpreted
+    // (CodegenFallback) — the Generate shape keeps the Σ|basket|²
+    // enumeration inside whole-stage codegen (same pairs; the r13
+    // GraphCore rewrite measured the pattern 2.5x on the wedge stream)
     val pairCnt = b
-      .select(explode(flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + 2, size(col("items"))),
-          y => struct(x.as("pa"), y.as("pb")))))).as("e"))
-      .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .select(col("items"), posexplode(col("items")))
+      .select(col("col").as("pa"),
+        explode(slice(col("items"), col("pos") + 2,
+          greatest(size(col("items")) - col("pos") - 1, lit(0)))).as("pb"))
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minPairCount)
     // both rule directions from the canonical a<b pair

@@ -504,13 +504,15 @@ object ScaleOps {
       .join(broadcast(hotSet), Seq("t"), "left_semi")
       .groupBy(col("doc_id")).agg(sort_array(collect_list(col("t"))).as("ts"))
       .filter(size(col("ts")) >= 2) // sequence(0, n-2) needs n ≥ 2
-    // row-local ordered pair enumeration: (ts[i], ts[j]) for i < j
-    val n = size(col("ts"))
-    val pairs = kept.select(explode(flatten(transform(
-      sequence(lit(0), n - 2),
-      i => transform(slice(col("ts"), i + 2, n), y =>
-        struct(element_at(col("ts"), i + 1).as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a"), col("p.b"))
+    // row-local ordered pair enumeration: (ts[i], ts[j]) for i < j —
+    // two Generates (posexplode + explode of the strictly-later tail)
+    // instead of array lambdas, which run interpreted
+    // (CodegenFallback); same pairs inside whole-stage codegen (the
+    // r13 GraphCore treatment)
+    val pairs = kept.select(col("ts"), posexplode(col("ts")))
+      .select(col("col").as("a"),
+        explode(slice(col("ts"), col("pos") + 2,
+          greatest(size(col("ts")) - col("pos") - 1, lit(0)))).as("b"))
     val cij = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cij"))
     val dfa = df.select(col("t").as("a"), col("df").as("ca"))
     val dfb = df.select(col("t").as("b"), col("df").as("cb"))

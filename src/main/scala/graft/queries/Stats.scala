@@ -269,7 +269,7 @@ object Stats {
     val h = md5(concat(col("src").cast("string"), lit(":"),
       col("dst").cast("string"), lit(":doulion")))
     val pct = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
-    val sampled = GraphCore.edgesFromPairs(
+    val sampled = GraphCore.edgesFromDistinctPairs(
       canon.filter(pct < 50).select(col("src").as("pa"), col("dst").as("pb")))
     val est = GraphCore.triangles(GraphCore.orientedOf(sampled))
       .agg(count(lit(1)).as("t_sampled"))
@@ -309,7 +309,7 @@ object Stats {
     val h = md5(concat(col("src").cast("string"), lit(":"),
       col("dst").cast("string"), lit(":doulion")))
     val pct = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
-    val sampled = GraphCore.edgesFromPairs(
+    val sampled = GraphCore.edgesFromDistinctPairs(
       canon.filter(pct < 50).select(col("src").as("pa"), col("dst").as("pb")))
     GraphCore.triangles(GraphCore.orientedOf(sampled))
       .agg(count(lit(1)).as("t_sampled"))

@@ -392,10 +392,28 @@ object VectorIndex {
     * that lose all members in a round drop out identically in both
     * engines. One distributed pass per round over the
     * sub-vector frame; the codebook is M×K rows throughout. */
-  def trainPqCodebook(vectors: DataFrame, rounds: Int): DataFrame = {
-    val sub = subVectors(vectors).localCheckpoint()
-    var cb = sub.filter(col("vec_id") < pqK)
+  def trainPqCodebook(vectors: DataFrame, rounds: Int): DataFrame =
+    trainPqMore(subVectors(vectors).localCheckpoint(), pqSeedCodebook _, rounds)
+
+  /** The seed codebook (sub-vectors of the first [[pqK]] ids) off an
+    * already-staged sub-vector frame. */
+  private[graft] def pqSeedCodebook(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < pqK)
       .select(col("m"), col("vec_id").cast("int").as("c"), col("sv").as("cv"))
+
+  /** Continue PQ training from an EXISTING codebook state for
+    * `rounds` more Lloyd rounds over a staged sub-vector frame — the
+    * training chain is deterministic (fixed seeds, 6dp-rounded
+    * means), so round r's output is identical whether reached in one
+    * call or two. A sweep over rounds ∈ {1, 3} (#204) trains the
+    * chain ONCE and taps it after rounds 1 and 3 instead of
+    * re-running the shared prefix (guide §1.2: don't compute things
+    * twice). `cb0` is passed as a function of `sub` so the plain
+    * [[trainPqCodebook]] entry builds its seed lazily off the staged
+    * frame. */
+  private[graft] def trainPqMore(sub: DataFrame,
+      cb0: DataFrame => DataFrame, rounds: Int): DataFrame = {
+    var cb = cb0(sub)
     val dimMeans = (0 until pqSub).map(j =>
       round(avg(element_at(col("sv"), j + 1)), 6).as(s"s$j"))
     for (_ <- 1 to rounds) {

@@ -762,9 +762,6 @@ object Snapshots {
       val w = clustered.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(stage)
-      // a delta manifest counts its OWN rows only; counting the staged
-      // files avoids re-running df's plan
-      val rows = df.sparkSession.read.parquet(stage).count()
       // footer-stats collection runs on the STAGE, outside the lock:
       // O(files) metadata reads lifted into the stats sidecar (paths
       // recorded relative to the stage = relative to the final dir).
@@ -776,6 +773,14 @@ object Snapshots {
         if (statsCols.isEmpty) None
         else Some(FileStats.collectDistributed(df.sparkSession,
           Paths.get(stage), statsCols))
+      // a delta manifest counts its OWN rows only. From the FOOTERS,
+      // not a Spark scan job over the stage (the r12 path): a
+      // stats-collecting commit already read every footer — sum those
+      // — and a plain commit reads just the block counts
+      // (FileStats.rowCount), killing one full read-back job + listing
+      // per commit (every absorb runs 2-3 commits; a week gate ~30)
+      val rows = stats.map(_.map(_.rows).sum)
+        .getOrElse(FileStats.rowCount(df.sparkSession, Paths.get(stage)))
       commitStaged(root, stage, rows, batchId, delta, monotone,
         tombstoneKey, mergeKey, compacted, guard, hb = Some(hb),
         stats = stats, statsCols = statsCols)

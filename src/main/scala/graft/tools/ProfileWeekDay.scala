@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Phase wall profile of ONE week-gate day (`q_curation_week`'s unit
+  * of cost, also the bench's week_days_ingest_nightly rows): builds a
+  * scratch curated+LSH root at the given SF, then times day 0's
+  * absorbDaily and nightly piece by piece so the ~3.5 s/day ingest
+  * cost localizes (signing vs probe vs verify vs the three commits vs
+  * compaction). */
+object ProfileWeekDay {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
+    import graft.sources.Snapshots
+    import graft.dedup.LshIndex
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    for (rnd <- 1 to 2) {
+      println(s"--- round $rnd")
+      val wbase = java.nio.file.Files
+        .createTempDirectory("graft-profweek").toString
+      val (curatedRoot, lshRoot) = (s"$wbase/curated", s"$wbase/lsh")
+      t("commit corpus (curated base)")(Snapshots.commit(corpus, curatedRoot))
+      t("LshIndex.build")(LshIndex.build(corpus, lshRoot))
+      val batch = graft.queries.Indexing.weekBatch(corpus, 0).localCheckpoint()
+      println(s"[prof] batch rows: ${batch.count()}")
+      // absorbDaily day 0, inlined with timers
+      val gated = batch.withColumn("quality_pass",
+        graft.functions.TextAnalysis.qualityPass(col("text")).cast("int"))
+      val candidates = t("quality gate ckpt")(
+        gated.filter(col("quality_pass") === 1)
+          .select(col("doc_id"), col("text")).localCheckpoint())
+      val matches = t("absorbBatch (probe+verify+appends)")(
+        LshIndex.absorbBatch(spark, lshRoot, candidates, 0L)
+          .groupBy(col("new_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_matches")))
+      val disposition = t("disposition ckpt (runs verify)")(
+        gated.select(col("doc_id"), col("quality_pass"))
+          .join(matches, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("quality_pass"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+          .withColumn("kept",
+            (col("quality_pass") === 1 && col("n_matches") === 0L).cast("int"))
+          .localCheckpoint())
+      val kept = disposition.filter(col("kept") === 1).select(col("doc_id"))
+      t("commitAppend curated")(
+        Snapshots.commitAppend(
+          batch.join(kept, Seq("doc_id")).select(col("doc_id"), col("text")),
+          curatedRoot, Seq.empty, Some(0L), statsCols = Seq("doc_id")))
+      t("nightly (compact x3 + vacuum)")(
+        graft.pipelines.CurationJob.nightly(spark, curatedRoot, lshRoot, keep = 3))
+      // day 1 on the now-absorbed root, monolithic — the steady state
+      val b1 = graft.queries.Indexing.weekBatch(corpus, 1).localCheckpoint()
+      t("absorbDaily day1 (monolithic)")(
+        graft.pipelines.CurationJob.absorbDaily(b1, curatedRoot, lshRoot, 1L))
+      t("nightly day1")(
+        graft.pipelines.CurationJob.nightly(spark, curatedRoot, lshRoot, keep = 3))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -22,13 +22,26 @@ object TimeQuery {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Bench.cleanup's discipline, OUTSIDE each timed window: without
+    // it the localCheckpoint/persist blocks of consecutive evaluations
+    // accrue (warm + 2 timed × several checkpoints per query) and the
+    // numbers stop being comparable to the bench artifact's.
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
     for (q <- names) {
       val fn = SparkEntry.queries(q)
       FullEval.run(fn(spark, dir))
+      cleanup()
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         FullEval.run(fn(spark, dir))
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        dt
       }.min
       println(f"[time] $q%-24s $t%7.2fs")
     }

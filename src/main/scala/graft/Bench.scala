@@ -280,16 +280,24 @@ object Bench {
       s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","attempts":${attempts.size},"clean":${best.clean},"calib_par_ratio":${ms(best.parRatio)},"calib_first_sec":${ms(calibFirst)},"calib_last_sec":${ms(calibLast)},"calib_par_first_sec":${ms(best.parFirst)},"calib_par_last_sec":${ms(best.parLast)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_retimed":${best.retimed.size},"retimed":$retimedObj,"disputed":$disputedArr,"week_days_ingest_nightly":$weekObj,"week_day_outliers":${weekOutliers.mkString("[", ",", "]")}"""
     val json =
       s"""{$scalars,"calib_series":$series,"slowest":$slow,"queries":$qs}"""
-    // durable copy the driver can read whole even if stdout is capped
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LATEST.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // durable copy the driver can read whole even if stdout is capped —
+    // BOTH a per-core-count file (the r13 PERF seam: the 8-core scaling
+    // run overwrote BENCH_LATEST.json before the 32-core run could be
+    // paired with it, leaving per_query/geomean empty) and the legacy
+    // fixed name for consumers that read it
+    for (name <- Seq("BENCH_LATEST.json", s"BENCH_LATEST_c$cpus.json"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(name),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    // LAST line on stdout, after all Spark shutdown chatter — SHORT by
-    // design (~1 KB: totals + calibration + slowest-10, NO per-query
-    // map or calib series): five driver rounds recorded parsed:null
-    // because the tail capture was smaller than the ~8 KB full line;
-    // the full artifact lives in BENCH_LATEST.json above
-    println(s"""{$scalars,"slowest":$slow,"full":"BENCH_LATEST.json"}""")
+    // LAST line on stdout, after all Spark shutdown chatter. It now
+    // carries the FULL per-query map (r13 verdict Next #2: PERF could
+    // not compute per-query regressions/geomean from driver artifacts);
+    // at 3 decimals the map is ~6.5 KB. To keep the line under the ~8 KB
+    // tail-capture bound that truncated earlier rounds, the redundant
+    // "slowest" block (derivable from the map) and the calib series stay
+    // file-only; scalars ride FIRST so even a truncated capture keeps
+    // the totals.
+    println(s"""{$scalars,"queries":$qs,"full":"BENCH_LATEST_c$cpus.json"}""")
   }
 }

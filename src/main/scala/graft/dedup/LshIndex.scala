@@ -53,6 +53,16 @@ object LshIndex {
     * the `q_dedup_pipeline` (#36c) convention. */
   val JaccardMin = 0.2
 
+  /** Largest batch band frame [[probeCandidates]] will broadcast as
+    * the probe's build side (rows ≈ |batch| × bands/doc; ~40 B/row →
+    * the default bounds the relation near 40 MB, well under the 8 GB
+    * broadcast cap). A daily batch sits orders of magnitude below it;
+    * a backfill-sized batch falls back to the shuffle_hash plan.
+    * `-Dgraft.lsh.broadcastMaxBandRows` overrides. */
+  def BroadcastMaxBandRows: Long =
+    sys.props.get("graft.lsh.broadcastMaxBandRows").map(_.toLong)
+      .getOrElse(1000000L)
+
   def bandsRoot(root: String): String = s"$root/bands"
   def shinglesRoot(root: String): String = s"$root/shingles"
   def statsRoot(root: String): String = s"$root/stats"
@@ -272,8 +282,15 @@ object LshIndex {
     * side never shuffles). Returns distinct (new_id, match_id). */
   private[graft] def probeCandidates(spark: SparkSession, root: String,
       bb: DataFrame, batchIds: DataFrame): DataFrame = {
-    val mods = bb.select(col("bmod")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE job yields both the bmod pruning set and the batch band-frame
+    // size (r14): the size decides the join strategy below — the old
+    // plan collected the same distinct bmods and left the strategy to
+    // AQE, which still ran the map side of BOTH exchanges before its
+    // broadcast upgrade could cancel the reduce (guide §3.1: pick the
+    // strategy deliberately when you know a side is small).
+    val byMod = bb.groupBy(col("bmod")).count().collect()
+    val mods = byMod.map(_.getInt(0)).toSeq
+    val bandRows = byMod.map(_.getLong(1)).sum
     val storedBands = Snapshots.read(spark, bandsRoot(root))
       .filter(col("bmod").isin(mods: _*))
     // ONE bucket-local join for BOTH pair rules (r13; guide §2.4 —
@@ -292,8 +309,16 @@ object LshIndex {
         lit(false).as("from_batch"))
       .unionByName(bb.select(col("band"), col("bucket"), col("doc_id"),
         lit(true).as("from_batch")))
+    // a daily batch's band frame is batch-sized (|batch| × bands/doc):
+    // under the guard it broadcasts OUTRIGHT, so the corpus-sized index
+    // side never shuffles at all (no map stage, no AQE negotiation);
+    // past the guard (a backfill-sized "batch") the shuffle_hash build
+    // keeps the old bounded-memory plan
+    val probeSide =
+      if (bandRows <= BroadcastMaxBandRows) broadcast(bb)
+      else bb.hint("shuffle_hash")
     val pairs = indexSide.as("i")
-      .join(bb.as("n").hint("shuffle_hash"),
+      .join(probeSide.as("n"),
         col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket") &&
           ((!col("i.from_batch") && col("n.doc_id") =!= col("i.doc_id")) ||
             (col("i.from_batch") && col("i.doc_id") < col("n.doc_id"))))
@@ -356,9 +381,19 @@ object LshIndex {
       .filter(col("dmod").isin(dmods: _*))
       .select(col("doc_id").as("match_id"), col("shs").as("sb"))
     // a within-batch match_id resolves from the batch's own shingles
-    // (it may not be stored yet on the first run)
+    // (it may not be stored yet on the first run). Restricted to the
+    // CANDIDATES' match ids BEFORE the dedup groupBy (r14): the dmod
+    // prune alone leaves the groupBy shuffling every stored shingle
+    // array in the surviving partitions — corpus-sized when a big
+    // batch touches all Dmods — while the join right below it keeps
+    // only candidate rows anyway. The broadcast semi-join drops the
+    // non-candidates before their arrays ever cross an exchange
+    // (guide §2.3 shuffle fewer bytes / §3.2 pre-filter the big side);
+    // groups kept are untouched, so the result is row-identical.
     val matchSh = storedSh.unionByName(
       batchSh.select(col("new_id").as("match_id"), col("sa").as("sb")))
+      .join(broadcast(cand.select(col("match_id"))), Seq("match_id"),
+        "left_semi")
       .groupBy(col("match_id")).agg(first(col("sb")).as("sb"))
     val out = cand
       .join(batchSh.hint("shuffle_hash"), Seq("new_id"))

@@ -550,7 +550,8 @@ object Snapshots {
     import org.apache.spark.sql.functions.lit
     require(isDelta(root, v),
       s"version $v is a full rewrite — the change feed covers delta history only")
-    val df = spark.read.option("basePath", dataDir(root, v))
+    val df = spark.read.schema(memberSchema(spark, root, v))
+      .option("basePath", dataDir(root, v))
       .parquet(dataDir(root, v))
     val typ =
       if (tombstoneKeyOf(root, v).nonEmpty) "delete"
@@ -739,9 +740,11 @@ object Snapshots {
     // per dir per owning task; task balance is the partition key's own
     // balance (for the index artifacts that is the flat-occupancy
     // contract).
-    // NOT dot-prefixed: Spark's hidden-file filter would skip the
-    // staged files when counting them below (nothing ever lists
-    // `<root>/data` itself, so the name needs no hiding)
+    // NOT dot-prefixed: the staged-row count comes from the parquet
+    // FOOTERS via FileStats (listParquet matches any `*.parquet`
+    // recursively, hidden-file convention or not), and committed data
+    // must stay visible to Spark readers after the move; nothing ever
+    // lists `<root>/data` itself, so the stage name needs no hiding
     val stage = s"$root/data/stage-${java.util.UUID.randomUUID()}"
     // HEARTBEAT the stage for as long as this writer owns it: vacuum's
     // abandonment sweep judges by newest mtime in the stage tree, and
@@ -908,6 +911,28 @@ object Snapshots {
       latestVersion(root).getOrElse(
         throw new IllegalStateException(s"no committed version under $root")))
 
+  /** Read SCHEMA of one committed version dir, cached by
+    * (root, version, commit identity) — METADATA only, never data: a
+    * committed dir is immutable, so its parquet schema is a pure
+    * function of the commit, and re-inferring it (listing + footer
+    * read) cost a measured ~90 ms of driver time on EVERY chain-member
+    * scan — per absorb probe, per stored-index read, per append's
+    * schema validation (guide §5: the driver should do almost no data
+    * work). The cid key makes rollback-then-recommit reuse of a
+    * version NUMBER miss and recompute, the same ABA defense as the
+    * validation cache above. */
+  private val memberSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String), org.apache.spark.sql.types.StructType]()
+
+  private def memberSchema(spark: SparkSession, root: String,
+      cv: Long): org.apache.spark.sql.types.StructType = {
+    val key = (root, cv, commitIdentity(root, cv))
+    memberSchemaCache.computeIfAbsent(key, _ => {
+      val dd = dataDir(root, cv)
+      spark.read.option("basePath", dd).parquet(dd).schema
+    })
+  }
+
   /** Scan ONE version's own data dir. When the version committed a
     * stats sidecar, the scan goes through [[StatsFileIndex]]: the
     * PLANNER consults the sidecar's per-file min/max against whatever
@@ -919,8 +944,12 @@ object Snapshots {
   private def memberScan(spark: SparkSession, root: String, cv: Long): DataFrame = {
     val dd = dataDir(root, cv)
     statsOf(root, cv) match {
-      case Some(st) if st.nonEmpty => StatsFileIndex.scan(spark, dd, st)
-      case _ => spark.read.option("basePath", dd).parquet(dd)
+      case Some(st) if st.nonEmpty =>
+        StatsFileIndex.scan(spark, dd, st,
+          dataSchema = Some(memberSchema(spark, root, cv)))
+      case _ =>
+        spark.read.schema(memberSchema(spark, root, cv))
+          .option("basePath", dd).parquet(dd)
     }
   }
 
@@ -1012,7 +1041,8 @@ object Snapshots {
       s"version $v was never committed (or vacuumed)")
     def fullScan(cv: Long): DataFrame = {
       val dd = dataDir(root, cv)
-      spark.read.option("basePath", dd).parquet(dd)
+      spark.read.schema(memberSchema(spark, root, cv))
+        .option("basePath", dd).parquet(dd)
     }
     // a fully-pruned member returns None and contributes NO union
     // branch at all: a `where(false)` placeholder would still list
@@ -1031,7 +1061,8 @@ object Snapshots {
           val kept = stats.filter(FileStats.survives(_, ranges))
             .map(f => s"$dd/${f.path}")
           if (kept.isEmpty) None
-          else Some(spark.read.option("basePath", dd).parquet(kept: _*))
+          else Some(spark.read.schema(memberSchema(spark, root, cv))
+            .option("basePath", dd).parquet(kept: _*))
       }
     }
     def union(acc: Option[DataFrame], next: Option[DataFrame]) =
@@ -1152,7 +1183,16 @@ object Snapshots {
   def maintain(spark: SparkSession, roots: Seq[(String, Seq[String])],
       keep: Int = 7,
       statsCols: Map[String, Seq[String]] = Map.empty): Maintenance = {
-    val done = roots.map { case (root, parts) =>
+    // The roots are INDEPENDENT tables (each compact/vacuum touches one
+    // root, under that root's own commit lock), and each compact is one
+    // distributed rewrite whose tail leaves most cores idle — so the
+    // per-root maintenance jobs run CONCURRENTLY from a small thread
+    // pool (guide §2.6: overlap independent jobs so the next job's
+    // tasks back-fill the current job's stragglers). Per-root work and
+    // ordering (compact, then vacuum) are unchanged; results keep the
+    // caller's root order. 3 in flight is the guide's "enough to fill
+    // the tail" number.
+    def maintainOne(root: String, parts: Seq[String]): (Option[Long], Seq[Long]) = {
       val did = latestVersion(root)
         .filter(v => isDelta(root, v))
         // compaction re-records the per-file stats sidecar for roots
@@ -1160,10 +1200,29 @@ object Snapshots {
         // rewrite would silently strip the chain's data-skipping
         // metadata and every later readPruned would scan whole
         .map(_ => compact(spark, root, parts, statsCols.getOrElse(root, Seq.empty)))
-      root -> did
+      (did, vacuum(root, keep))
     }
-    Maintenance(done.toMap,
-      done.map { case (r, _) => r -> vacuum(r, keep) }.toMap)
+    val done: Seq[(String, (Option[Long], Seq[Long]))] =
+      if (roots.size <= 1)
+        roots.map { case (r, p) => r -> maintainOne(r, p) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(3, roots.size))
+        try {
+          val futs = roots.map { case (r, p) =>
+            r -> pool.submit(new java.util.concurrent.Callable[(Option[Long], Seq[Long])] {
+              def call(): (Option[Long], Seq[Long]) = maintainOne(r, p)
+            })
+          }
+          futs.map { case (r, f) =>
+            r -> (try f.get()
+            catch { case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause })
+          }
+        } finally pool.shutdown()
+      }
+    Maintenance(done.map { case (r, (c, _)) => r -> c }.toMap,
+      done.map { case (r, (_, v)) => r -> v }.toMap)
   }
 
   /** Retention: drop all snapshots older than `keep` versions behind

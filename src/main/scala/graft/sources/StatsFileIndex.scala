@@ -93,7 +93,8 @@ object StatsFileIndex {
     * time. Built on the public lower-level seam
     * ([[InMemoryFileIndex]] + [[HadoopFsRelation]]) because
     * `DataFrameReader` offers no file-index injection point. */
-  def scan(spark: SparkSession, dir: String, stats: Seq[FileStat]): DataFrame = {
+  def scan(spark: SparkSession, dir: String, stats: Seq[FileStat],
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val opts = Map("basePath" -> dir)
     // NoopCache: version dirs are immutable while live, but rollback-
     // then-recommit REUSES `data/v=N` paths — a shared listing cache
@@ -101,15 +102,21 @@ object StatsFileIndex {
     val delegate = new InMemoryFileIndex(spark, Seq(new Path(dir)), opts,
       userSpecifiedSchema = None, fileStatusCache = NoopCache)
     val fmt = new ParquetFileFormat
-    val dataSchema = fmt
-      .inferSchema(spark, opts, delegate.allFiles())
-      .getOrElse(throw new IllegalStateException(
-        s"no parquet schema inferable under $dir"))
+    // caller-supplied RESOLVED schema (Snapshots' per-commit cache)
+    // skips the footer-read inference; partition columns are the
+    // delegate's, so they are subtracted from the full table schema
+    val dataSchema0 = dataSchema
+      .map(s => org.apache.spark.sql.types.StructType(
+        s.filterNot(f => delegate.partitionSchema.fieldNames.contains(f.name))))
+      .getOrElse(fmt
+        .inferSchema(spark, opts, delegate.allFiles())
+        .getOrElse(throw new IllegalStateException(
+          s"no parquet schema inferable under $dir")))
     val byPath = stats.map(f => f.path -> f).toMap
     val index = new StatsFileIndex(delegate,
       new Path(dir).toUri.getPath, byPath)
     spark.baseRelationToDataFrame(HadoopFsRelation(index,
-      delegate.partitionSchema, dataSchema, None, fmt, opts)(spark))
+      delegate.partitionSchema, dataSchema0, None, fmt, opts)(spark))
   }
 
   /** Conservative translation of pushed-down Catalyst data filters

@@ -10,8 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and predicate pushdown into the scan.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Resolved read SCHEMA per table path — metadata only, never data
+    * or results: every query still scans the parquet itself at each
+    * evaluation. Without it each `spark.read.parquet` re-infers the
+    * schema (file listing + footer read + conversion), a measured
+    * ~92 ms of driver-side fixed cost PER TABLE REFERENCE (ProbeFloor;
+    * guide §5 "the driver should do almost no data work", §6 listing
+    * costs) — the single largest component of the ~170-query
+    * sub-second floor. Source tables are immutable for a session's
+    * lifetime (the generator writes them once); a deployment rotating
+    * files in place under one path would key this cache by snapshot
+    * like [[Snapshots]] does. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")

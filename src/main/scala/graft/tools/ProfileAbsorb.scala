@@ -25,6 +25,10 @@ object ProfileAbsorb {
     }
     val corpus = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint()
+    // the ids persisted so far are the corpus checkpoint's internal
+    // blocks (corpus.rdd.id is a NEW wrapper per call — comparing
+    // against it protected nothing, the r13 tool's round-2 crash)
+    val corpusRddIds = spark.sparkContext.getPersistentRDDs.keySet
     for (rnd <- 1 to 2) {
       println(s"--- round $rnd")
       val root = java.nio.file.Files
@@ -48,6 +52,8 @@ object ProfileAbsorb {
         .select(col("doc_id").as("match_id"), col("shs").as("sb"))
       val matchSh = storedSh.unionByName(
         batchSh.select(col("new_id").as("match_id"), col("sa").as("sb")))
+        .join(broadcast(cand.select(col("match_id"))), Seq("match_id"),
+          "left_semi")
         .groupBy(col("match_id")).agg(first(col("sb")).as("sb"))
       val out = cand
         .join(batchSh.hint("shuffle_hash"), Seq("new_id"))
@@ -62,8 +68,23 @@ object ProfileAbsorb {
         Snapshots.commitAppend(bb, LshIndex.bandsRoot(root), Seq("bmod"), Some(batchId)))
       t("commitAppend shingles")(
         Snapshots.commitAppend(sh, LshIndex.shinglesRoot(root), Seq("dmod"), Some(batchId)))
+      // REPLAY phases — the cost the week gates pay in the bench's
+      // min-of-2 passes (appends no-op; signing/probe/verify recompute)
+      // probe sub-phases: chain scan alone, then the full probe
+      t("REPLAY bands chain scan (noop)")(
+        FullEval.run(Snapshots.read(spark, LshIndex.bandsRoot(root))))
+      t("REPLAY bands chain scan x2 (noop)")(
+        FullEval.run(Snapshots.read(spark, LshIndex.bandsRoot(root))))
+      val bb2 = t("REPLAY bandsOf ckpt")(
+        LshIndex.bandsOf(batch, LshIndex.rowsPerBandOf(root)).localCheckpoint())
+      val cand2 = t("REPLAY probeCandidates ckpt")(
+        LshIndex.probeCandidates(spark, root, bb2,
+          batch.select(col("doc_id"))).localCheckpoint())
+      val out2 = t("REPLAY full absorbBatch")(
+        LshIndex.absorbBatch(spark, root, batch, batchId))
+      t("REPLAY verify eval (noop)")(FullEval.run(out2))
       spark.sparkContext.getPersistentRDDs.values
-        .filter(_ != corpus.rdd).foreach(_.unpersist(false))
+        .filter(r => !corpusRddIds.contains(r.id)).foreach(_.unpersist(false))
       System.gc()
     }
     spark.stop()

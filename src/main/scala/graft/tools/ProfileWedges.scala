@@ -83,11 +83,41 @@ object ProfileWedges {
       t("gen/gen + codegen bloom")(FullEval.run(trianglesGen(or, bf)))
       t("no bloom (plain lambda)")(FullEval.run(trianglesNoBloom(or)))
       t("gen/gen no bloom")(FullEval.run(trianglesGen(or, null)))
+      // broadcast the ORIENTED frame as the closure build side: zero
+      // exchanges after the wedge groupBy (candidate r14 plan — the
+      // edge frame is size-known from edgeBloom's count, so the
+      // broadcast can be deliberately size-guarded)
+      def trianglesGenB(oriented: DataFrame, bf0: Array[Byte]): DataFrame = {
+        val nbrs = sort_array(collect_list(struct(
+          col("degd").as("dg"), col("dst").as("nd"))))
+        val might: Column =
+          if (bf0 == null) lit(true)
+          else GraftBridge.column(new BloomFilterMightContain(
+            Literal(bf0, BinaryType),
+            GraftBridge.expression(xxhash64(col("b"), col("c")))))
+        val wedges = oriented
+          .groupBy(col("src").as("a"))
+          .agg(first(col("degs")).as("dega"), nbrs.as("nbrs"))
+          .select(col("a"), col("dega"), col("nbrs"),
+            posexplode(col("nbrs")))
+          .select(col("a"), col("dega"), col("col.nd").as("b"),
+            explode(slice(col("nbrs"), col("pos") + 2,
+              greatest(size(col("nbrs")) - col("pos") - 1, lit(0)))).as("y"))
+          .select(col("a"), col("dega"), col("b"), col("y.nd").as("c"))
+          .filter(might)
+        wedges.join(broadcast(oriented),
+            col("b") === col("src") && col("c") === col("dst"))
+          .select(col("a"), col("dega"), col("b"), col("degs").as("degb"),
+            col("c"), col("degd").as("degc"))
+      }
+      t("gen/gen bloom + BROADCAST closure")(FullEval.run(trianglesGenB(or, bf)))
+      t("gen/gen noBloom + BROADCAST closure")(FullEval.run(trianglesGenB(or, null)))
       val c1 = GraphCore.triangles(or).count()
       val c2 = trianglesGen(or, bf).count()
       val c3 = trianglesNoBloom(or).count()
-      println(s"[prof] counts current=$c1 gen=$c2 nobloom=$c3 " +
-        (if (c1 == c2 && c2 == c3) "MATCH" else "MISMATCH"))
+      val c4 = trianglesGenB(or, bf).count()
+      println(s"[prof] counts current=$c1 gen=$c2 nobloom=$c3 bcast=$c4 " +
+        (if (c1 == c2 && c2 == c3 && c3 == c4) "MATCH" else "MISMATCH"))
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.sharedState.cacheManager.clearCache()
     }

@@ -179,6 +179,27 @@ class GraphBSpec extends AnyFunSuite {
       "top-20 must arrive count-descending")
   }
 
+  test("ejacc exact re-score: size guard falls back to shuffle_hash with identical rows") {
+    // r14: broadcast(wedges) is size-guarded (Σ deg over the top-20 pa
+    // endpoints — a celebrity hub would OOM the forced broadcast at
+    // scale). Threshold 0 forces the fallback path; rows must be
+    // identical and the re-score join must plan as ShuffledHashJoin.
+    val dir = "/root/testdata/sf0.001"
+    def rows() = GraphB.edgeJaccardEstimate(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val base = rows()
+    assert(base.nonEmpty, "fixture produced no estimated edges")
+    sys.props("graft.ejacc.broadcastMaxWedges") = "0"
+    try {
+      val plan = GraphB.edgeJaccardEstimate(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"guarded path did not fall back to shuffle_hash:\n$plan")
+      assert(rows() == base,
+        "fallback join strategy changed the re-score rows")
+    } finally { sys.props.remove("graft.ejacc.broadcastMaxWedges"); () }
+  }
+
   test("kmv: estimates bracket exact counts within sketch error") {
     val r = SparkEntry.queries("q_kmv_intersect")(spark, sf).collect().head
     val (k, nMerged) = (r.getLong(0), r.getLong(1))

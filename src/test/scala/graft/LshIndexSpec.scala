@@ -24,6 +24,24 @@ class LshIndexSpec extends AnyFunSuite {
   private def freshRoot(): String =
     java.nio.file.Files.createTempDirectory("graft-lsh").toString
 
+  test("probe broadcast guard: forced shuffle_hash fallback returns identical pairs") {
+    // r14: the batch band frame broadcasts outright under
+    // BroadcastMaxBandRows; a backfill-sized batch must fall back to
+    // the bounded-memory shuffle_hash plan with the same result.
+    val root = freshRoot()
+    LshIndex.build(corpus, root)
+    val batch = plantedBatch(8000000L).localCheckpoint()
+    def pairs() = LshIndex.probeCandidates(spark, root,
+      LshIndex.bandsOf(batch), batch.select(col("doc_id")))
+      .collect().map(_.toString).sorted.toSeq
+    val bcast = pairs()
+    assert(bcast.nonEmpty, "planted batch produced no candidates")
+    sys.props("graft.lsh.broadcastMaxBandRows") = "0"
+    try assert(pairs() == bcast,
+      "shuffle_hash fallback changed the candidate pairs")
+    finally { sys.props.remove("graft.lsh.broadcastMaxBandRows"); () }
+  }
+
   test("absorb equals the live incremental reference (candidates + verify)") {
     val root = freshRoot()
     LshIndex.build(corpus, root)

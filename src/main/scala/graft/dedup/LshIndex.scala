@@ -405,9 +405,29 @@ object LshIndex {
       .filter(col("jaccard") >= JaccardMin)
     // the match plan above reads the artifact versions resolved at
     // Snapshots.read time (immutable dirs), so appending afterwards
-    // cannot perturb it
-    Snapshots.commitAppend(bb, bandsRoot(root), Seq("bmod"), Some(batchId))
-    Snapshots.commitAppend(sh, shinglesRoot(root), Seq("dmod"), Some(batchId))
+    // cannot perturb it. The two appends hit DIFFERENT roots (own
+    // commit locks, own chains) and each is one small distributed
+    // write — run them concurrently (guide §2.6: overlap independent
+    // jobs) so the second write's tasks back-fill the first's tail.
+    // Crash between them is the same replay story in either order:
+    // both are idempotent per batchId, the incomplete one lands on
+    // retry while the complete one no-ops.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long =
+          Snapshots.commitAppend(bb, bandsRoot(root), Seq("bmod"), Some(batchId))
+      })
+      val fs = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long =
+          Snapshots.commitAppend(sh, shinglesRoot(root), Seq("dmod"), Some(batchId))
+      })
+      def got(f: java.util.concurrent.Future[Long]): Unit =
+        try { f.get(); () }
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      got(fb); got(fs)
+    } finally pool.shutdown()
     out
   }
 }

@@ -78,8 +78,15 @@ private[graft] object GraphCore {
         explode(slice(col("items"), col("pos") + 2,
           greatest(size(col("items")) - col("pos") - 1, lit(0)))).as("dst"))
       .distinct()
-    bidirected(canon.select(col("src").as("pa"), col("dst").as("pb")))
-      .localCheckpoint()
+    // checkpoint the CANONICAL half and mirror lazily (r14): the
+    // bidirected frame is an exact 2x of the canonical pairs, so
+    // materializing both directions wrote twice the rows into the
+    // block store on every one of the ten graph queries — the lazy
+    // union reads the checkpointed half twice instead (narrow, no
+    // extra exchange anywhere downstream; guide §1.2 don't compute —
+    // or store — things you can derive for free).
+    bidirected(canon.select(col("src").as("pa"), col("dst").as("pb"))
+      .localCheckpoint())
   }
 
   /** Same edge-frame shape from an arbitrary canonical (pa < pb) pair
@@ -96,7 +103,9 @@ private[graft] object GraphCore {
     * Exchange + hash-dedup here for rows that were provably unique
     * (guide §2.4: remove shuffles on already-unique data). */
   def edgesFromDistinctPairs(pairs: DataFrame): DataFrame =
-    bidirected(pairs).localCheckpoint()
+    // checkpoint the canonical half, mirror lazily — same 2x
+    // materialization saving as [[copurchaseEdges]]
+    bidirected(pairs.localCheckpoint())
 
   /** Both directions of an undirected pair set. */
   def bidirected(pairs: DataFrame): DataFrame =
